@@ -13,7 +13,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from bigdatafraude_ml_graphx_spark import queries as _q
+from bigdatafraude_ml_graphx_spark import registry as _q
 
 
 def entry(spark: SparkSession) -> DataFrame:

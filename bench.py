@@ -18,7 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from bigdatafraude_ml_graphx_spark import get_spark
-from bigdatafraude_ml_graphx_spark import queries as q
+from bigdatafraude_ml_graphx_spark import registry as q
 
 
 def main() -> None:

@@ -1,0 +1,80 @@
+"""Connected components, DataFrame-native.
+
+The reference calls GraphFrames' ``g.connectedComponents()``
+(``/root/reference/notebooks/4_graphx.ipynb:504-586, cell 44735382``), which
+requires a Scala package and an RDD checkpoint dir. The engine implements the
+same semantics in pure DataFrames: iterative min-label propagation
+
+    label(v) ← min(label(v), min over neighbors u of label(u))
+
+to fixpoint. Each iteration is one equi join + one aggregation (both
+AQE-planned); lineage is truncated with ``localCheckpoint`` every iteration —
+the lesson the reference's own PageRank loop teaches (its per-iteration time
+grows 0.27 s → 1.10 s without checkpointing,
+``notebooks/4_graphx.ipynb:753-757``).
+
+Scale: O(graph diameter) rounds. Social/fraud graphs have tiny diameters
+(≤ ~20); each round shuffles |E|+|V| rows on the id key, broadcast-free, so
+the pattern holds at 100 TB. (GraphFrames' large-star/small-star does
+O(log d) rounds — worth adopting only if diameters are large.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .builders import symmetrize
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Label every vertex with its component id (the min vertex id in the
+    component). Returns ``(id, component)``.
+
+    ``vertices`` (a DF with an ``id`` column) may add isolated vertices that
+    appear in no edge; they become singleton components, matching GraphFrames
+    (the reference graph is 99.8% singletons — 275,191 of 275,236 components,
+    cell 44735382 output).
+    """
+    sym = symmetrize(edges.select(src, dst), src, dst).select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).distinct()
+
+    ids = sym.select(F.col("u").alias("id"))
+    if vertices is not None:
+        ids = ids.unionByName(vertices.select("id"))
+    labels = ids.distinct().withColumn("component", F.col("id"))
+    labels = labels.localCheckpoint(eager=True)
+
+    for i in range(max_iter):
+        # Candidate labels flowing across edges: neighbor's current label.
+        neighbor_labels = (
+            sym.join(labels, sym.u == labels.id)
+            .select(F.col("v").alias("id"), F.col("component"))
+        )
+        new_labels = (
+            labels.select("id", "component")
+            .unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("component").alias("component"))
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

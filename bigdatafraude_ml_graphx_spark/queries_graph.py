@@ -1,0 +1,137 @@
+"""Graph query declarations (SURVEY §2.10) over the events co-occurrence graph.
+
+The graph: users are vertices; two users are connected when they emit events
+in the same (hour, event_type) bucket — the engine's bucket-equi rewrite of
+the reference's theta self-join edge build
+(``/root/reference/notebooks/4_graphx.ipynb:193-208``).
+
+Even the ITERATIVE algorithms are oracle-checked: connected components via a
+recursive-CTE transitive closure, PageRank via 5 unrolled iterations of the
+identical decimal-accumulated update — both hash-match DuckDB bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .graph import connected_components, cooccurrence_edges, degrees, pagerank, symmetrize
+from .queries import query
+
+# Shared SQL building blocks (DuckDB side).
+_EDGES_CTE = """
+    b AS (SELECT DISTINCT user_id AS entity, date_trunc('hour', ts) AS bucket, event_type
+          FROM events),
+    e0 AS (SELECT a.entity AS src, b2.entity AS dst, COUNT(*) AS weight
+           FROM b a JOIN b b2
+             ON a.bucket = b2.bucket AND a.event_type = b2.event_type
+            AND a.entity < b2.entity
+           GROUP BY 1, 2)
+"""
+
+
+def _events_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cooccurrence_edges(
+        load_table(spark, sf_dir, "events"), "user_id", "ts", "hour", ("event_type",)
+    )
+
+
+@query(
+    "q20_cooccurrence_edges",
+    oracle=f"WITH {_EDGES_CTE} SELECT src, dst, weight FROM e0",
+)
+def q20_cooccurrence_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucket-equi co-occurrence edge build (J1 idiomatic rewrite — equi join
+    on materialized (hour, event_type) keys instead of the reference's
+    nested-loop-prone theta join)."""
+    return _events_edges(spark, sf_dir)
+
+
+@query(
+    "q21_user_degrees",
+    oracle=f"""
+    WITH {_EDGES_CTE}
+    SELECT id, COUNT(*) AS degree
+    FROM (SELECT src AS id FROM e0 UNION ALL SELECT dst AS id FROM e0)
+    GROUP BY id
+    """,
+)
+def q21_user_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree centrality (G2): ``g.degrees`` as a plain aggregation
+    (``notebooks/4_graphx.ipynb:354-378``)."""
+    return degrees(_events_edges(spark, sf_dir))
+
+
+@query(
+    "q22_connected_components",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    sym AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT u AS id FROM sym),
+    reach(a, bnode) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.bnode = s.u
+    )
+    SELECT a AS id, MIN(bnode) AS component FROM reach GROUP BY a
+    """,
+)
+def q22_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components (G3) — DataFrame min-label propagation with
+    per-iteration lineage truncation, replacing GraphFrames'
+    ``g.connectedComponents()`` (``notebooks/4_graphx.ipynb:504-586``).
+    Oracle: recursive-CTE transitive closure (component id = min reachable
+    vertex id — identical labeling)."""
+    return connected_components(_events_edges(spark, sf_dir))
+
+
+def _pagerank_oracle(iters: int = 5) -> str:
+    """Unrolled PageRank oracle mirroring :func:`..graph.pagerank` arithmetic
+    exactly: double products quantized to int64 at scale 1e14
+    (``FLOOR(x*1e14 + 0.5)`` — single IEEE ops, engine-independent), exact
+    integer contribution sums, the same (1.0-0.15) multiplier and 0.15/n
+    teleport expressions."""
+    parts = [
+        f"WITH {_EDGES_CTE}",
+        ", sym AS (SELECT src, dst, weight FROM e0"
+        "  UNION ALL SELECT dst, src, weight FROM e0)",
+        ", tot AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS total FROM sym GROUP BY src)",
+        ", e AS (SELECT s.src, s.dst,"
+        "        CAST(s.weight AS DOUBLE) / CAST(t.total AS DOUBLE) AS w"
+        "   FROM sym s JOIN tot t ON s.src = t.src)",
+        ", verts AS (SELECT DISTINCT src AS id FROM sym)",
+        ", nn AS (SELECT COUNT(*) AS n FROM verts)",
+        ", pr0 AS (SELECT id, 1.0 / (SELECT n FROM nn) AS pr FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", pr{i} AS (SELECT v.id,"
+            f" (1.0 - 0.15) * COALESCE(c.contrib, 0.0) + 0.15 / (SELECT n FROM nn) AS pr"
+            f" FROM verts v LEFT JOIN ("
+            f"   SELECT e.dst AS id,"
+            f"          CAST(CAST(SUM(CAST(FLOOR(p.pr * e.w * 1e14 + 0.5) AS BIGINT))"
+            f"               AS BIGINT) AS DOUBLE) / 1e14 AS contrib"
+            f"   FROM e JOIN pr{i-1} p ON e.src = p.id GROUP BY e.dst) c"
+            f" ON v.id = c.id)"
+        )
+    parts.append(f"SELECT id, pr AS pagerank FROM pr{iters}")
+    return "\n".join(parts)
+
+
+@query("q23_pagerank", oracle=_pagerank_oracle(5))
+def q23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted PageRank (G4/G5), 5 iterations, alpha=0.15 — the reference's
+    hand-rolled loop (``notebooks/4_graphx.ipynb:833-894``) with per-source
+    weight normalization (``:681-703``) and localCheckpoint lineage
+    truncation. Oracle: the same recurrence unrolled in SQL."""
+    e = symmetrize(_events_edges(spark, sf_dir))
+    totals = e.groupBy("src").agg(F.sum("weight").alias("_total"))
+    e = e.join(totals, "src").select(
+        "src",
+        "dst",
+        (F.col("weight").cast("double") / F.col("_total").cast("double")).alias(
+            "weight"
+        ),
+    )
+    return pagerank(e, alpha=0.15, max_iter=5)

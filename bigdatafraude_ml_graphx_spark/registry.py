@@ -1,0 +1,10 @@
+"""Single import point for the full declared query set.
+
+Importing this module triggers registration from every ``queries*`` module;
+``QUERIES`` / ``ORACLE`` are the dicts the driver contract exposes.
+"""
+
+from __future__ import annotations
+
+from .queries import ORACLE, QUERIES  # noqa: F401  (base relational set)
+from . import queries_graph  # noqa: F401  (graph set — registers on import)

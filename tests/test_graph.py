@@ -1,0 +1,74 @@
+"""Invariant tests for graph operators on a crafted graph with known
+structure (SURVEY §5.3: cliques + singletons + a star hub)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatafraude_ml_graphx_spark.graph import (
+    connected_components,
+    degrees,
+    pagerank,
+    symmetrize,
+)
+
+
+@pytest.fixture(scope="module")
+def crafted(spark):
+    # Components: clique {1,2,3}, path {10,11,12,13}, singleton edge {20,21},
+    # star hub 30 with leaves 31..35.
+    edges = [
+        (1, 2), (1, 3), (2, 3),
+        (10, 11), (11, 12), (12, 13),
+        (20, 21),
+        (30, 31), (30, 32), (30, 33), (30, 34), (30, 35),
+    ]
+    return spark.createDataFrame(edges, "src long, dst long")
+
+
+def test_degrees(crafted):
+    d = {r["id"]: r["degree"] for r in degrees(crafted).collect()}
+    assert d[30] == 5  # star hub
+    assert d[1] == d[2] == d[3] == 2  # clique
+    assert d[31] == 1
+    assert d[11] == 2 and d[10] == 1
+
+
+def test_connected_components(crafted):
+    cc = connected_components(crafted).collect()
+    comp = {r["id"]: r["component"] for r in cc}
+    assert comp[1] == comp[2] == comp[3] == 1
+    assert comp[10] == comp[11] == comp[12] == comp[13] == 10
+    assert comp[20] == comp[21] == 20
+    assert all(comp[v] == 30 for v in (30, 31, 32, 33, 34, 35))
+    assert len({comp[v] for v in comp}) == 4
+
+
+def test_connected_components_isolated_vertices(spark, crafted):
+    verts = spark.createDataFrame([(99,), (1,)], "id long")
+    comp = {
+        r["id"]: r["component"]
+        for r in connected_components(crafted, vertices=verts).collect()
+    }
+    assert comp[99] == 99  # isolated singleton
+    assert comp[1] == 1
+
+
+def test_pagerank_ordering(crafted):
+    # Uniform weights normalized per-src over the symmetrized edges.
+    e = symmetrize(crafted.withColumn("weight", F.lit(1.0)))
+    tot = e.groupBy("src").agg(F.sum("weight").alias("t"))
+    e = e.join(tot, "src").select(
+        "src", "dst", (F.col("weight") / F.col("t")).alias("weight")
+    )
+    pr = {r["id"]: r["pagerank"] for r in pagerank(e, max_iter=5).collect()}
+    n = len(pr)
+    assert n == 15
+    # Teleport floor: every score >= alpha/n.
+    assert all(v >= 0.15 / n - 1e-12 for v in pr.values())
+    # The star hub dominates its leaves and everything else.
+    assert pr[30] == max(pr.values())
+    assert all(pr[30] > pr[v] for v in (31, 32, 33, 34, 35))
+    # Symmetric roles within the clique get identical scores.
+    assert abs(pr[1] - pr[2]) < 1e-15 and abs(pr[2] - pr[3]) < 1e-15

@@ -5,7 +5,7 @@ from __future__ import annotations
 
 import pytest
 
-from bigdatafraude_ml_graphx_spark import queries as q
+from bigdatafraude_ml_graphx_spark import registry as q
 
 from .oracle_harness import compare, duckdb_con
 
