@@ -1,0 +1,90 @@
+"""MinHash signatures + banded LSH for near-duplicate detection at scale.
+
+Pipeline: shingle → k min-hashes per doc → band the signature → bucket-join.
+All hashing is md5-based (``hash_i(s) = int(md5(i ‖ ':' ‖ s)[:15 hex])``), so
+signatures are engine-portable and stable across runs/versions — unlike
+Spark's ``xxhash64``, whose seeds are JVM-specific, md5 exists everywhere the
+oracle does.
+
+Scale shape: the explode produces |docs|·|shingles| rows but the k mins are
+computed with map-side partial aggregation, so the shuffle carries only
+|docs|·k longs. The LSH bucket join is an equi join on (band, band_hash) —
+the O(N²) comparison never happens; AQE splits hot buckets.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .ngram import word_ngrams
+
+
+def _hash64(col, salt: int):
+    """Portable 60-bit hash: first 15 hex chars of md5(salt:value)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(f"{salt}:"), col)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 16,
+    n: int = 3,
+) -> DataFrame:
+    """Per-doc MinHash signature as ``num_hashes`` columns ``mh_00..``.
+
+    Docs with no shingles (shorter than n words) get NULL signature columns.
+    """
+    shingled = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(word_ngrams(text_col, n)).alias("shingle"),
+    ).distinct()
+    aggs = [
+        F.min(_hash64(F.col("shingle"), i)).alias(f"mh_{i:02d}")
+        for i in range(num_hashes)
+    ]
+    return shingled.groupBy("doc").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+) -> DataFrame:
+    """Banded LSH: docs sharing any band of their signature become a candidate
+    pair ``(doc_a, doc_b, n_shared_bands)``. rows/band = num_hashes/bands."""
+    rows_per_band = num_hashes // bands
+    banded = []
+    for band in range(bands):
+        cols = [
+            F.col(f"mh_{i:02d}")
+            for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+        ]
+        banded.append(
+            signatures.select(
+                F.col("doc"),
+                F.lit(band).alias("band"),
+                F.md5(F.concat_ws("|", *[c.cast("string") for c in cols])).alias(
+                    "band_key"
+                ),
+            )
+        )
+    buckets = banded[0]
+    for more in banded[1:]:
+        buckets = buckets.unionByName(more)
+
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared_bands"))
+    )

@@ -1,0 +1,89 @@
+"""Word n-gram shingling and n-gram Jaccard near-duplicate detection.
+
+The scale path is an inverted index: explode distinct shingles, self-join on
+the shingle (equi join — AQE-skew-splittable), count shared shingles per pair,
+then Jaccard = shared / (|A| + |B| − shared). Only pairs that share at least
+one shingle are ever materialized — never the O(N²) cross product. Hot
+shingles (stop-phrases) are the skew risk; ``max_shingle_freq`` drops them,
+the standard trick (a shingle shared by thousands of docs carries no
+near-dup signal but quadratic join cost).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+
+
+def word_ngrams(col: Column | str, n: int = 3) -> Column:
+    """Array of space-joined word n-grams over the canonical tokenization.
+
+    Docs shorter than ``n`` tokens yield an empty array (guarded explicitly:
+    Spark's ``sequence(0, negative)`` would generate a DESCENDING sequence,
+    not an empty one).
+    """
+    toks = tokens(col)
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    return F.when(F.size(toks) >= n, grams).otherwise(
+        F.array().cast("array<string>")
+    )
+
+
+def _doc_shingles(
+    df: DataFrame, text_col: str, id_col: str, n: int
+) -> DataFrame:
+    return (
+        df.select(F.col(id_col).alias("doc"), F.explode(word_ngrams(text_col, n)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Candidate near-duplicate pairs ``(doc_a, doc_b, jaccard)`` with
+    ``doc_a < doc_b`` and n-gram Jaccard ≥ ``threshold``."""
+    shingles = _doc_shingles(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count("*").alias("_f"))
+        shingles = (
+            shingles.join(freq, "shingle")
+            .filter(F.col("_f") <= max_shingle_freq)
+            .drop("_f")
+        )
+    sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )

@@ -1,0 +1,272 @@
+"""Text-analysis / dedup / similarity query declarations (north-star ops,
+BASELINE.json) over the ``documents`` and ``embeddings`` tables.
+
+Every oracle mirrors the engine's exact arithmetic: md5-based portable hashes,
+the canonical tokenization, and quantized-int64 accumulation for float sums
+(see ``graph/pagerank.py`` for why decimal casts are avoided).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .dedup import (
+    duplicate_groups,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash64,
+)
+from .functions.text import (
+    STOPWORDS,
+    fingerprint,
+    lang_guess,
+    punct_ratio,
+    quality_score,
+    token_count,
+)
+from .queries import query
+from .similarity import cosine_topk
+
+# --- shared DuckDB SQL fragments mirroring functions/text.py exactly ---
+
+_NORM = (
+    "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g')"
+)
+_TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
+
+# Word trigram shingles per doc (distinct), as a CTE over `documents`.
+_SHINGLES_CTE = f"""
+    d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT DISTINCT doc_id AS doc, shingle
+           FROM (SELECT doc_id,
+                        unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                              i -> array_to_string(toks[i:i+2], ' ')))
+                        AS shingle
+                 FROM d))
+"""
+
+
+def _hash_sql(expr: str, salt: int) -> str:
+    """DuckDB mirror of dedup.minhash._hash64."""
+    return f"CAST('0x' || substr(md5('{salt}:' || {expr}), 1, 15) AS BIGINT)"
+
+
+@query(
+    "q24_dedup_exact",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fp,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY fp
+    """,
+)
+def q24_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup groups via content fingerprint hash-groupBy — only the
+    16-byte md5 ever shuffles, not the text."""
+    return duplicate_groups(load_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q25_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           len({_TOKS}) AS n_tokens,
+           CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+             / length(text) AS punct_ratio,
+           md5({_NORM}) AS fp
+    FROM documents
+    """,
+)
+def q25_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + punctuation ratio + fingerprint — pure column
+    expressions, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        token_count("text").alias("n_tokens"),
+        punct_ratio("text").alias("punct_ratio"),
+        fingerprint("text").alias("fp"),
+    )
+
+
+def _lang_quality_oracle() -> str:
+    hit_exprs = {
+        lang: (
+            f"len(list_filter({_TOKS}, x -> x IN "
+            f"({', '.join(repr(w) for w in STOPWORDS[lang])})))"
+        )
+        for lang in sorted(STOPWORDS)
+    }
+    hits_cols = ", ".join(f"{e} AS {lang}_h" for lang, e in hit_exprs.items())
+    langs = sorted(STOPWORDS)
+    gmax = f"greatest({', '.join(f'{la}_h' for la in langs)})"
+    when = " ".join(f"WHEN {la}_h = {gmax} THEN '{la}'" for la in langs)
+    sw_total = " + ".join(f"{la}_h" for la in langs)
+    return f"""
+    WITH h AS (SELECT doc_id, lang, text, {hits_cols} FROM documents)
+    SELECT doc_id, lang AS labeled_lang,
+           CASE WHEN {gmax} = 0 THEN 'unknown' {when} END AS guessed_lang,
+           0.4 * least(CAST(len({_TOKS}) AS DOUBLE) / 50.0, 1.0)
+           + 0.3 * (1.0 - least(4.0 * (CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE)
+                                        / length(text)), 1.0))
+           + 0.3 * least(CAST({sw_total} AS DOUBLE) / 5.0, 1.0) AS quality
+    FROM h
+    """
+
+
+@query("q26_lang_quality", oracle=_lang_quality_oracle())
+def q26_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (stopword-hit argmax) + composite quality
+    score — the filter stage of a training-data pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        lang_guess("text").alias("guessed_lang"),
+        quality_score("text").alias("quality"),
+    )
+
+
+@query(
+    "q27_ngram_jaccard_pairs",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    shared AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+               GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE)
+             AS jaccard
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc
+    JOIN sizes sb ON s.doc_b = sb.doc
+    WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE)
+          >= 0.04
+    """,
+)
+def q27_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-trigram Jaccard near-dup pairs via inverted shingle index —
+    the O(shared-shingle) join, never the O(N²) cross product."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.04
+    )
+
+
+_K_MINHASH = 8
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN({_hash_sql('shingle', i)}) AS mh_{i:02d}" for i in range(_K_MINHASH)
+    )
+    return f"WITH {_SHINGLES_CTE} SELECT doc, {mins} FROM sh GROUP BY doc"
+
+
+@query("q28_minhash_signatures", oracle=_minhash_oracle())
+def q28_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash signatures (k=8, md5-based portable hashes); the shuffle
+    carries k longs per doc thanks to map-side partial MIN."""
+    return minhash_signatures(
+        load_table(spark, sf_dir, "documents"), num_hashes=_K_MINHASH
+    )
+
+
+def _lsh_oracle(bands: int = 4) -> str:
+    rows = _K_MINHASH // bands
+    band_selects = []
+    for band in range(bands):
+        cols = [f"mh_{i:02d}" for i in range(band * rows, (band + 1) * rows)]
+        key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc, {band} AS band, md5({key}) AS band_key FROM sig"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    mins = ", ".join(
+        f"MIN({_hash_sql('shingle', i)}) AS mh_{i:02d}" for i in range(_K_MINHASH)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    buckets AS ({buckets})
+    SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS n_shared_bands
+    FROM buckets a
+    JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key AND a.doc < b.doc
+    GROUP BY 1, 2
+    """
+
+
+@query("q29_lsh_candidates", oracle=_lsh_oracle())
+def q29_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded MinHash-LSH candidate pairs — the equi-join-on-bucket scale
+    path for near-dedup."""
+    sigs = minhash_signatures(
+        load_table(spark, sf_dir, "documents"), num_hashes=_K_MINHASH
+    )
+    return lsh_candidate_pairs(sigs, num_hashes=_K_MINHASH, bands=4)
+
+
+def _simhash_oracle() -> str:
+    h = _hash_sql("tok", 0)
+    bit_sums = ", ".join(
+        f"CAST(SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{b}"
+        for b in range(32)
+    )
+    recompose = " + ".join(
+        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tk AS (SELECT doc_id AS doc, unnest(toks) AS tok FROM d),
+    hashed AS (SELECT doc, {h} AS h FROM tk),
+    bits AS (SELECT doc, {bit_sums} FROM hashed GROUP BY doc)
+    SELECT doc, {recompose} AS simhash FROM bits
+    """
+
+
+@query("q30_simhash", oracle=_simhash_oracle())
+def q30_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash fingerprints (majority-vote bits over md5 token
+    hashes) — exploded-bit aggregation, no UDFs."""
+    return simhash64(load_table(spark, sf_dir, "documents"))
+
+
+def _cosine_oracle(k: int = 5, dim: int = 64) -> str:
+    def qdot(va: str, vb: str) -> str:
+        prods = (
+            f"[CAST(floor(CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE) * 1e12 + 0.5)"
+            f" AS BIGINT) for i in range(1, {dim + 1})]"
+        )
+        return f"(CAST(CAST(list_sum({prods}) AS BIGINT) AS DOUBLE) / 1e12)"
+
+    return f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+               WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+    scored AS (
+      SELECT query_id, neighbor_id,
+             {qdot('qv', 'cv')} / (sqrt({qdot('cv', 'cv')}) * sqrt({qdot('qv', 'qv')}))
+               AS cosine
+      FROM q JOIN c ON neighbor_id != query_id),
+    ranked AS (
+      SELECT query_id, neighbor_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q31_cosine_topk", oracle=_cosine_oracle())
+def q31_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-k similarity search: query vectors broadcast
+    against the corpus, quantized-int64 dot products, ranking window."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)

@@ -8,3 +8,4 @@ from __future__ import annotations
 
 from .queries import ORACLE, QUERIES  # noqa: F401  (base relational set)
 from . import queries_graph  # noqa: F401  (graph set — registers on import)
+from . import queries_text  # noqa: F401  (text/dedup/similarity set)
