@@ -61,6 +61,9 @@ def ngram_jaccard_pairs(
             .filter(F.col("_f") <= max_shingle_freq)
             .drop("_f")
         )
+    # The shingle frame feeds three consumers (sizes + both join sides);
+    # persist so the tokenize/explode/distinct lineage runs once.
+    shingles = shingles.persist()
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_shingles"))
 
     a = shingles.alias("a")
