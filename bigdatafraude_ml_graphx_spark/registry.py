@@ -9,3 +9,6 @@ from __future__ import annotations
 from .queries import ORACLE, QUERIES  # noqa: F401  (base relational set)
 from . import queries_graph  # noqa: F401  (graph set — registers on import)
 from . import queries_text  # noqa: F401  (text/dedup/similarity set)
+from . import queries_ml  # noqa: F401  (ML set — rows-only checks)
+from . import queries_stream  # noqa: F401  (streaming set)
+from . import queries_multimodal  # noqa: F401  (binary-column set)
