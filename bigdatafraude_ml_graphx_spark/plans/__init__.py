@@ -1,0 +1,8 @@
+from .inspect import (  # noqa: F401
+    formatted_plan,
+    has_pushed_filters,
+    scan_read_schema,
+    uses_broadcast_join,
+    uses_take_ordered,
+    wholestage_codegen_spans,
+)

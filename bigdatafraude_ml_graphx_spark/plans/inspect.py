@@ -1,0 +1,51 @@
+"""Physical-plan inspection helpers.
+
+The scale contract of this engine (SURVEY §4) is checkable, not aspirational:
+filters reach the parquet scan, projections prune columns, dimension joins
+broadcast, top-k compiles to TakeOrderedAndProject, hot paths stay inside
+whole-stage codegen. These helpers read ``explain("formatted")`` output so
+tests (tests/test_plans.py) assert the plan SHAPE, which is what survives a
+100× scale-up — wall-clock at sf0.1 does not.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    """True iff the scan node carries non-empty PushedFilters."""
+    plan = formatted_plan(df)
+    m = re.search(r"PushedFilters: \[(.+?)\]", plan)
+    return bool(m and m.group(1).strip())
+
+
+def scan_read_schema(df: DataFrame) -> list[str]:
+    """Columns actually read from the (first) file scan — the column-pruning
+    check: a 2-column projection must not read 16 columns."""
+    plan = formatted_plan(df)
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    if not m:
+        return []
+    return [f.split(":")[0].strip() for f in m.group(1).split(",") if f.strip()]
+
+
+def uses_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def uses_take_ordered(df: DataFrame) -> bool:
+    return "TakeOrderedAndProject" in formatted_plan(df)
+
+
+def wholestage_codegen_spans(df: DataFrame) -> int:
+    """Number of whole-stage-codegen regions — wider/fewer is better."""
+    return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

@@ -12,3 +12,4 @@ from . import queries_text  # noqa: F401  (text/dedup/similarity set)
 from . import queries_ml  # noqa: F401  (ML set — rows-only checks)
 from . import queries_stream  # noqa: F401  (streaming set)
 from . import queries_multimodal  # noqa: F401  (binary-column set)
+from . import queries_gaps  # noqa: F401  (windows/cube/time gap coverage)

@@ -1,0 +1,9 @@
+from .io import (  # noqa: F401
+    read_csv,
+    read_parquet,
+    write_csv,
+    write_parquet,
+    write_jdbc,
+    read_jdbc,
+    range_source,
+)

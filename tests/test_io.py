@@ -1,0 +1,51 @@
+"""IO round-trip tests (SURVEY §2.1): CSV with declared schema, partitioned
+parquet with pruning, range source."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatafraude_ml_graphx_spark.catalog import load_table
+from bigdatafraude_ml_graphx_spark.plans import formatted_plan
+from bigdatafraude_ml_graphx_spark.sources import (
+    range_source,
+    read_csv,
+    read_parquet,
+    write_csv,
+    write_parquet,
+)
+
+
+def test_csv_round_trip_declared_schema(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus"
+    )
+    path = str(tmp_path / "orders_csv")
+    write_csv(orders, path, num_files=2)
+    back = read_csv(
+        spark,
+        path,
+        schema="o_orderkey long, o_custkey long, o_totalprice double, o_orderstatus string",
+    )
+    assert back.count() == orders.count()
+    assert back.schema == orders.schema
+    assert back.exceptAll(orders).count() == 0
+
+
+def test_parquet_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    orders = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_part")
+    write_parquet(orders, path, partition_by=("o_orderstatus",))
+    back = read_parquet(spark, path)
+    assert back.count() == orders.count()
+    pruned = back.filter(F.col("o_orderstatus") == "F")
+    # Partition pruning: the non-matching partitions never appear in the scan.
+    assert pruned.count() == orders.filter(F.col("o_orderstatus") == "F").count()
+    plan = formatted_plan(pruned)
+    assert "PartitionFilters" in plan
+
+
+def test_range_source(spark):
+    df = range_source(spark, 1000, num_partitions=4)
+    assert df.count() == 1000
+    assert df.rdd.getNumPartitions() == 4

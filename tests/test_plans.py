@@ -1,0 +1,82 @@
+"""Plan-shape assertions: the properties that survive a 100× scale-up.
+
+Wall-clock at sf0.001 proves nothing about 100 TB; these tests pin the
+physical-plan characteristics that do: predicate pushdown into the parquet
+scan, column pruning, broadcast joins for dimensions, TakeOrderedAndProject
+for top-k."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatafraude_ml_graphx_spark import registry as q
+from bigdatafraude_ml_graphx_spark.catalog import load_table
+from bigdatafraude_ml_graphx_spark.plans import (
+    has_pushed_filters,
+    scan_read_schema,
+    uses_broadcast_join,
+    uses_take_ordered,
+)
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = q.QUERIES["q04_revenue_filter"](spark, sf_dir)
+    assert has_pushed_filters(df)
+
+
+def test_column_pruning(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.select("l_orderkey", "l_quantity")
+    read = scan_read_schema(df)
+    assert set(read) == {"l_orderkey", "l_quantity"}  # 2 of 11 columns read
+
+
+def test_flagship_prunes_to_needed_columns(spark, sf_dir):
+    df = q.QUERIES["q01_pricing_summary"](spark, sf_dir)
+    read = set(scan_read_schema(df))
+    assert read == {
+        "l_returnflag",
+        "l_linestatus",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_shipdate",
+    }
+
+
+def test_dimension_joins_broadcast(spark, sf_dir):
+    df = q.QUERIES["q12_nation_revenue"](spark, sf_dir)
+    assert uses_broadcast_join(df)
+
+
+def test_topk_avoids_full_sort(spark, sf_dir):
+    df = q.QUERIES["q02_top10_orders"](spark, sf_dir)
+    assert uses_take_ordered(df)
+
+
+def test_shipdate_filter_pushdown(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    df = li.filter(F.col("l_shipdate") <= "1995-01-01").select("l_orderkey")
+    assert has_pushed_filters(df)
+
+
+def test_sql_surface_equivalence(spark, sf_dir):
+    """Dual surface (SURVEY §3.2): every capability reachable from spark.sql
+    over registered views, producing identical results to the DataFrame API."""
+    from bigdatafraude_ml_graphx_spark.catalog import register_views
+
+    register_views(spark, sf_dir)
+    via_sql = spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS num_orders
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    )
+    via_df = (
+        q.QUERIES["q08_segment_revenue"](spark, sf_dir)
+        .select("c_mktsegment", "num_orders")
+    )
+    assert {tuple(r) for r in via_sql.collect()} == {
+        tuple(r) for r in via_df.collect()
+    }
