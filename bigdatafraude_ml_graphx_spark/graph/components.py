@@ -43,9 +43,15 @@ def connected_components(
     (the reference graph is 99.8% singletons — 275,191 of 275,236 components,
     cell 44735382 output).
     """
-    sym = symmetrize(edges.select(src, dst), src, dst).select(
-        F.col(src).alias("u"), F.col(dst).alias("v")
-    ).distinct()
+    # Materialize the (possibly expensive) edge lineage ONCE — every
+    # iteration joins against `sym`; without this the upstream plan (e.g. a
+    # co-occurrence self-join) re-executes per iteration.
+    sym = (
+        symmetrize(edges.select(src, dst), src, dst)
+        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
 
     ids = sym.select(F.col("u").alias("id"))
     if vertices is not None:
@@ -67,14 +73,15 @@ def connected_components(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        # Convergence test without a join: labels only ever DECREASE, so the
+        # fixpoint is reached exactly when the label sum stops changing —
+        # one cheap aggregate over the (checkpointed) labels.
+        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        old_sum = getattr(labels, "_cc_label_sum", None)
+        if old_sum is None:
+            old_sum = labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
-        if changed == 0:
+        labels._cc_label_sum = new_sum
+        if new_sum == old_sum:
             break
     return labels

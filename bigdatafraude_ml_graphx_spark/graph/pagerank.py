@@ -73,11 +73,12 @@ def pagerank(
 ) -> DataFrame:
     """Run ``max_iter`` iterations of weighted PageRank. Returns
     ``(id, pagerank)`` over all vertices (edge endpoints ∪ ``vertices``)."""
+    # Materialize the edge lineage once — it is joined in EVERY iteration.
     e = edges.select(
         F.col(src).alias("src"),
         F.col(dst).alias("dst"),
         (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w"),
-    )
+    ).localCheckpoint(eager=True)
 
     ids = e.select(F.col("src").alias("id")).unionByName(
         e.select(F.col("dst").alias("id"))
