@@ -76,24 +76,25 @@ def cosine_topk(
     )
 
 
-def _hyperplane_bit(vec: Column, plane: int, dim: int) -> Column:
-    """Sign bit of ⟨vec, h_plane⟩ where h_plane[j] = ±1 from md5(plane:j).
-
-    A deterministic random-hyperplane: no stored model, same plane in any
-    engine, which keeps the LSH variant oracle-checkable.
+def hyperplane_signs(plane: int, dim: int) -> list[float]:
+    """±1 hyperplane components derived from md5(plane:j) — computed ONCE in
+    Python (hashlib.md5 ≡ any engine's md5) and inlined as literals, so no
+    per-row hashing happens and the oracle SQL can embed the same constants.
     """
-    signs = F.array(
-        *[
-            F.when(
-                F.conv(F.substring(F.md5(F.lit(f"{plane}:{j}")), 1, 15), 16, 10)
-                .cast("long")
-                .bitwiseAND(F.lit(1))
-                == 1,
-                F.lit(1.0),
-            ).otherwise(F.lit(-1.0))
-            for j in range(dim)
-        ]
-    )
+    import hashlib
+
+    return [
+        1.0
+        if int(hashlib.md5(f"{plane}:{j}".encode()).hexdigest()[:15], 16) & 1
+        else -1.0
+        for j in range(dim)
+    ]
+
+
+def _hyperplane_bit(vec: Column, plane: int, dim: int) -> Column:
+    """Sign bit of ⟨vec, h_plane⟩ — deterministic random-hyperplane LSH with
+    no stored model."""
+    signs = F.array(*[F.lit(s) for s in hyperplane_signs(plane, dim)])
     dot = _qsum_array(F.zip_with(vec, signs, lambda x, s: x.cast("double") * s))
     return (dot >= 0).cast("int")
 
