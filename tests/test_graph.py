@@ -72,3 +72,16 @@ def test_pagerank_ordering(crafted):
     assert all(pr[30] > pr[v] for v in (31, 32, 33, 34, 35))
     # Symmetric roles within the clique get identical scores.
     assert abs(pr[1] - pr[2]) < 1e-15 and abs(pr[2] - pr[3]) < 1e-15
+
+
+def test_property_graph_facade(spark, crafted):
+    from bigdatafraude_ml_graphx_spark.graph import PropertyGraph
+
+    g = PropertyGraph(None, crafted.withColumn("weight", F.lit(1.0)))
+    assert {r["id"]: r["degree"] for r in g.degrees.collect()}[30] == 5
+    comp = {r["id"]: r["component"] for r in g.connected_components().collect()}
+    assert comp[31] == 30
+    pr = {r["id"]: r["pagerank"] for r in g.page_rank(max_iter=3).collect()}
+    assert pr[30] == max(pr.values())
+    pr_u = {r["id"]: r["pagerank"] for r in g.page_rank(max_iter=3, weighted=False).collect()}
+    assert pr_u[30] == max(pr_u.values())
