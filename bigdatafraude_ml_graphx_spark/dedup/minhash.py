@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .ngram import word_ngrams
+from .ngram import _doc_shingles
 
 
 def _hash64(col, salt: int):
@@ -38,10 +38,9 @@ def minhash_signatures(
 
     Docs with no shingles (shorter than n words) get NULL signature columns.
     """
-    shingled = df.select(
-        F.col(id_col).alias("doc"),
-        F.explode(word_ngrams(text_col, n)).alias("shingle"),
-    ).distinct()
+    # Staged-token shingling (see ngram.word_ngrams note: inlining the
+    # tokenizer into the explode lambda costs O(tokens²) regex work).
+    shingled = _doc_shingles(df, text_col, id_col, n)
     aggs = [
         F.min(_hash64(F.col("shingle"), i)).alias(f"mh_{i:02d}")
         for i in range(num_hashes)
