@@ -55,17 +55,26 @@ def punct_ratio(col: Column | str) -> Column:
     return F.when(F.length(c) > 0, F.length(stripped) / F.length(c)).otherwise(0.0)
 
 
-def stopword_hits(col: Column | str, lang: str) -> Column:
-    """Number of tokens that are stopwords of ``lang``."""
+def stopword_hits_from_tokens(toks: Column, lang: str) -> Column:
+    """Stopword hit count from an already-materialized token array column.
+
+    Hot paths must pass a STAGED token column: inlining ``tokens(col)`` into
+    the filter lambda makes Catalyst re-run the regex tokenization per
+    reference (see dedup/ngram.py word_ngrams note)."""
     words = list(STOPWORDS[lang])
     arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(tokens(col), lambda x: F.array_contains(arr, x)))
+    return F.size(F.filter(toks, lambda x: F.array_contains(arr, x)))
 
 
-def lang_guess(col: Column | str) -> Column:
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang``."""
+    return stopword_hits_from_tokens(tokens(col), lang)
+
+
+def lang_guess_from_tokens(toks: Column) -> Column:
     """Argmax language over stopword hit counts; ties break alphabetically
     (de < en < es < fr); zero hits everywhere → 'unknown'."""
-    hits = {lang: stopword_hits(col, lang) for lang in sorted(STOPWORDS)}
+    hits = {lang: stopword_hits_from_tokens(toks, lang) for lang in sorted(STOPWORDS)}
     best = None
     for lang in sorted(STOPWORDS):  # alphabetical → first strict max wins
         cond = hits[lang]
@@ -81,6 +90,25 @@ def lang_guess(col: Column | str) -> Column:
     return F.when(score > 0, name).otherwise(F.lit("unknown"))
 
 
+def lang_guess(col: Column | str) -> Column:
+    return lang_guess_from_tokens(tokens(col))
+
+
+def quality_score_from_tokens(text: Column, toks: Column) -> Column:
+    """Quality score from a staged token column (hot-path variant)."""
+    nt = F.size(toks).cast("double")
+    pr = punct_ratio(text)
+    sw = sum(
+        (stopword_hits_from_tokens(toks, lang) for lang in sorted(STOPWORDS)),
+        F.lit(0),
+    ).cast("double")
+    return (
+        0.4 * F.least(nt / 50.0, F.lit(1.0))
+        + 0.3 * (1.0 - F.least(4.0 * pr, F.lit(1.0)))
+        + 0.3 * F.least(sw / 5.0, F.lit(1.0))
+    )
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality score: length band + low punctuation +
     stopword presence. Frozen formula (mirrored in the oracle SQL):
@@ -89,17 +117,7 @@ def quality_score(col: Column | str) -> Column:
         + 0.3·min(stopword_total/5, 1)
     """
     c = F.col(col) if isinstance(col, str) else col
-    nt = token_count(c).cast("double")
-    pr = punct_ratio(c)
-    sw = sum(
-        (stopword_hits(c, lang) for lang in sorted(STOPWORDS)),
-        F.lit(0),
-    ).cast("double")
-    return (
-        0.4 * F.least(nt / 50.0, F.lit(1.0))
-        + 0.3 * (1.0 - F.least(4.0 * pr, F.lit(1.0)))
-        + 0.3 * F.least(sw / 5.0, F.lit(1.0))
-    )
+    return quality_score_from_tokens(c, tokens(c))
 
 
 def fingerprint(col: Column | str) -> Column:

@@ -123,12 +123,15 @@ def _lang_quality_oracle() -> str:
 def q26_lang_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (stopword-hit argmax) + composite quality
     score — the filter stage of a training-data pipeline."""
+    from .functions.text import lang_guess_from_tokens, quality_score_from_tokens, tokens
+
     d = load_table(spark, sf_dir, "documents")
-    return d.select(
+    staged = d.select("doc_id", "lang", "text", tokens("text").alias("_toks"))
+    return staged.select(
         "doc_id",
         F.col("lang").alias("labeled_lang"),
-        lang_guess("text").alias("guessed_lang"),
-        quality_score("text").alias("quality"),
+        lang_guess_from_tokens(F.col("_toks")).alias("guessed_lang"),
+        quality_score_from_tokens(F.col("text"), F.col("_toks")).alias("quality"),
     )
 
 
