@@ -1,0 +1,110 @@
+"""IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+scale path for similarity search (north-star: "an IVF or LSH-bucketed variant
+as the scale path").
+
+Index build: pick ``n_cells`` deterministic centroids (seeded sample of the
+corpus), assign every vector to its nearest centroid — one broadcast join, no
+shuffle of the corpus beyond the assignment column. Query: probe the
+``n_probe`` nearest cells per query and brute-force only within those cells —
+the corpus×query cross product shrinks by ~``n_cells/n_probe``×.
+
+At 100 TB the assignment step writes a bucketed/partitioned table keyed by
+``cell`` so probes become partition-pruned scans; here the same plan shape is
+exercised end-to-end in memory. Recall is tested against the exact
+brute-force answer (tests/test_similarity.py), the standard way ANN quality
+is validated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .cosine import _pos_products, _qsum_array
+
+
+def _norm(vec) -> object:
+    return F.sqrt(_qsum_array(_pos_products(vec, vec)))
+
+
+def build_ivf_index(
+    df: DataFrame,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Returns ``(centroids, assigned)``: ``centroids(cell, cvec)`` and the
+    corpus with an added ``cell`` column (nearest centroid by cosine)."""
+    centroids = (
+        df.select(F.col(vec_col).alias("cvec"))
+        .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("cvec").cast("string"))))
+        .limit(n_cells)
+        .withColumn("cell", F.monotonically_increasing_id())
+        .localCheckpoint(eager=True)
+    )
+    corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    scored = corpus.join(F.broadcast(centroids)).select(
+        "id",
+        "vec",
+        "cell",
+        (
+            _qsum_array(_pos_products(F.col("vec"), F.col("cvec")))
+            / (_norm(F.col("vec")) * _norm(F.col("cvec")))
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell").asc())
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("id", "vec", "cell")
+    )
+    return centroids, assigned
+
+
+def ivf_topk(
+    corpus_assigned: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: each query searches only its ``n_probe`` nearest
+    cells. Returns ``(query_id, neighbor_id, cosine, rank)``."""
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec"))
+    q_cells = q.join(F.broadcast(centroids)).select(
+        "query_id",
+        "qvec",
+        "cell",
+        (
+            _qsum_array(_pos_products(F.col("qvec"), F.col("cvec")))
+            / (_norm(F.col("qvec")) * _norm(F.col("cvec")))
+        ).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("cell").asc()
+    )
+    probes = (
+        q_cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "qvec", "cell")
+    )
+    cand = corpus_assigned.join(probes, "cell").filter(
+        F.col("id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id",
+        F.col("id").alias("neighbor_id"),
+        (
+            _qsum_array(_pos_products(F.col("vec"), F.col("qvec")))
+            / (_norm(F.col("vec")) * _norm(F.col("qvec")))
+        ).alias("cosine"),
+    )
+    wk = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(wk)).filter(
+        F.col("rank") <= k
+    )

@@ -1,0 +1,61 @@
+"""Similarity-search invariants: brute-force correctness properties and IVF
+recall against the exact answer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatafraude_ml_graphx_spark.catalog import load_table
+from bigdatafraude_ml_graphx_spark.similarity import cosine_topk
+from bigdatafraude_ml_graphx_spark.similarity.ivf import build_ivf_index, ivf_topk
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def test_bruteforce_self_similarity_excluded_and_bounded(emb):
+    res = cosine_topk(emb, emb.filter(F.col("vec_id") < 5), k=3)
+    rows = res.collect()
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+    assert all(-1.0 - 1e-9 <= r["cosine"] <= 1.0 + 1e-9 for r in rows)
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r["query_id"], []).append(r)
+    for q_rows in per_q.values():
+        ordered = sorted(q_rows, key=lambda r: r["rank"])
+        sims = [r["cosine"] for r in ordered]
+        assert sims == sorted(sims, reverse=True)
+        assert len(q_rows) == 3
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    centroids, assigned = build_ivf_index(emb, n_cells=8)
+    approx = ivf_topk(assigned, centroids, queries, k=5, n_probe=4)
+
+    exact_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in exact.collect()
+    }
+    approx_pairs = {
+        (r["query_id"], r["neighbor_id"]) for r in approx.collect()
+    }
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    # Probing half the cells must recover well over half the true neighbors
+    # on random data (empirically ~0.8+); the floor is deliberately loose so
+    # the test pins the mechanism, not the dataset.
+    assert recall >= 0.5, f"IVF recall {recall:.2f} too low"
+
+
+def test_ivf_deterministic(emb):
+    queries = emb.filter(F.col("vec_id") < 5)
+    def run():
+        centroids, assigned = build_ivf_index(emb, n_cells=8, seed=42)
+        return {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in ivf_topk(assigned, centroids, queries, k=3, n_probe=2).collect()
+        }
+    assert run() == run()
