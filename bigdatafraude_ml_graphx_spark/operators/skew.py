@@ -1,0 +1,75 @@
+"""Skew mitigation: salting for hot keys (SURVEY §4 / build-plan phase 3).
+
+AQE's skew-join splitting (on in `session.py`) handles most skew at runtime;
+salting is the explicit fallback for the two cases AQE can't fix: skewed
+AGGREGATION keys (AQE only splits join partitions) and skewed keys joined
+against a side too big to broadcast.
+
+Both helpers are semantics-preserving: results equal the unsalted operation
+exactly (tests/test_skew.py), only the shuffle layout changes — a hot key's
+rows spread over ``salt_factor`` reducers instead of one.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def salted_agg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    aggs: dict[str, str],
+    salt_factor: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Two-phase aggregation with salted first phase.
+
+    ``aggs`` maps column → one of sum/count/min/max (the re-aggregatable
+    functions; avg = sum+count composed by the caller). Phase 1 aggregates on
+    (key, salt) — hot keys split across ``salt_factor`` reducers; phase 2
+    merges the tiny per-salt partials on the true key.
+    """
+    merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first = {"sum": F.sum, "count": F.count, "min": F.min, "max": F.max}
+    for fn in aggs.values():
+        if fn not in merge:
+            raise ValueError(f"non-re-aggregatable function: {fn}")
+
+    salted = df.withColumn(
+        "_salt", (F.rand(seed) * salt_factor).cast("int")
+    )
+    phase1 = salted.groupBy(*group_cols, "_salt").agg(
+        *[first[fn](c).alias(f"_p_{c}_{fn}") for c, fn in aggs.items()]
+    )
+    return phase1.groupBy(*group_cols).agg(
+        *[
+            merge[fn](f"_p_{c}_{fn}").alias(f"{fn}_{c}")
+            for c, fn in aggs.items()
+        ]
+    )
+
+
+def salted_join(
+    large: DataFrame,
+    small: DataFrame,
+    on: str,
+    salt_factor: int = 16,
+    seed: int = 42,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi join where ``large`` has hot values of ``on`` and ``small`` is
+    too big to broadcast: the large side gets a random salt, the small side
+    is replicated ``salt_factor``× (explode), and the join key becomes
+    (on, salt) — hot-key rows land on ``salt_factor`` reducers.
+    """
+    salted_large = large.withColumn(
+        "_salt", (F.rand(seed) * salt_factor).cast("int")
+    )
+    replicated_small = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_factor - 1)))
+    )
+    out = salted_large.join(replicated_small, [on, "_salt"], how)
+    return out.drop("_salt")

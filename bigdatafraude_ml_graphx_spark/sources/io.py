@@ -114,3 +114,22 @@ def read_jdbc(
 
 def range_source(spark: SparkSession, n: int, num_partitions: int | None = None) -> DataFrame:
     return spark.range(0, n, 1, num_partitions) if num_partitions else spark.range(n)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    num_buckets: int = 16,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed (and optionally sorted) managed table — the co-located-join
+    primitive: two tables bucketed identically on the join key join WITHOUT
+    any shuffle (asserted in tests/test_plans.py::test_bucketed_join_no_shuffle).
+    At 100 TB this is how repeated fact-fact joins amortize their shuffle
+    once at write time."""
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

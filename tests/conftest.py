@@ -14,7 +14,12 @@ SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 @pytest.fixture(scope="session")
 def spark():
-    spark = get_spark(app_name="engine-tests", master="local[4]", shuffle_partitions=8)
+    spark = get_spark(
+        app_name="engine-tests",
+        master="local[4]",
+        shuffle_partitions=8,
+        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse"},
+    )
     yield spark
 
 

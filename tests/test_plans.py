@@ -80,3 +80,33 @@ def test_sql_surface_equivalence(spark, sf_dir):
     assert {tuple(r) for r in via_sql.collect()} == {
         tuple(r) for r in via_df.collect()
     }
+
+
+def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
+    """Identically-bucketed tables join with ZERO Exchange nodes — the
+    write-once-shuffle-never co-location contract."""
+    from bigdatafraude_ml_graphx_spark.plans import formatted_plan
+    from bigdatafraude_ml_graphx_spark.sources.io import write_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    write_bucketed_table(
+        orders, "b_orders", ("o_custkey",), num_buckets=4, sort_cols=("o_custkey",)
+    )
+    write_bucketed_table(
+        customer.withColumnRenamed("c_custkey", "o_custkey"),
+        "b_customer", ("o_custkey",), num_buckets=4, sort_cols=("o_custkey",),
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(spark.table("b_customer"), "o_custkey")
+        plan = formatted_plan(joined)
+        assert "Exchange" not in plan, plan
+        assert joined.count() == orders.join(
+            customer, orders.o_custkey == customer.c_custkey
+        ).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
