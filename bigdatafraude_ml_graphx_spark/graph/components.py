@@ -46,12 +46,15 @@ def connected_components(
     # Materialize the (possibly expensive) edge lineage ONCE — every
     # iteration joins against `sym`; without this the upstream plan (e.g. a
     # co-occurrence self-join) re-executes per iteration.
+    from .pagerank import _right_size
+
     sym = (
         symmetrize(edges.select(src, dst), src, dst)
         .select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
+    sym = _right_size(sym, target_rows=1_000_000)
 
     ids = sym.select(F.col("u").alias("id"))
     if vertices is not None:

@@ -9,3 +9,5 @@ from .sinks import (  # noqa: F401
     parquet_sink,
     run_available_now,
 )
+from .joins import stream_stream_join  # noqa: F401
+from .stateful import running_totals  # noqa: F401

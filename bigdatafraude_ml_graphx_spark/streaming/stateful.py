@@ -1,0 +1,54 @@
+"""Custom stateful streaming operators via ``applyInPandasWithState``
+(SURVEY build-plan phase 6 / north-star: arbitrary per-key state the built-in
+windowed aggregates can't express).
+
+``running_totals`` is the canonical shape: per-key state carried across
+micro-batches as an Arrow-backed tuple, updated from pandas batches — the
+template for fraud velocity counters, per-card running exposure, etc.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def running_totals(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    output_mode: str = "update",
+) -> DataFrame:
+    """Per-key running (count, sum) maintained across micro-batches.
+
+    Emits one row per key per batch with the updated totals — the streaming
+    analogue of ``groupBy(key).agg(count, sum)`` but with explicit,
+    inspectable state (and the hook where arbitrary logic goes).
+    """
+    output_schema = f"{key_col} long, n_events long, total double"
+    state_schema = "n long, s double"
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        n, s = state.get if state.exists else (0, 0.0)
+        for pdf in batches:
+            n += len(pdf)
+            s += float(pdf[value_col].fillna(0.0).sum())
+        state.update((n, s))
+        yield pd.DataFrame({key_col: [key[0]], "n_events": [n], "total": [s]})
+
+    return (
+        df.groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode=output_mode,
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

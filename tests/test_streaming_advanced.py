@@ -1,0 +1,95 @@
+"""Stream-stream joins and applyInPandasWithState stateful operators."""
+
+from __future__ import annotations
+
+import datetime as dt
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from bigdatafraude_ml_graphx_spark.streaming import (
+    file_stream,
+    memory_sink,
+    run_available_now,
+)
+from bigdatafraude_ml_graphx_spark.streaming.joins import stream_stream_join
+from bigdatafraude_ml_graphx_spark.streaming.stateful import running_totals
+
+
+def _write_files(spark, d, spec):
+    """spec: list of (name, rows, schema, mtime_offset)."""
+    os.makedirs(d, exist_ok=True)
+    base = time.time() - 1000
+    for name, rows, schema, off in spec:
+        df = spark.createDataFrame(rows, schema)
+        df.coalesce(1).write.mode("overwrite").parquet(f"{d}/_{name}")
+        part = [f for f in os.listdir(f"{d}/_{name}") if f.endswith(".parquet")][0]
+        os.rename(f"{d}/_{name}/{part}", f"{d}/{name}.parquet")
+        os.utime(f"{d}/{name}.parquet", (base + off, base + off))
+
+
+def test_stream_stream_join(spark, tmp_path):
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    _write_files(
+        spark, clicks_dir,
+        [("c0", [(1, t0), (2, t0.replace(minute=10))], "uid long, cts timestamp", 0)],
+    )
+    _write_files(
+        spark, buys_dir,
+        [("b0",
+          [(1, t0.replace(minute=3)),          # within 5 min of uid1 click ✓
+           (2, t0.replace(minute=40)),         # 30 min after uid2 click ✗
+           (3, t0.replace(minute=1))],         # no matching click ✗
+          "uid long, bts timestamp", 0)],
+    )
+    clicks = file_stream(spark, clicks_dir, "uid long, cts timestamp")
+    buys = file_stream(spark, buys_dir, "uid long, bts timestamp")
+    joined = stream_stream_join(
+        clicks.withColumnRenamed("uid", "cuid"),
+        buys,
+        on=F.col("cuid") == F.col("uid"),
+        left_ts="cts",
+        right_ts="bts",
+        watermark="10 minutes",
+        max_lag="5 minutes",
+    )
+    q = memory_sink(joined, "ssj_sink", output_mode="append", available_now=True)
+    run_available_now(q)
+    rows = spark.table("ssj_sink").collect()
+    assert len(rows) == 1
+    assert rows[0]["cuid"] == 1
+
+
+def test_apply_in_pandas_with_state_running_totals(spark, tmp_path):
+    d = str(tmp_path / "events")
+    _write_files(
+        spark, d,
+        [
+            ("f0", [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double", 0),
+            ("f1", [(1, 2.0), (3, 7.0)], "user_id long, value double", 100),
+        ],
+    )
+    stream = file_stream(
+        spark, d, "user_id long, value double", max_files_per_trigger=1
+    )
+    totals = running_totals(stream)
+    q = memory_sink(totals, "state_sink", output_mode="update", available_now=True)
+    run_available_now(q)
+    rows = spark.table("state_sink").collect()
+    # Last emission per user reflects accumulated state across batches.
+    final = {}
+    for r in rows:
+        final[r["user_id"]] = (r["n_events"], r["total"])
+    assert final[1] == (3, 17.0)  # 2 events in batch0 + 1 in batch1
+    assert final[2] == (1, 1.0)
+    assert final[3] == (1, 7.0)
+
+
+def test_stateful_is_streaming_only(spark):
+    df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
+    with pytest.raises(Exception):
+        running_totals(df).collect()
