@@ -1,0 +1,159 @@
+"""Temporal join operators: as-of joins and range/interval joins.
+
+SURVEY.md §2.3 flags these as the capability gap behind the reference's only
+non-trivial join — the hour-bucket co-occurrence self-join at
+``notebooks/4_graphx.ipynb:193-208 (cell db571b76)`` is "semantically an
+interval/band join collapsed to bucket equality". This module supplies the two
+general formulations the reference never wrote:
+
+* :func:`asof_join` — for each probe row, the single most recent build row
+  at-or-before the probe timestamp (per key). Implemented as **union-tag +
+  one window pass**, NOT as an inequality join: an inequality join produces
+  O(probe × build-per-key) intermediate rows before picking the max, while the
+  union approach is a single hash shuffle on the key followed by one sorted
+  scan — per-key cost O((p+b) log(p+b)) and no row-explosion window state.
+  At 100 TB this is the difference between a plan that finishes and one that
+  doesn't: the shuffle moves each input row exactly once.
+
+* :func:`range_join` — probe rows joined to all build rows whose timestamp
+  falls inside a probe-anchored interval, with an equi key. Expressed as an
+  equi-join plus residual range predicates so Catalyst plans a shuffled
+  hash/sort-merge join on the key (never a BroadcastNestedLoopJoin).
+
+* :func:`bucketed_interval_join` — the keyless fallback: when there is no
+  equi key at all, a pure interval predicate degenerates to a nested-loop
+  cross product. We manufacture an equi key by exploding each build row into
+  the fixed-width time buckets its interval covers and bucketing the probe
+  timestamp, then equi-join on the bucket and apply the exact residual. Same
+  trick as ``graph/builders.py::cooccurrence_edges`` (SURVEY §4's rewrite),
+  generalized to intervals wider than one bucket.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PROBE_TAG = "__asof_is_probe"
+_ASOF_PREFIX = "__asof_b_"
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_ts: str,
+    build_ts: str,
+    attach: dict[str, str],
+    tie_break: str | None = None,
+) -> DataFrame:
+    """Backward as-of join: attach the latest build row with
+    ``build_ts <= probe_ts`` per ``key`` to every probe row.
+
+    ``attach`` maps output alias -> build column. Probe rows with no prior
+    build row get nulls. Ties on ``build_ts`` are broken by the largest
+    ``tie_break`` value (pass a unique column for determinism).
+
+    Single-shuffle plan: union(probe, build) → window partitioned by ``key``
+    ordered by (ts, build-before-probe, tie) → ``last(..., ignorenulls)`` over
+    the unbounded-preceding frame → keep probe rows.
+    """
+    build_cols = sorted(set(attach.values()) | {build_ts} | ({tie_break} if tie_break else set()))
+    probe_payload = [c for c in probe.columns if c not in (key, probe_ts)]
+
+    b = build.select(
+        F.col(key).alias(key),
+        F.col(build_ts).alias("__asof_ts"),
+        F.lit(0).alias(_PROBE_TAG),
+        *[F.col(c).alias(_ASOF_PREFIX + c) for c in build_cols],
+        *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_payload],
+    )
+    p = probe.select(
+        F.col(key).alias(key),
+        F.col(probe_ts).alias("__asof_ts"),
+        F.lit(1).alias(_PROBE_TAG),
+        *[F.lit(None).cast(build.schema[c].dataType).alias(_ASOF_PREFIX + c) for c in build_cols],
+        *probe_payload,
+    )
+
+    order = [F.col("__asof_ts").asc(), F.col(_PROBE_TAG).asc()]
+    if tie_break:
+        order.append(F.col(_ASOF_PREFIX + tie_break).asc_nulls_first())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+    unioned = b.unionByName(p)
+    attached = unioned.select(
+        "*",
+        *[
+            F.last(_ASOF_PREFIX + src, ignorenulls=True).over(w).alias(alias)
+            for alias, src in attach.items()
+        ],
+    )
+    return attached.filter(F.col(_PROBE_TAG) == 1).select(
+        F.col(key),
+        F.col("__asof_ts").alias(probe_ts),
+        *probe_payload,
+        *attach.keys(),
+    )
+
+
+def range_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    lower: Column,
+    upper: Column,
+    how: str = "left",
+) -> DataFrame:
+    """Keyed range join: build rows with ``lower < build.ts <= upper``.
+
+    ``lower``/``upper`` are Column predicates built by the caller against the
+    two aliased sides (``probe`` as ``p``, ``build`` as ``b``). The equi key
+    keeps the plan a shuffled sort-merge/hash join with residual range
+    filters — Catalyst never falls back to a nested loop.
+    """
+    p = probe.alias("p")
+    b = build.alias("b")
+    cond = (F.col(f"p.{key}") == F.col(f"b.{key}")) & lower & upper
+    return p.join(b, cond, how)
+
+
+def bucketed_interval_join(
+    probe: DataFrame,
+    build: DataFrame,
+    probe_ts: str,
+    build_lo: str,
+    build_hi: str,
+    bucket_seconds: int,
+    how: str = "inner",
+) -> DataFrame:
+    """Keyless interval-containment join via bucket manufacture.
+
+    Matches probe rows to build rows with ``build_lo <= probe_ts < build_hi``
+    when no shared equi key exists. Each build interval is exploded to the
+    ``bucket_seconds``-wide epoch buckets it covers (``sequence`` + explode —
+    JVM-side, no UDF); the probe timestamp maps to exactly one bucket; the
+    equi-join on the bucket bounds candidates, and the exact interval
+    predicate is applied as a residual filter. Bucket width should be chosen
+    ≈ the typical interval length so each build row lands in O(1) buckets.
+    """
+
+    def epoch_bucket(c: Column) -> Column:
+        return F.floor(F.unix_timestamp(c) / F.lit(bucket_seconds))
+
+    b = build.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(epoch_bucket(F.col(build_lo)), epoch_bucket(F.col(build_hi)))
+        ),
+    )
+    p = probe.withColumn("__bucket", epoch_bucket(F.col(probe_ts)))
+    out = p.alias("p").join(b.alias("b"), "__bucket", how)
+    return out.filter(
+        (F.col(f"b.{build_lo}") <= F.col(f"p.{probe_ts}"))
+        & (F.col(f"p.{probe_ts}") < F.col(f"b.{build_hi}"))
+    ).drop("__bucket")
