@@ -1,0 +1,50 @@
+"""Deterministic, engine-portable sampling.
+
+``df.sample(fraction, seed)`` is reproducible only within one Spark version
+and partitioning — useless for cross-engine verification and for incremental
+pipelines that must re-derive the same sample after a backfill. The standard
+scalable alternative is **hash sampling**: a row is in the sample iff a stable
+hash of its key falls under a threshold. Properties that matter at 100 TB:
+
+* embarrassingly parallel — a pure per-row filter, no shuffle, pushes down
+  past column pruning;
+* consistent — the same key is always in (or out), across engines, runs,
+  partitionings, and data arrivals, so samples of two tables on the same key
+  are automatically correlated (join-compatible sampling);
+* tunable — the fraction is ``threshold / 16^k`` for a k-hex-digit prefix.
+
+MD5 is used as the stable hash because every SQL engine exposes it with
+identical semantics (Spark ``F.md5`` ≡ DuckDB ``md5``), unlike engine-native
+``hash()``/``xxhash64`` which differ by implementation and seed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def hash_bucket(cols: list[Column], digits: int = 4) -> Column:
+    """First ``digits`` hex chars of md5 over '-'-joined stringified cols."""
+    key = F.concat_ws("-", *[c.cast("string") for c in cols])
+    return F.substring(F.md5(key), 1, digits)
+
+
+def hash_sample(df: DataFrame, key_cols: list[str], max_hex: str) -> DataFrame:
+    """Keep rows whose 4-hex-digit md5 bucket is < ``max_hex``.
+
+    ``max_hex='1000'`` keeps 0x1000/0x10000 = 1/16 of keys. The predicate is
+    a deterministic per-row filter (lexicographic compare on the hex prefix —
+    identical to numeric compare for fixed-width hex).
+    """
+    bucket = hash_bucket([F.col(c) for c in key_cols], digits=len(max_hex))
+    return df.filter(bucket < F.lit(max_hex.lower()))
+
+
+def oracle_hash_sample_predicate(key_exprs: list[str], max_hex: str) -> str:
+    """DuckDB predicate mirroring :func:`hash_sample`."""
+    joined = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    return (
+        f"substr(md5(concat_ws('-', {joined})), 1, {len(max_hex)})"
+        f" < '{max_hex.lower()}'"
+    )

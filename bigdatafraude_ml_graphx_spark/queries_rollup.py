@@ -1,0 +1,68 @@
+"""Hierarchical rollup and deterministic-sampling queries (hypertable-style
+continuous aggregates and hash sampling — training-pipeline staples absent
+from the reference, whose only time bucketing is ``Time/3600`` at
+``notebooks/4_graphx.ipynb:200``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.deterministic import dsum, oracle_dsum
+from .operators.rollup import hierarchical_rollup
+from .operators.sampling import hash_sample, oracle_hash_sample_predicate
+from .queries import query
+
+
+@query(
+    "q54_hierarchical_rollup",
+    oracle=f"""
+    SELECT 'hour' AS level, event_type, date_trunc('hour', ts) AS bucket_start,
+           COUNT(*) AS n, {oracle_dsum('value')} AS value_sum,
+           MIN(value) AS value_min, MAX(value) AS value_max
+    FROM events GROUP BY event_type, date_trunc('hour', ts)
+    UNION ALL
+    SELECT 'day', event_type, date_trunc('day', ts),
+           COUNT(*), {oracle_dsum('value')}, MIN(value), MAX(value)
+    FROM events GROUP BY event_type, date_trunc('day', ts)
+    """,
+)
+def q54_hierarchical_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour + day rollups of event values per type; the day level is derived
+    from the hour partials (one raw scan total), yet bit-matches an oracle
+    that aggregates raw rows at both levels — the mergeable-aggregate
+    guarantee of ``operators/rollup.py``."""
+    ev = load_table(spark, sf_dir, "events")
+    return hierarchical_rollup(
+        ev, ts_col="ts", key_cols=["event_type"], value_col="value",
+        levels=["hour", "day"],
+    )
+
+
+_SAMPLE_KEYS = ["l_orderkey", "l_linenumber"]
+_SAMPLE_MAX_HEX = "1800"  # 0x1800/0x10000 = 9.375% of keys
+
+
+@query(
+    "q55_hash_sample",
+    oracle=f"""
+    SELECT l_returnflag, COUNT(*) AS n_sampled,
+           {oracle_dsum('l_extendedprice')} AS sampled_price
+    FROM lineitem
+    WHERE {oracle_hash_sample_predicate(_SAMPLE_KEYS, _SAMPLE_MAX_HEX)}
+    GROUP BY l_returnflag
+    """,
+)
+def q55_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~9.4% hash sample of lineitem, aggregated per returnflag.
+
+    Unlike ``df.sample``, the same keys are selected on every engine and every
+    run (md5-prefix predicate) — a pure filter, no shuffle beyond the final
+    tiny aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    sampled = hash_sample(li, _SAMPLE_KEYS, _SAMPLE_MAX_HEX)
+    return sampled.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_sampled"),
+        dsum(F.col("l_extendedprice"), "sampled_price"),
+    )

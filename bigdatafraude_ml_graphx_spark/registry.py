@@ -18,3 +18,4 @@ from . import queries_windows2  # noqa: F401  (sliding/session/percentile/sets)
 from . import queries_order  # noqa: F401  (order-by-case, coalesce, array idx)
 from . import queries_ann  # noqa: F401  (IVF ANN — rows-only)
 from . import queries_temporal  # noqa: F401  (as-of/range joins, pivot, explode)
+from . import queries_rollup  # noqa: F401  (hierarchical rollup, hash sampling)
