@@ -34,6 +34,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 30,
     checkpoint_every: int = 1,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Label every vertex with its component id (the min vertex id in the
     component). Returns ``(id, component)``.
@@ -46,7 +47,7 @@ def connected_components(
     # Materialize the (possibly expensive) edge lineage ONCE — every
     # iteration joins against `sym`; without this the upstream plan (e.g. a
     # co-occurrence self-join) re-executes per iteration.
-    from .pagerank import _right_size
+    from .pagerank import _maybe_broadcast, _right_size
 
     sym = (
         symmetrize(edges.select(src, dst), src, dst)
@@ -54,18 +55,23 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    sym = _right_size(sym, target_rows=1_000_000)
+    sym = _right_size(sym, target_rows=250_000)
 
     ids = sym.select(F.col("u").alias("id"))
     if vertices is not None:
         ids = ids.unionByName(vertices.select("id"))
     labels = ids.distinct().withColumn("component", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
+    n_verts = labels.count()
 
     for i in range(max_iter):
         # Candidate labels flowing across edges: neighbor's current label.
+        # The label frame is one narrow row per vertex — broadcast it while
+        # it fits so the (much larger) edge list never re-shuffles
+        # (localCheckpoint hides its size from AQE; see _maybe_broadcast).
+        lb = _maybe_broadcast(labels, n_verts, broadcast_rows)
         neighbor_labels = (
-            sym.join(labels, sym.u == labels.id)
+            sym.join(lb, sym.u == lb.id)
             .select(F.col("v").alias("id"), F.col("component"))
         )
         new_labels = (

@@ -54,6 +54,20 @@ def _right_size(df: DataFrame, target_rows: int) -> DataFrame:
     return df.coalesce(want) if want < current else df
 
 
+def _maybe_broadcast(df: DataFrame, n_rows: int, threshold: int) -> DataFrame:
+    """Broadcast-hint a frame whose row count is known to be small.
+
+    ``localCheckpoint`` erases size statistics, so AQE cannot see that the
+    per-iteration state frame (ranks/labels — one narrow row per vertex) is
+    tiny; without the hint every iteration sort-merges the FULL edge list.
+    The hint is applied only when the measured row count is under
+    ``threshold`` — at billion-vertex scale the state is no longer
+    broadcastable and the shuffle join is the right plan, so pass
+    ``broadcast_rows=0`` there (or leave the default: the count check keeps
+    it safe either way)."""
+    return F.broadcast(df) if 0 < n_rows <= threshold else df
+
+
 def normalize_weights(
     edges: DataFrame, src: str = "src", weight: str = "weight"
 ) -> DataFrame:
@@ -79,6 +93,7 @@ def pagerank(
     alpha: float = 0.15,
     max_iter: int = 5,
     scale: float = _SCALE,
+    broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Run ``max_iter`` iterations of weighted PageRank. Returns
     ``(id, pagerank)`` over all vertices (edge endpoints ∪ ``vertices``)."""
@@ -92,7 +107,7 @@ def pagerank(
         F.col(dst).alias("dst"),
         (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w"),
     ).localCheckpoint(eager=True)
-    e = _right_size(e, target_rows=1_000_000)
+    e = _right_size(e, target_rows=250_000)
 
     ids = e.select(F.col("src").alias("id")).unionByName(
         e.select(F.col("dst").alias("id"))
@@ -106,8 +121,9 @@ def pagerank(
     ranks = ranks.localCheckpoint(eager=True)
 
     for _ in range(max_iter):
+        rk = _maybe_broadcast(ranks, n, broadcast_rows)
         contribs = (
-            e.join(ranks, e.src == ranks.id)
+            e.join(rk, e.src == rk.id)
             .select(
                 F.col("dst").alias("id"),
                 # Quantize each product to int64 at `scale`: every op here is
@@ -122,7 +138,7 @@ def pagerank(
             )
         )
         ranks = (
-            verts.join(contribs, "id", "left_outer")
+            verts.join(_maybe_broadcast(contribs, n, broadcast_rows), "id", "left_outer")
             .select(
                 "id",
                 (
