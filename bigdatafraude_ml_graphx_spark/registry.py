@@ -19,3 +19,4 @@ from . import queries_order  # noqa: F401  (order-by-case, coalesce, array idx)
 from . import queries_ann  # noqa: F401  (IVF ANN — rows-only)
 from . import queries_temporal  # noqa: F401  (as-of/range joins, pivot, explode)
 from . import queries_rollup  # noqa: F401  (hierarchical rollup, hash sampling)
+from . import queries_sql2  # noqa: F401  (scalar subquery, unpivot — SQL surface)

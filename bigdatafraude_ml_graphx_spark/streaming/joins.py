@@ -32,3 +32,24 @@ def stream_stream_join(
         & (F.col(right_ts) <= F.col(left_ts) + F.expr(f"INTERVAL {max_lag}"))
     )
     return lw.join(rw, on & bound, how)
+
+
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    how: str = "left",
+    broadcast_dim: bool = True,
+) -> DataFrame:
+    """Enrich a stream against a static dimension table.
+
+    The everyday streaming join the reference approximates by re-reading
+    parquet in a while-loop (``streaming/.ipynb_checkpoints/
+    spark_streaming-checkpoint.py:48-110``): here the static side is planned
+    once per micro-batch with no state store at all (stream-static joins are
+    stateless). ``broadcast_dim`` ships the dimension to executors instead of
+    shuffling every micro-batch — right whenever the dim fits in memory;
+    disable it for huge dims and pre-bucket both sides instead.
+    """
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return stream.join(d, on, how)

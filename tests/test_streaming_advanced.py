@@ -93,3 +93,25 @@ def test_stateful_is_streaming_only(spark):
     df = spark.createDataFrame([(1, 1.0)], "user_id long, value double")
     with pytest.raises(Exception):
         running_totals(df).collect()
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    from bigdatafraude_ml_graphx_spark.streaming.joins import stream_static_enrich
+    from bigdatafraude_ml_graphx_spark.streaming.source import file_stream
+
+    d = str(tmp_path / "enrich_src")
+    schema = "user_id BIGINT, amount DOUBLE"
+    _write_files(
+        spark,
+        d,
+        [("b1", [(1, 10.0), (2, 20.0), (3, 30.0)], schema, 0)],
+    )
+    dim = spark.createDataFrame(
+        [(1, "gold"), (2, "silver")], "user_id BIGINT, tier STRING"
+    )
+    enriched = stream_static_enrich(file_stream(spark, d, schema), dim, "user_id")
+    q = memory_sink(enriched, "enrich_sink", output_mode="append", available_now=True)
+    run_available_now(q)
+    rows = {r["user_id"]: r["tier"] for r in spark.table("enrich_sink").collect()}
+    # left semantics: unmatched stream rows survive with null tier
+    assert rows == {1: "gold", 2: "silver", 3: None}
