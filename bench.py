@@ -26,9 +26,20 @@ def main() -> None:
     spark = get_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # Warm the JVM/codegen paths once on a trivial plan so query timings
-    # reflect execution, not first-touch initialization.
-    spark.range(1000).selectExpr("sum(id)").collect()
+    # Warm the JVM paths the queries actually hit — vectorized parquet
+    # reader, shuffle machinery, broadcast exchange — on the two smallest
+    # tables, so per-query timings reflect execution, not first-touch
+    # initialization of each subsystem.
+    region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
+    nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
+    (
+        nation.join(region.hint("broadcast"), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in sorted(q.QUERIES):

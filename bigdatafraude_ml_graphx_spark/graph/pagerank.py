@@ -137,8 +137,13 @@ def pagerank(
                 (F.sum("contrib_q").cast("double") / F.lit(scale)).alias("contrib")
             )
         )
+        # No explicit hint on contribs: it is a shuffle output, so AQE sees
+        # its exact size and broadcasts it on its own — an explicit
+        # F.broadcast here would force an EXTRA materialization of the whole
+        # contribution pipeline just to collect it. Only `ranks` needs the
+        # hint (its checkpoint hides the stats).
         ranks = (
-            verts.join(_maybe_broadcast(contribs, n, broadcast_rows), "id", "left_outer")
+            verts.join(contribs, "id", "left_outer")
             .select(
                 "id",
                 (

@@ -20,3 +20,4 @@ from . import queries_ann  # noqa: F401  (IVF ANN — rows-only)
 from . import queries_temporal  # noqa: F401  (as-of/range joins, pivot, explode)
 from . import queries_rollup  # noqa: F401  (hierarchical rollup, hash sampling)
 from . import queries_sql2  # noqa: F401  (scalar subquery, unpivot — SQL surface)
+from . import queries_arrays  # noqa: F401  (higher-order array functions)
