@@ -35,6 +35,7 @@ def connected_components(
     max_iter: int = 30,
     checkpoint_every: int = 1,
     broadcast_rows: int = 2_000_000,
+    dedup_edges: bool = True,
 ) -> DataFrame:
     """Label every vertex with its component id (the min vertex id in the
     component). Returns ``(id, component)``.
@@ -49,12 +50,16 @@ def connected_components(
     # co-occurrence self-join) re-executes per iteration.
     from .pagerank import _maybe_broadcast, _right_size
 
-    sym = (
-        symmetrize(edges.select(src, dst), src, dst)
-        .select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+    sym = symmetrize(edges.select(src, dst), src, dst).select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
     )
+    # Duplicate edges don't change the min-label fixpoint, only the work per
+    # round; pass dedup_edges=False when the input is already one row per
+    # pair (e.g. cooccurrence_edges — a groupBy output with src<dst), which
+    # saves a full |E| shuffle here.
+    if dedup_edges:
+        sym = sym.distinct()
+    sym = sym.localCheckpoint(eager=True)
     sym = _right_size(sym, target_rows=250_000)
 
     ids = sym.select(F.col("u").alias("id"))

@@ -82,8 +82,10 @@ def q22_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-iteration lineage truncation, replacing GraphFrames'
     ``g.connectedComponents()`` (``notebooks/4_graphx.ipynb:504-586``).
     Oracle: recursive-CTE transitive closure (component id = min reachable
-    vertex id — identical labeling)."""
-    return connected_components(_events_edges(spark, sf_dir))
+    vertex id — identical labeling). The edge build emits one canonical row
+    per pair (groupBy output), so the component pass skips its dedup
+    shuffle."""
+    return connected_components(_events_edges(spark, sf_dir), dedup_edges=False)
 
 
 def _pagerank_oracle(iters: int = 5) -> str:
