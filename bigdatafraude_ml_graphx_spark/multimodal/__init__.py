@@ -4,6 +4,9 @@ from .binary import (  # noqa: F401
     byte_stats,
     byte_histogram_features,
     decode_image,
+    decode_raw8,
+    encode_raw8,
     resize_image,
+    resize_raw8,
     sample_frames,
 )

@@ -125,7 +125,9 @@ def decode_image(df: DataFrame, id_col: str, content_col: str = "content") -> Da
 def resize_image(
     df: DataFrame, id_col: str, width: int, height: int, content_col: str = "content"
 ) -> DataFrame:
-    """Resize image bytes. STUB — same gating as :func:`decode_image`."""
+    """Resize compressed image bytes. STUB — same gating as
+    :func:`decode_image` (for the library-free real path see
+    :func:`resize_raw8`)."""
     try:
         import PIL.Image  # noqa: F401
     except ImportError as exc:  # pragma: no cover
@@ -133,6 +135,99 @@ def resize_image(
             "resize_image requires Pillow; not available in this environment."
         ) from exc
     raise NotImplementedError("kernel identical in shape to decode_image")
+
+
+# ---------------------------------------------------------------------------
+# RAW8: a trivial uncompressed image format (8-byte header: width/height as
+# little-endian uint32, then width*height grayscale bytes). Because it needs
+# no codec, the decode and resize kernels below are REAL end-to-end
+# mapInPandas implementations — the Arrow batch shape, declared schemas, and
+# numpy math all run and are tested in this environment; swapping RAW8 for
+# JPEG means changing only the np.frombuffer lines to a codec call.
+# ---------------------------------------------------------------------------
+
+RAW8_HEADER_BYTES = 8
+
+
+def encode_raw8(width: int, height: int, pixels) -> bytes:
+    """Build a RAW8 buffer from a width×height uint8 array (test/feed helper)."""
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype="uint8").reshape(height, width)
+    return (
+        int(width).to_bytes(4, "little")
+        + int(height).to_bytes(4, "little")
+        + arr.tobytes()
+    )
+
+
+def decode_raw8(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:
+    """Decode RAW8 bytes → (width, height, mean_pixel). Real kernel: header
+    parse + mean are numpy over the Arrow batch; malformed buffers yield
+    nulls (never a task failure — at 100 TB some corrupt blobs are a
+    certainty and one bad row must not kill a 10k-task stage)."""
+    import numpy as np
+
+    schema = f"{id_col} long, width int, height int, mean_pixel double"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(buf)
+                if len(b) < RAW8_HEADER_BYTES:
+                    rows.append((i, None, None, None))
+                    continue
+                w = int.from_bytes(b[0:4], "little")
+                h = int.from_bytes(b[4:8], "little")
+                if len(b) != RAW8_HEADER_BYTES + w * h:
+                    rows.append((i, None, None, None))
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8, offset=RAW8_HEADER_BYTES)
+                rows.append((i, w, h, float(arr.mean()) if arr.size else None))
+            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mean_pixel"])
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
+def resize_raw8(
+    df: DataFrame,
+    id_col: str,
+    out_width: int,
+    out_height: int,
+    content_col: str = "content",
+) -> DataFrame:
+    """Nearest-neighbor resize of RAW8 images — a real, deterministic pixel
+    kernel (pure numpy index arithmetic, bit-identical everywhere). Output is
+    RAW8 again so resize stages compose; malformed inputs yield null."""
+    import numpy as np
+
+    schema = f"{id_col} long, content binary"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, outs = [], []
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(buf)
+                ids.append(i)
+                if len(b) < RAW8_HEADER_BYTES:
+                    outs.append(None)
+                    continue
+                w = int.from_bytes(b[0:4], "little")
+                h = int.from_bytes(b[4:8], "little")
+                if w == 0 or h == 0 or len(b) != RAW8_HEADER_BYTES + w * h:
+                    outs.append(None)
+                    continue
+                arr = np.frombuffer(
+                    b, dtype=np.uint8, offset=RAW8_HEADER_BYTES
+                ).reshape(h, w)
+                ys = (np.arange(out_height) * h) // out_height
+                xs = (np.arange(out_width) * w) // out_width
+                resized = arr[ys][:, xs]
+                outs.append(encode_raw8(out_width, out_height, resized))
+            yield pd.DataFrame({id_col: ids, "content": outs})
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)
 
 
 def sample_frames(

@@ -76,3 +76,50 @@ def test_decode_stub_clearly_marked(media):
         pass
     with pytest.raises(NotImplementedError, match="Pillow"):
         decode_image(media, "doc_id")
+
+
+def test_raw8_decode_real_kernel(spark):
+    from bigdatafraude_ml_graphx_spark.multimodal.binary import (
+        decode_raw8,
+        encode_raw8,
+    )
+
+    import numpy as np
+
+    img = np.arange(12, dtype="uint8").reshape(3, 4)  # 4x3, mean 5.5
+    rows = [
+        (1, bytearray(encode_raw8(4, 3, img))),
+        (2, bytearray(b"\x01\x02")),  # truncated header -> nulls
+        (3, bytearray(encode_raw8(2, 2, [[8, 8], [8, 8]]))),
+    ]
+    df = spark.createDataFrame(rows, "img_id long, content binary").repartition(3)
+    out = {r["img_id"]: r for r in decode_raw8(df, "img_id").collect()}
+    assert (out[1]["width"], out[1]["height"], out[1]["mean_pixel"]) == (4, 3, 5.5)
+    assert out[2]["width"] is None and out[2]["mean_pixel"] is None
+    assert (out[3]["width"], out[3]["mean_pixel"]) == (2, 8.0)
+
+
+def test_raw8_resize_composes_and_is_deterministic(spark):
+    from bigdatafraude_ml_graphx_spark.multimodal.binary import (
+        decode_raw8,
+        encode_raw8,
+        resize_raw8,
+    )
+
+    import numpy as np
+
+    # 4x4 image with distinct quadrants; nearest-neighbor 2x2 keeps corners
+    img = np.array(
+        [[0, 0, 100, 100], [0, 0, 100, 100], [200, 200, 50, 50], [200, 200, 50, 50]],
+        dtype="uint8",
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(encode_raw8(4, 4, img)))], "img_id long, content binary"
+    )
+    small = resize_raw8(df, "img_id", 2, 2)
+    # output is RAW8 again: decode it back through the same kernel
+    meta = decode_raw8(small, "img_id").collect()[0]
+    assert (meta["width"], meta["height"]) == (2, 2)
+    buf = bytes(small.collect()[0]["content"])
+    pixels = np.frombuffer(buf, dtype=np.uint8, offset=8).reshape(2, 2)
+    assert pixels.tolist() == [[0, 100], [200, 50]]
