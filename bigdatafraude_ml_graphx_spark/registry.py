@@ -21,3 +21,4 @@ from . import queries_temporal  # noqa: F401  (as-of/range joins, pivot, explode
 from . import queries_rollup  # noqa: F401  (hierarchical rollup, hash sampling)
 from . import queries_sql2  # noqa: F401  (scalar subquery, unpivot — SQL surface)
 from . import queries_arrays  # noqa: F401  (higher-order array functions)
+from . import queries_windows3  # noqa: F401  (RANGE frames, ntile/first/last)

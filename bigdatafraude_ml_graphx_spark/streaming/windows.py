@@ -49,7 +49,28 @@ def dedup_stream(
     df: DataFrame, keys: tuple[str, ...], ts_col: str, watermark: str = "10 minutes"
 ) -> DataFrame:
     """Streaming exact dedup within the watermark horizon
-    (``dropDuplicates`` with bounded state)."""
+    (``dropDuplicates`` with bounded state).
+
+    State is bounded because ``ts_col`` is part of the dedup key, so entries
+    older than the watermark are evicted — but that also means two events
+    with the same keys and DIFFERENT timestamps both survive. For
+    retransmission-style duplicates (same key, jittered ts) use
+    :func:`dedup_stream_fuzzy_ts`."""
     if df.isStreaming:
         df = df.withWatermark(ts_col, watermark)
     return df.dropDuplicates([*keys, ts_col])
+
+
+def dedup_stream_fuzzy_ts(
+    df: DataFrame, keys: tuple[str, ...], ts_col: str, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming dedup on ``keys`` alone: duplicates whose event times differ
+    (retries, at-least-once sources) collapse to the first arrival, with
+    state still bounded by the watermark — ``dropDuplicatesWithinWatermark``
+    evicts a key's entry once the watermark passes its event time, so the
+    store never grows beyond one horizon of distinct keys."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            list(keys)
+        )
+    return df.dropDuplicates(list(keys))

@@ -110,3 +110,36 @@ def test_bucketed_join_no_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS b_orders")
         spark.sql("DROP TABLE IF EXISTS b_customer")
+
+
+def test_windows_share_one_exchange(spark, sf_dir):
+    """q61's two frames partition+order identically — the plan must shuffle
+    once, not once per window."""
+    from bigdatafraude_ml_graphx_spark import registry as q
+
+    df = q.QUERIES["q61_ntile_first_last"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_explode_runs_before_shuffle(spark, sf_dir):
+    """q53: the generator (explode) must sit below the aggregation exchange —
+    tokens are produced partition-locally, only (token) pairs move."""
+    from bigdatafraude_ml_graphx_spark import registry as q
+
+    df = q.QUERIES["q53_token_explode"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gen = plan.find("Generate")
+    exch = plan.find("Exchange")
+    assert gen != -1 and exch != -1
+    # executedPlan prints top-down: Exchange (later stage) appears BEFORE the
+    # Generate feeding it, so pushdown means Generate at a LARGER offset
+    assert gen > exch, plan
+
+
+def test_range_frame_single_window_pass(spark, sf_dir):
+    from bigdatafraude_ml_graphx_spark import registry as q
+
+    df = q.QUERIES["q60_range_frame_trailing_sum"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Window") == 1, plan

@@ -115,3 +115,36 @@ def test_stream_static_enrich(spark, tmp_path):
     rows = {r["user_id"]: r["tier"] for r in spark.table("enrich_sink").collect()}
     # left semantics: unmatched stream rows survive with null tier
     assert rows == {1: "gold", 2: "silver", 3: None}
+
+
+def test_dedup_stream_exact_vs_fuzzy_ts(spark, tmp_path):
+    import datetime as dt
+
+    from bigdatafraude_ml_graphx_spark.streaming.source import file_stream
+    from bigdatafraude_ml_graphx_spark.streaming.windows import (
+        dedup_stream,
+        dedup_stream_fuzzy_ts,
+    )
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    schema = "k BIGINT, ts TIMESTAMP"
+    rows = [
+        (1, base),
+        (1, base),                              # exact duplicate
+        (1, base + dt.timedelta(seconds=30)),   # same key, jittered ts
+        (2, base),
+    ]
+    d = str(tmp_path / "dedup_src")
+    _write_files(spark, d, [("b1", rows, schema, 0)])
+
+    exact = dedup_stream(file_stream(spark, d, schema), ("k",), "ts")
+    q1 = memory_sink(exact, "dedup_exact_sink", available_now=True)
+    run_available_now(q1)
+    # exact mode keeps the jittered-ts row: 3 survivors
+    assert spark.table("dedup_exact_sink").count() == 3
+
+    fuzzy = dedup_stream_fuzzy_ts(file_stream(spark, d, schema), ("k",), "ts")
+    q2 = memory_sink(fuzzy, "dedup_fuzzy_sink", available_now=True)
+    run_available_now(q2)
+    # fuzzy mode collapses the retransmission: one row per key
+    assert spark.table("dedup_fuzzy_sink").count() == 2
