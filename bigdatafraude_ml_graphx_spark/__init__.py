@@ -20,5 +20,30 @@ Design stance (SURVEY.md §7.0):
 
 __version__ = "0.1.0"
 
-from .session import get_spark  # noqa: F401
-from .catalog import TABLES, load_tables, register_views  # noqa: F401
+
+def _register_self_contained_kernels() -> None:
+    """Ship worker-side kernels by VALUE, not by module reference.
+
+    mapInPandas / pandas_udf closures that touch any module-level name (e.g.
+    ``encode_raw8`` inside ``resize_raw8``'s kernel) are serialized by
+    cloudpickle with a by-reference import of this package — which fails on
+    executors that don't have the repo on PYTHONPATH (any real cluster where
+    the driver script added it via ``sys.path`` instead of ``--py-files``).
+    Registering the package for pickle-by-value makes every kernel
+    self-contained: no deploy-time file shipping needed, and local drivers
+    running from any cwd behave like cluster drivers.
+    """
+    import sys
+
+    try:
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
+    except Exception:  # pragma: no cover - older cloudpickle without the API
+        pass
+
+
+_register_self_contained_kernels()
+
+from .session import get_spark  # noqa: E402,F401
+from .catalog import TABLES, load_tables, register_views  # noqa: E402,F401

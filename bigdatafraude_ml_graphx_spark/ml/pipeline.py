@@ -127,3 +127,36 @@ def save_model(model, path: str) -> None:
 
 def load_model(path: str) -> GBTClassificationModel:
     return GBTClassificationModel.load(path)
+
+
+def train_pipeline(
+    train: DataFrame,
+    feature_cols: list[str],
+    label_col: str = "label",
+    max_iter: int = 10,
+    max_depth: int = 5,
+    seed: int = 42,
+):
+    """Assembler + GBT as ONE ``Pipeline`` fit — the artifact shape the
+    reference's scoring job loads (``PipelineModel.load``,
+    ``streaming/.ipynb_checkpoints/spark_streaming-checkpoint.py:26``).
+    Persisting the assembler WITH the model pins the feature order at
+    training time; scoring jobs can then never skew columns."""
+    from pyspark.ml import Pipeline
+
+    assembler = VectorAssembler(inputCols=feature_cols, outputCol="features")
+    gbt = GBTClassifier(
+        featuresCol="features",
+        labelCol=label_col,
+        maxIter=max_iter,
+        maxDepth=max_depth,
+        seed=seed,
+    )
+    return Pipeline(stages=[assembler, gbt]).fit(train)
+
+
+def load_pipeline(path: str):
+    """Load a persisted ``PipelineModel`` (assembler + model, one artifact)."""
+    from pyspark.ml import PipelineModel
+
+    return PipelineModel.load(path)

@@ -133,3 +133,33 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def read_json(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """JSON-lines scan with a DECLARED schema — inference on JSON is a full
+    extra pass over the data (at 100 TB, an extra 100 TB read), so it is not
+    offered here; use ``F.from_json`` for embedded JSON columns instead."""
+    return spark.read.schema(schema).json(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSON-lines sink (one object per line — splittable, append-friendly)."""
+    df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar/pushdown properties as parquet; carried
+    schema, vectorized reader."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame, path: str, mode: str = "overwrite",
+    partition_by: tuple[str, ...] = (),
+) -> None:
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)

@@ -49,3 +49,41 @@ def test_range_source(spark):
     df = range_source(spark, 1000, num_partitions=4)
     assert df.count() == 1000
     assert df.rdd.getNumPartitions() == 4
+
+
+def test_json_round_trip_declared_schema(spark, tmp_path):
+    from bigdatafraude_ml_graphx_spark.sources.io import read_json, write_json
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", None)], "id long, s string, v double"
+    )
+    path = str(tmp_path / "json_rt")
+    write_json(df, path)
+    back = read_json(spark, path, "id long, s string, v double")
+    assert back.schema == df.schema
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_orc_round_trip_carries_schema(spark, tmp_path):
+    from bigdatafraude_ml_graphx_spark.sources.io import read_orc, write_orc
+
+    df = spark.createDataFrame(
+        [(1, "x", [1.0, 2.0]), (2, "y", [])],
+        "id long, s string, emb array<double>",
+    )
+    path = str(tmp_path / "orc_rt")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema  # self-describing, like parquet
+    assert back.count() == 2
+
+
+def test_orc_filter_pushdown(spark, tmp_path):
+    from bigdatafraude_ml_graphx_spark.plans.inspect import formatted_plan
+    from bigdatafraude_ml_graphx_spark.sources.io import read_orc, write_orc
+
+    df = spark.range(100).withColumn("v", F.col("id") * 2)
+    path = str(tmp_path / "orc_pd")
+    write_orc(df, path)
+    scan = read_orc(spark, path).filter(F.col("id") > 50)
+    assert "PushedFilters: [IsNotNull(id), GreaterThan(id,50)]" in formatted_plan(scan)

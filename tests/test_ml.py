@@ -87,3 +87,22 @@ def test_model_round_trip(tmp_path, fitted, separable):
     a = model.transform(test).select("id", "prediction")
     b = reloaded.transform(test).select("id", "prediction")
     assert a.exceptAll(b).count() == 0
+
+
+def test_pipeline_model_round_trip(spark, tmp_path):
+    """Pipeline(assembler+GBT) persists as one artifact and scores
+    identically after reload — raw feature columns in, predictions out."""
+    from bigdatafraude_ml_graphx_spark.ml.pipeline import (
+        load_pipeline,
+        train_pipeline,
+    )
+
+    rows = [(float(i % 7), float((3 * i) % 5), 1 if i % 7 > 3 else 0) for i in range(200)]
+    df = spark.createDataFrame(rows, "f1 double, f2 double, label int")
+    model = train_pipeline(df, ["f1", "f2"], max_iter=3)
+    path = str(tmp_path / "pipeline_model")
+    model.write().overwrite().save(path)
+    reloaded = load_pipeline(path)
+    a = model.transform(df).select("f1", "f2", "prediction").collect()
+    b = reloaded.transform(df).select("f1", "f2", "prediction").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))

@@ -143,3 +143,15 @@ def test_range_frame_single_window_pass(spark, sf_dir):
     df = q.QUERIES["q60_range_frame_trailing_sum"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Window") == 1, plan
+
+
+def test_q62_shuffle_join_and_topk(spark, sf_dir):
+    """The large-fact join must be a real shuffle join path (no nested loop)
+    and the final top-10 a TakeOrderedAndProject, not a global sort."""
+    from bigdatafraude_ml_graphx_spark import registry as q
+    from bigdatafraude_ml_graphx_spark.plans.inspect import uses_take_ordered
+
+    df = q.QUERIES["q62_shipping_priority"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "NestedLoop" not in plan
+    assert uses_take_ordered(df), plan
