@@ -133,3 +133,27 @@ def q62_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
     )
+
+
+_LATE_ORDERS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS late_orders
+FROM orders o
+WHERE o.o_orderdate >= '1997-01-01 00:00:00'
+  AND o.o_orderdate <  '1997-07-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+@query("q63_exists_late_orders", oracle=_LATE_ORDERS_SQL)
+def q63_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS through ``spark.sql``. Catalyst
+    decorrelates the subquery into a LEFT SEMI join on l_orderkey — one pass
+    over each table, no per-row subquery execution — with the date residual
+    evaluated inside the join. The same SQL string runs on both engines
+    (string-vs-NTZ comparisons avoid LTZ literal drift across sessions)."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATE_ORDERS_SQL)

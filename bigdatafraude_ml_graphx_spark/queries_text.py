@@ -273,3 +273,71 @@ def q31_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the corpus, quantized-int64 dot products, ranking window."""
     emb = load_table(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def _dedup_groups_oracle(bands: int = 4) -> str:
+    """LSH candidate pairs (same fragments as q29) + recursive-CTE transitive
+    closure (same labeling as q22): group id = min reachable doc id."""
+    rows = _K_MINHASH // bands
+    band_selects = []
+    for band in range(bands):
+        cols = [f"mh_{i:02d}" for i in range(band * rows, (band + 1) * rows)]
+        key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc, {band} AS band, md5({key}) AS band_key FROM sig"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    mins = ", ".join(
+        f"MIN({_hash_sql('shingle', i)}) AS mh_{i:02d}" for i in range(_K_MINHASH)
+    )
+    return f"""
+    WITH RECURSIVE {_SHINGLES_CTE},
+    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    buckets AS ({buckets}),
+    pairs AS (
+        SELECT a.doc AS src, b.doc AS dst
+        FROM buckets a
+        JOIN buckets b ON a.band = b.band AND a.band_key = b.band_key
+                      AND a.doc < b.doc
+        GROUP BY 1, 2),
+    sym AS (SELECT src AS u, dst AS v FROM pairs UNION SELECT dst, src FROM pairs),
+    reach(a, bnode) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.bnode = s.u)
+    SELECT a AS doc, MIN(bnode) AS dup_group,
+           (a = MIN(bnode)) AS is_canonical
+    FROM reach GROUP BY a
+    """
+
+
+@query("q64_near_dup_groups", oracle=_dedup_groups_oracle())
+def q64_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dedup pipeline: MinHash signatures → banded LSH
+    candidate pairs → connected components over the candidate graph →
+    one dup_group per document (min doc id in its group; docs that pair with
+    nothing are their own singleton groups) + a canonical-keeper flag.
+
+    This is THE training-data dedup shape at 100 TB: the only shuffles are
+    the signature aggregation (|docs|·k longs), the band-bucket equi-join
+    (never O(N²) — AQE splits hot buckets), and O(cluster-diameter) rounds of
+    min-label propagation over the (tiny) candidate graph. The candidate
+    edge list is a groupBy output — already one row per pair — so component
+    propagation skips its dedup shuffle.
+    """
+    from .graph.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=_K_MINHASH)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=_K_MINHASH, bands=4)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(
+        edges,
+        vertices=docs.select(F.col("doc_id").alias("id")),
+        dedup_edges=False,
+    )
+    return cc.select(
+        F.col("id").alias("doc"),
+        F.col("component").alias("dup_group"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )

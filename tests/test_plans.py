@@ -155,3 +155,14 @@ def test_q62_shuffle_join_and_topk(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "NestedLoop" not in plan
     assert uses_take_ordered(df), plan
+
+
+def test_q63_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS must become a semi join (one pass per table),
+    never a nested-loop per-row subquery."""
+    from bigdatafraude_ml_graphx_spark import registry as q
+
+    df = q.QUERIES["q63_exists_late_orders"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan
+    assert "NestedLoop" not in plan, plan
