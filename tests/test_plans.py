@@ -166,3 +166,28 @@ def test_q63_exists_decorrelates_to_semi_join(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "LeftSemi" in plan, plan
     assert "NestedLoop" not in plan, plan
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """A partitioned fact joined to a selectively-filtered dimension must
+    prune partitions at RUNTIME via a dynamic-pruning subquery — at 100 TB
+    this is the difference between scanning 5 partitions and scanning one."""
+    from bigdatafraude_ml_graphx_spark.sources.io import write_parquet
+
+    fact = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_by_priority")
+    write_parquet(fact, path, partition_by=("o_orderpriority",))
+
+    dim = (
+        fact.select("o_orderpriority")
+        .distinct()
+        .withColumn("urgent", F.col("o_orderpriority").startswith("1"))
+    )
+    joined = (
+        spark.read.parquet(path)
+        .join(F.broadcast(dim.filter(F.col("urgent"))), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .count()
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
