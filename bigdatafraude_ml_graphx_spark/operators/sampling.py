@@ -48,3 +48,49 @@ def oracle_hash_sample_predicate(key_exprs: list[str], max_hex: str) -> str:
         f"substr(md5(concat_ws('-', {joined})), 1, {len(max_hex)})"
         f" < '{max_hex.lower()}'"
     )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    key_cols: list[str],
+    strata_col: str,
+    rates: dict[str, str],
+    default_hex: str = "zzzz",
+) -> DataFrame:
+    """Per-stratum hash sampling: each stratum value gets its own ``max_hex``
+    threshold (same width as ``default_hex``); unlisted strata use
+    ``default_hex``, whose default 'zzzz' sorts above every hex digit, i.e.
+    keep-all. The canonical corpus-rebalancing op (e.g. downsample the
+    dominant language) — still a pure per-row filter: the CASE threshold
+    costs nothing at scale and the sample stays consistent per key across
+    runs, engines, and backfills.
+    """
+    digits = len(default_hex)
+    bucket = hash_bucket([F.col(c) for c in key_cols], digits=digits)
+    case = None
+    for value, hexv in rates.items():
+        if len(hexv) != digits:
+            raise ValueError(f"threshold {hexv!r} width != {digits}")
+        cond = F.col(strata_col) == value
+        branch = F.lit(hexv.lower())
+        case = F.when(cond, branch) if case is None else case.when(cond, branch)
+    threshold = F.lit(default_hex) if case is None else case.otherwise(default_hex)
+    return df.filter(bucket < threshold)
+
+
+def oracle_stratified_sample_predicate(
+    key_exprs: list[str],
+    strata_expr: str,
+    rates: dict[str, str],
+    default_hex: str = "zzzz",
+) -> str:
+    """DuckDB predicate mirroring :func:`stratified_hash_sample` (same CASE
+    order — drive both sides from one rates dict)."""
+    joined = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    whens = " ".join(
+        f"WHEN {strata_expr} = '{v}' THEN '{h.lower()}'" for v, h in rates.items()
+    )
+    return (
+        f"substr(md5(concat_ws('-', {joined})), 1, {len(default_hex)})"
+        f" < (CASE {whens} ELSE '{default_hex}' END)"
+    )

@@ -11,7 +11,12 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .functions.deterministic import dsum, oracle_dsum
 from .operators.rollup import hierarchical_rollup
-from .operators.sampling import hash_sample, oracle_hash_sample_predicate
+from .operators.sampling import (
+    hash_sample,
+    oracle_hash_sample_predicate,
+    oracle_stratified_sample_predicate,
+    stratified_hash_sample,
+)
 from .queries import query
 
 
@@ -65,4 +70,31 @@ def q55_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sampled.groupBy("l_returnflag").agg(
         F.count("*").alias("n_sampled"),
         dsum(F.col("l_extendedprice"), "sampled_price"),
+    )
+
+
+_STRATA_RATES = {"en": "4000", "zh": "8000"}  # 25% of en keys, 50% of zh, rest kept
+
+
+@query(
+    "q65_stratified_sample",
+    oracle=f"""
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE {oracle_stratified_sample_predicate(['doc_id'], 'lang', _STRATA_RATES)}
+    GROUP BY lang
+    """,
+)
+def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus rebalancing: per-language deterministic hash-sample
+    rates (downsample the dominant language, keep the tail) — the standard
+    training-mix op. Still a pure per-row filter: no shuffle until the final
+    tiny per-language aggregation, and the per-key decision is reproducible
+    across engines/runs/backfills (md5 prefix, not ``sampleBy``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sampled = stratified_hash_sample(docs, ["doc_id"], "lang", _STRATA_RATES)
+    return sampled.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
     )

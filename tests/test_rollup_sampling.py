@@ -71,3 +71,25 @@ def test_approx_aggregates_within_tolerance(spark, sf_dir):
     ).collect()[0]
     assert abs(row["approx_d"] - row["exact_d"]) <= 0.06 * row["exact_d"]
     assert abs(row["approx_p50"] - row["exact_p50"]) <= 0.02 * row["exact_p50"]
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    """Each stratum is sampled near its own rate; unlisted strata are kept
+    whole; two runs select identical keys."""
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+    from bigdatafraude_ml_graphx_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    rates = {"en": "4000", "zh": "8000"}
+    s1 = stratified_hash_sample(docs, ["doc_id"], "lang", rates)
+    total = dict(docs.groupBy("lang").count().collect())
+    kept = dict(s1.groupBy("lang").count().collect())
+    # en ~25%, zh ~50% (wide tolerance: small strata), others exactly 100%
+    assert 0.05 <= kept["en"] / total["en"] <= 0.5
+    assert 0.2 <= kept["zh"] / total["zh"] <= 0.8
+    for lang in set(total) - set(rates):
+        assert kept[lang] == total[lang]
+    s2 = stratified_hash_sample(docs, ["doc_id"], "lang", rates)
+    assert s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0
