@@ -52,3 +52,41 @@ def q58_array_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sq_norm"),
     )
+
+
+@query(
+    "q66_map_functions",
+    oracle="""
+    SELECT source,
+           CAST(COALESCE(SUM(CASE WHEN lang = 'en' THEN 1 END), 0) AS BIGINT)
+             AS en_docs,
+           CAST(COALESCE(SUM(CASE WHEN lang = 'zh' THEN 1 END), 0) AS BIGINT)
+             AS zh_docs,
+           CAST(COUNT(DISTINCT lang) AS INTEGER) AS n_langs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q66_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed columns (absent from the reference, SURVEY §2.8): per-source
+    language histogram materialized as a ``map<string,bigint>`` via
+    ``map_from_entries(collect_list(struct))``, then key lookups with
+    ``element_at`` and cardinality with ``size``. The map is built from an
+    already-aggregated (source, lang) frame — |sources|·|langs| entries, so
+    collect_list state stays tiny however large the corpus. Oracle states the
+    same facts relationally (conditional sums + distinct count)."""
+    docs = load_table(spark, sf_dir, "documents")
+    per = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    m = per.groupBy("source").agg(
+        F.map_from_entries(F.collect_list(F.struct("lang", "n"))).alias("lang_map")
+    )
+    return m.select(
+        "source",
+        F.coalesce(F.element_at("lang_map", F.lit("en")), F.lit(0))
+        .cast("bigint")
+        .alias("en_docs"),
+        F.coalesce(F.element_at("lang_map", F.lit("zh")), F.lit(0))
+        .cast("bigint")
+        .alias("zh_docs"),
+        F.size("lang_map").alias("n_langs"),
+    )
