@@ -49,6 +49,8 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
 
+    _bench_bucketed_layouts(spark, sf_dir, timings)
+
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
     print(
@@ -63,6 +65,62 @@ def main() -> None:
         )
     )
     spark.stop()
+
+
+def _bench_bucketed_layouts(spark, sf_dir: str, timings: dict) -> None:
+    """Scale-proof rows: the q49 IVF probe and the q64 near-dup pipeline run
+    against the BUCKETED-TABLE layout their docstrings commit to at 100 TB
+    (write once, shuffle never). The write cost is timed separately from the
+    probe/pipeline cost — at real scale the write amortizes across every
+    downstream run. Plan shape is asserted in tests/test_plans.py
+    (zero Exchange on the bucketed side)."""
+    import pyspark.sql.functions as F
+
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+    from bigdatafraude_ml_graphx_spark.dedup.minhash import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from bigdatafraude_ml_graphx_spark.graph.components import connected_components
+    from bigdatafraude_ml_graphx_spark.similarity.ivf import build_ivf_index, ivf_topk
+    from bigdatafraude_ml_graphx_spark.sources.io import write_bucketed_table
+
+    # --- IVF: bucketed-by-cell corpus, then the probe query alone ---------
+    emb = load_table(spark, sf_dir, "embeddings")
+    start = time.perf_counter()
+    centroids, assigned = build_ivf_index(emb, n_cells=16)
+    write_bucketed_table(
+        assigned, "bench_ivf_corpus", ("cell",), num_buckets=16, sort_cols=("cell",)
+    )
+    timings["x_ivf_bucketed_build"] = round(time.perf_counter() - start, 4)
+
+    start = time.perf_counter()
+    queries = emb.orderBy("vec_id").limit(10)
+    topk = ivf_topk(spark.table("bench_ivf_corpus"), centroids, queries, k=5)
+    topk.write.format("noop").mode("overwrite").save()
+    timings["x_ivf_bucketed_probe"] = round(time.perf_counter() - start, 4)
+    spark.sql("DROP TABLE IF EXISTS bench_ivf_corpus")
+
+    # --- near-dup: documents bucketed by doc_id; the signature aggregation
+    # then needs NO Exchange (bucket partitioning flows through the shingle
+    # explode into the groupBy) -------------------------------------------
+    docs = load_table(spark, sf_dir, "documents")
+    start = time.perf_counter()
+    write_bucketed_table(docs, "bench_docs_b", ("doc_id",), num_buckets=16)
+    timings["x_near_dup_bucketed_write"] = round(time.perf_counter() - start, 4)
+
+    start = time.perf_counter()
+    sigs = minhash_signatures(spark.table("bench_docs_b"), num_hashes=16)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(
+        edges,
+        vertices=docs.select(F.col("doc_id").alias("id")),
+        dedup_edges=False,
+    )
+    cc.write.format("noop").mode("overwrite").save()
+    timings["x_near_dup_bucketed_pipeline"] = round(time.perf_counter() - start, 4)
+    spark.sql("DROP TABLE IF EXISTS bench_docs_b")
 
 
 if __name__ == "__main__":

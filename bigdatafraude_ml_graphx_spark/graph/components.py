@@ -60,7 +60,7 @@ def connected_components(
     if dedup_edges:
         sym = sym.distinct()
     sym = sym.localCheckpoint(eager=True)
-    sym = _right_size(sym, target_rows=250_000)
+    sym = _right_size(sym)
 
     ids = sym.select(F.col("u").alias("id"))
     if vertices is not None:
@@ -87,13 +87,21 @@ def connected_components(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
-        # Convergence test without a join: labels only ever DECREASE, so the
-        # fixpoint is reached exactly when the label sum stops changing —
-        # one cheap aggregate over the (checkpointed) labels.
-        new_sum = new_labels.agg(F.sum("component")).collect()[0][0]
+        # Convergence test without a join: labels only ever DECREASE
+        # (numerically for numeric ids, lexicographically for string ids), so
+        # the fixpoint is reached exactly when the label multiset stops
+        # changing. Detect change via a type-agnostic hash fingerprint — one
+        # cheap aggregate over the (checkpointed) labels. A plain
+        # F.sum("component") would be NULL for string ids (the reference's own
+        # graph casts ids to string,
+        # /root/reference/notebooks/4_graphx.ipynb:334-336) and NULL == NULL
+        # would end the loop after one round with wrong labels. bit_xor is
+        # order-insensitive and cannot overflow under ANSI mode (sum can).
+        fingerprint = F.bit_xor(F.xxhash64("id", "component"))
+        new_sum = new_labels.agg(fingerprint).collect()[0][0]
         old_sum = getattr(labels, "_cc_label_sum", None)
         if old_sum is None:
-            old_sum = labels.agg(F.sum("component")).collect()[0][0]
+            old_sum = labels.agg(fingerprint).collect()[0][0]
         labels = new_labels
         labels._cc_label_sum = new_sum
         if new_sum == old_sum:

@@ -45,12 +45,20 @@ _ACC = "decimal(38,18)"  # used only for weight normalization totals
 _SCALE = 1e14
 
 
-def _right_size(df: DataFrame, target_rows: int) -> DataFrame:
-    """Coalesce a materialized frame so partitions hold ~``target_rows`` —
-    pure task-overhead reduction, never a shuffle, never an increase."""
+def _right_size(df: DataFrame, target_bytes: int = 16 << 20) -> DataFrame:
+    """Coalesce a checkpointed frame so partitions hold ~``target_bytes`` —
+    pure task-overhead reduction, never a shuffle, never an increase.
+
+    Sizing reads the driver-side statistic the eager ``localCheckpoint``
+    already recorded (``optimizedPlan().stats().sizeInBytes``) — NO extra
+    Spark job. (A ``count()`` here used to add one job per checkpointed frame
+    per algorithm.) If the statistic is unavailable (un-checkpointed input),
+    the incoming partitioning stands."""
     current = df.rdd.getNumPartitions()
-    n = df.count()
-    want = max(1, min(current, -(-n // target_rows)))
+    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if size <= 0 or size >= 1 << 60:  # absent/default stat — don't guess
+        return df
+    want = max(1, min(current, -(-size // target_bytes)))
     return df.coalesce(want) if want < current else df
 
 
@@ -107,7 +115,7 @@ def pagerank(
         F.col(dst).alias("dst"),
         (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w"),
     ).localCheckpoint(eager=True)
-    e = _right_size(e, target_rows=250_000)
+    e = _right_size(e)
 
     ids = e.select(F.col("src").alias("id")).unionByName(
         e.select(F.col("dst").alias("id"))

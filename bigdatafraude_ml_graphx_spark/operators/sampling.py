@@ -24,9 +24,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_NULL_SENTINEL = "Z"  # outside the hex alphabet 0-9A-F — cannot collide
+
+
 def hash_bucket(cols: list[Column], digits: int = 4) -> Column:
-    """First ``digits`` hex chars of md5 over '-'-joined stringified cols."""
-    key = F.concat_ws("-", *[c.cast("string") for c in cols])
+    """First ``digits`` hex chars of md5 over the unambiguous key encoding.
+
+    Each column is hex-encoded (removing '-' from the value alphabet) and
+    NULL becomes the sentinel 'Z' (not a hex digit), then parts are joined
+    with '-'. This makes the composite key injective: a naive
+    ``concat_ws('-', ...)`` (a) silently skips NULLs, hashing ('a', NULL)
+    identically to ('a',), and (b) collides ('a-b','c') with ('a','b-c') —
+    either one perfectly correlates sample membership of distinct keys.
+    Spark ``hex(string)`` and DuckDB ``hex(varchar)`` agree byte-for-byte
+    (uppercase hex of the UTF-8 bytes), verified in test_rollup_sampling.
+    """
+    parts = [
+        F.coalesce(F.hex(c.cast("string")), F.lit(_NULL_SENTINEL)) for c in cols
+    ]
+    key = F.concat_ws("-", *parts)
     return F.substring(F.md5(key), 1, digits)
 
 
@@ -41,11 +57,18 @@ def hash_sample(df: DataFrame, key_cols: list[str], max_hex: str) -> DataFrame:
     return df.filter(bucket < F.lit(max_hex.lower()))
 
 
+def _oracle_key(key_exprs: list[str]) -> str:
+    joined = ", ".join(
+        f"coalesce(hex(CAST({e} AS VARCHAR)), '{_NULL_SENTINEL}')"
+        for e in key_exprs
+    )
+    return f"concat_ws('-', {joined})"
+
+
 def oracle_hash_sample_predicate(key_exprs: list[str], max_hex: str) -> str:
     """DuckDB predicate mirroring :func:`hash_sample`."""
-    joined = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
     return (
-        f"substr(md5(concat_ws('-', {joined})), 1, {len(max_hex)})"
+        f"substr(md5({_oracle_key(key_exprs)}), 1, {len(max_hex)})"
         f" < '{max_hex.lower()}'"
     )
 
@@ -65,6 +88,7 @@ def stratified_hash_sample(
     costs nothing at scale and the sample stays consistent per key across
     runs, engines, and backfills.
     """
+    default_hex = _validate_threshold(default_hex)
     digits = len(default_hex)
     bucket = hash_bucket([F.col(c) for c in key_cols], digits=digits)
     case = None
@@ -72,10 +96,21 @@ def stratified_hash_sample(
         if len(hexv) != digits:
             raise ValueError(f"threshold {hexv!r} width != {digits}")
         cond = F.col(strata_col) == value
-        branch = F.lit(hexv.lower())
+        branch = F.lit(_validate_threshold(hexv))
         case = F.when(cond, branch) if case is None else case.when(cond, branch)
     threshold = F.lit(default_hex) if case is None else case.otherwise(default_hex)
     return df.filter(bucket < threshold)
+
+
+def _validate_threshold(hexv: str) -> str:
+    """Lowercase + validate a threshold: hex digits, or the all-'z' keep-all
+    sentinel. Uppercase input would silently drop buckets a000-ffff (ASCII
+    'A' < 'a'), and since the oracle builder shares the string, the parity
+    gate could never catch it — so reject/normalize here."""
+    low = hexv.lower()
+    if not (all(ch in "0123456789abcdef" for ch in low) or set(low) == {"z"}):
+        raise ValueError(f"threshold {hexv!r} is neither hex nor the 'z'*n sentinel")
+    return low
 
 
 def oracle_stratified_sample_predicate(
@@ -86,11 +121,12 @@ def oracle_stratified_sample_predicate(
 ) -> str:
     """DuckDB predicate mirroring :func:`stratified_hash_sample` (same CASE
     order — drive both sides from one rates dict)."""
-    joined = ", ".join(f"CAST({e} AS VARCHAR)" for e in key_exprs)
+    default_hex = _validate_threshold(default_hex)
     whens = " ".join(
-        f"WHEN {strata_expr} = '{v}' THEN '{h.lower()}'" for v, h in rates.items()
+        f"WHEN {strata_expr} = '{v}' THEN '{_validate_threshold(h)}'"
+        for v, h in rates.items()
     )
     return (
-        f"substr(md5(concat_ws('-', {joined})), 1, {len(default_hex)})"
+        f"substr(md5({_oracle_key(key_exprs)}), 1, {len(default_hex)})"
         f" < (CASE {whens} ELSE '{default_hex}' END)"
     )

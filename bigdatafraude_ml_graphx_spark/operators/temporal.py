@@ -54,31 +54,48 @@ def asof_join(
     build row get nulls. Ties on ``build_ts`` are broken by the largest
     ``tie_break`` value (pass a unique column for determinism).
 
+    All attached columns come from the SAME build row: the build payload is
+    packed into one struct and a single ``last(struct, ignorenulls=True)``
+    picks it atomically. (Per-column ``last(..., ignorenulls)`` would fill a
+    legitimately-NULL column of the as-of row from an OLDER build row, mixing
+    values across rows.)
+
+    NULL-key semantics match a SQL equi join: NULL never matches NULL.
+    NULL-key build rows are dropped up front; NULL-key probe rows then share
+    a window partition containing no build payload and get NULL attachments.
+
     Single-shuffle plan: union(probe, build) → window partitioned by ``key``
-    ordered by (ts, build-before-probe, tie) → ``last(..., ignorenulls)`` over
-    the unbounded-preceding frame → keep probe rows.
+    ordered by (ts, build-before-probe, tie) → ``last(struct, ignorenulls)``
+    over the unbounded-preceding frame → keep probe rows.
     """
+    from pyspark.sql import types as T
+
     build_cols = sorted(set(attach.values()) | {build_ts} | ({tie_break} if tie_break else set()))
     probe_payload = [c for c in probe.columns if c not in (key, probe_ts)]
 
-    b = build.select(
+    payload_type = T.StructType(
+        [T.StructField(c, build.schema[c].dataType) for c in build_cols]
+    )
+    b = build.filter(F.col(key).isNotNull()).select(
         F.col(key).alias(key),
         F.col(build_ts).alias("__asof_ts"),
         F.lit(0).alias(_PROBE_TAG),
-        *[F.col(c).alias(_ASOF_PREFIX + c) for c in build_cols],
+        F.struct(*[F.col(c).alias(c) for c in build_cols]).alias("__asof_payload"),
         *[F.lit(None).cast(probe.schema[c].dataType).alias(c) for c in probe_payload],
     )
     p = probe.select(
         F.col(key).alias(key),
         F.col(probe_ts).alias("__asof_ts"),
         F.lit(1).alias(_PROBE_TAG),
-        *[F.lit(None).cast(build.schema[c].dataType).alias(_ASOF_PREFIX + c) for c in build_cols],
+        F.lit(None).cast(payload_type).alias("__asof_payload"),
         *probe_payload,
     )
 
     order = [F.col("__asof_ts").asc(), F.col(_PROBE_TAG).asc()]
     if tie_break:
-        order.append(F.col(_ASOF_PREFIX + tie_break).asc_nulls_first())
+        order.append(
+            F.col("__asof_payload").getField(tie_break).asc_nulls_first()
+        )
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
@@ -86,18 +103,17 @@ def asof_join(
     )
 
     unioned = b.unionByName(p)
-    attached = unioned.select(
-        "*",
-        *[
-            F.last(_ASOF_PREFIX + src, ignorenulls=True).over(w).alias(alias)
-            for alias, src in attach.items()
-        ],
+    attached = unioned.withColumn(
+        "__asof_hit", F.last("__asof_payload", ignorenulls=True).over(w)
     )
     return attached.filter(F.col(_PROBE_TAG) == 1).select(
         F.col(key),
         F.col("__asof_ts").alias(probe_ts),
         *probe_payload,
-        *attach.keys(),
+        *[
+            F.col("__asof_hit").getField(src).alias(alias)
+            for alias, src in attach.items()
+        ],
     )
 
 
@@ -138,9 +154,21 @@ def bucketed_interval_join(
     ``bucket_seconds``-wide epoch buckets it covers (``sequence`` + explode —
     JVM-side, no UDF); the probe timestamp maps to exactly one bucket; the
     equi-join on the bucket bounds candidates, and the exact interval
-    predicate is applied as a residual filter. Bucket width should be chosen
+    predicate rides INSIDE the join condition (bucket-equi + residual), so
+    outer join NULL-extension survives it. Bucket width should be chosen
     ≈ the typical interval length so each build row lands in O(1) buckets.
+
+    ``how`` may be ``inner`` or ``left``. Left is sound because only the
+    build side is exploded — each probe row carries exactly one bucket, so an
+    unmatched probe row NULL-extends exactly once. Right/full outer over the
+    exploded build side would emit one NULL row per *bucket* of an unmatched
+    build interval (wrong multiplicity) and are rejected.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"bucketed_interval_join supports how='inner'|'left', got {how!r}; "
+            "right/full outer is ill-defined over the bucket-exploded build side"
+        )
 
     def epoch_bucket(c: Column) -> Column:
         return F.floor(F.unix_timestamp(c) / F.lit(bucket_seconds))
@@ -152,8 +180,10 @@ def bucketed_interval_join(
         ),
     )
     p = probe.withColumn("__bucket", epoch_bucket(F.col(probe_ts)))
-    out = p.alias("p").join(b.alias("b"), "__bucket", how)
-    return out.filter(
-        (F.col(f"b.{build_lo}") <= F.col(f"p.{probe_ts}"))
+    cond = (
+        (F.col("p.__bucket") == F.col("b.__bucket"))
+        & (F.col(f"b.{build_lo}") <= F.col(f"p.{probe_ts}"))
         & (F.col(f"p.{probe_ts}") < F.col(f"b.{build_hi}"))
-    ).drop("__bucket")
+    )
+    out = p.alias("p").join(b.alias("b"), cond, how)
+    return out.drop(F.col("p.__bucket")).drop(F.col("b.__bucket"))

@@ -45,6 +45,22 @@ def test_connected_components(crafted):
     assert len({comp[v] for v in comp}) == 4
 
 
+def test_connected_components_string_ids(spark):
+    # The reference's own graph casts vertex ids to STRING
+    # (/root/reference/notebooks/4_graphx.ipynb:334-336). A label sum over
+    # strings is NULL, so a naive sum-based convergence test exits after one
+    # round; this path graph needs >=3 propagation rounds, so a premature
+    # exit yields wrong labels. Components: path {u10..u13}, pair {u20,u21}.
+    edges = [
+        ("u10", "u11"), ("u11", "u12"), ("u12", "u13"),
+        ("u20", "u21"),
+    ]
+    df = spark.createDataFrame(edges, "src string, dst string")
+    comp = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert comp["u10"] == comp["u11"] == comp["u12"] == comp["u13"] == "u10"
+    assert comp["u20"] == comp["u21"] == "u20"
+
+
 def test_connected_components_isolated_vertices(spark, crafted):
     verts = spark.createDataFrame([(99,), (1,)], "id long")
     comp = {

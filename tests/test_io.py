@@ -87,3 +87,28 @@ def test_orc_filter_pushdown(spark, tmp_path):
     write_orc(df, path)
     scan = read_orc(spark, path).filter(F.col("id") > 50)
     assert "PushedFilters: [IsNotNull(id), GreaterThan(id,50)]" in formatted_plan(scan)
+
+
+def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
+    """Real JDBC round-trip against the Derby embedded driver that ships in
+    Spark's own jars — no external DB needed. Exercises the same
+    write-then-read shape as the reference's Postgres flow
+    (/root/reference/streaming/spark_to_postgres.py:26-34)."""
+    from bigdatafraude_ml_graphx_spark.sources.io import read_jdbc, write_jdbc
+
+    url = f"jdbc:derby:{tmp_path}/derbydb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    df = spark.createDataFrame(
+        [(1, "alice", 10.5), (2, "bob", None), (3, "eve", -1.0)],
+        "id bigint, name string, score double",
+    )
+    write_jdbc(df, url, "people", props, mode="overwrite")
+    back = read_jdbc(spark, url, "people", props)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # partitioned parallel read: same rows, one query per stride
+    par = read_jdbc(
+        spark, url, "people", props,
+        partition_column="id", lower_bound=0, upper_bound=4, num_partitions=2,
+    )
+    assert par.rdd.getNumPartitions() == 2
+    assert sorted(map(tuple, par.collect())) == sorted(map(tuple, df.collect()))

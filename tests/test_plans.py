@@ -191,3 +191,59 @@ def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
     )
     plan = joined._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan
+
+
+def test_ivf_bucketed_probe_no_corpus_exchange(spark, sf_dir):
+    """The IVF docstring commits to a bucketed-by-cell corpus at 100 TB; this
+    proves that layout: the probe join re-shuffles ONLY the (tiny) probe
+    side — the corpus scan is bucketed and Exchange-free."""
+    from bigdatafraude_ml_graphx_spark.plans import formatted_plan
+    from bigdatafraude_ml_graphx_spark.similarity.ivf import build_ivf_index
+    from bigdatafraude_ml_graphx_spark.sources.io import write_bucketed_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = build_ivf_index(emb, n_cells=8)
+    write_bucketed_table(
+        assigned, "t_ivf_corpus", ("cell",), num_buckets=8, sort_cols=("cell",)
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        probes = spark.createDataFrame(
+            [(i, i % 8) for i in range(5)], "query_id long, cell long"
+        )
+        joined = spark.table("t_ivf_corpus").join(probes, "cell")
+        plan = formatted_plan(joined)
+        import re
+
+        # formatted mode prints each node in the tree AND a detail block —
+        # count the detail headers, one per physical Exchange node
+        assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS t_ivf_corpus")
+
+
+def test_minhash_agg_no_exchange_on_bucketed_docs(spark, sf_dir):
+    """Documents bucketed by doc_id: the MinHash signature aggregation
+    (groupBy doc) reuses the bucket partitioning THROUGH the shingle explode
+    — zero Exchange in the whole signature plan. At 100 TB this removes the
+    |docs|·k-longs shuffle entirely."""
+    from bigdatafraude_ml_graphx_spark.dedup.minhash import minhash_signatures
+    from bigdatafraude_ml_graphx_spark.plans import formatted_plan
+    from bigdatafraude_ml_graphx_spark.sources.io import write_bucketed_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    write_bucketed_table(docs, "t_docs_b", ("doc_id",), num_buckets=8)
+    try:
+        sigs = minhash_signatures(spark.table("t_docs_b"), num_hashes=8)
+        plan = formatted_plan(sigs)
+        assert "Exchange" not in plan, plan
+        # and the result is identical to the unbucketed computation
+        base = minhash_signatures(docs, num_hashes=8)
+        assert sigs.exceptAll(base).count() == 0
+        assert sigs.count() == base.count()
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_docs_b")

@@ -59,6 +59,75 @@ def test_hash_sample_consistent_and_sized(spark, sf_dir):
     assert s1.exceptAll(s_big).count() == 0
 
 
+def test_hash_bucket_injective_encoding(spark):
+    """('a', NULL) vs ('a',)-style and delimiter-straddling composites must
+    hash differently (naive concat_ws collided both classes)."""
+    from bigdatafraude_ml_graphx_spark.operators.sampling import hash_bucket
+
+    df = spark.createDataFrame(
+        [("a-b", "c"), ("a", "b-c"), ("a", None), ("a-Z", None), ("a", "Z")],
+        "k1 string, k2 string",
+    )
+    buckets = [
+        r["b"]
+        for r in df.select(
+            hash_bucket([F.col("k1"), F.col("k2")], digits=8).alias("b")
+        ).collect()
+    ]
+    assert len(set(buckets)) == len(buckets)
+
+
+def test_hash_sample_matches_duckdb_on_tricky_keys(spark):
+    """The Spark predicate and the DuckDB oracle predicate must agree on
+    NULLs, delimiter characters, and non-ASCII — byte-for-byte hex/md5."""
+    import duckdb
+    import pandas as pd
+
+    from bigdatafraude_ml_graphx_spark.operators.sampling import (
+        hash_sample,
+        oracle_hash_sample_predicate,
+    )
+
+    pdf = pd.DataFrame(
+        {
+            "k1": ["a-b", "a", "a", None, "héllo", "z" * 50],
+            "k2": ["c", "b-c", None, "x", "wörld", "-"],
+            "v": [1, 2, 3, 4, 5, 6],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    kept_spark = sorted(
+        r["v"] for r in hash_sample(df, ["k1", "k2"], "8000").select("v").collect()
+    )
+    pred = oracle_hash_sample_predicate(["k1", "k2"], "8000")
+    con = duckdb.connect()
+    con.register("t", pdf)
+    kept_duck = sorted(
+        r[0] for r in con.execute(f"SELECT v FROM t WHERE {pred}").fetchall()
+    )
+    assert kept_spark == kept_duck
+
+
+def test_stratified_threshold_validation(spark):
+    """Uppercase thresholds are normalized (not silently wrong); garbage is
+    rejected. Pre-fix, an uppercase default like 'A000' dropped buckets
+    a000-ffff because ASCII 'A' < 'a'."""
+    import pytest as _pytest
+
+    from bigdatafraude_ml_graphx_spark.operators.sampling import (
+        stratified_hash_sample,
+    )
+
+    df = spark.createDataFrame([("x", "en")] * 4, "doc_id string, lang string")
+    upper = stratified_hash_sample(df, ["doc_id"], "lang", {}, default_hex="FFFF")
+    lower = stratified_hash_sample(df, ["doc_id"], "lang", {}, default_hex="ffff")
+    assert upper.count() == lower.count() == 4  # ffff keeps ~everything
+    with _pytest.raises(ValueError, match="neither hex"):
+        stratified_hash_sample(df, ["doc_id"], "lang", {}, default_hex="00zz")
+    with _pytest.raises(ValueError, match="neither hex"):
+        stratified_hash_sample(df, ["doc_id"], "lang", {"en": "xyzt"})
+
+
 def test_approx_aggregates_within_tolerance(spark, sf_dir):
     """approx_count_distinct / approx percentile are the documented scale
     path for q39/q44 — bound their error against the exact values."""

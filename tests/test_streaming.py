@@ -134,3 +134,66 @@ def test_foreach_batch_distributed_write(spark, sf_dir, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == load_table(spark, sf_dir, "events").count()
     assert "batch_id" in written.columns
+
+
+class _RecordingReader:
+    """Stand-in for spark.readStream that records the option plumbing —
+    the sandbox has no Kafka broker, so we verify kafka_stream builds the
+    exact reader the reference builds (spark_streaming.py:26-30,
+    streaming_config.yaml:11) without calling load() against a broker."""
+
+    def __init__(self):
+        self.fmt = None
+        self.options = {}
+        self.loaded = False
+
+    def format(self, fmt):
+        self.fmt = fmt
+        return self
+
+    def option(self, k, v):
+        self.options[k] = v
+        return self
+
+    def load(self, path=None):
+        self.loaded = True
+        return self
+
+
+class _FakeSparkSession:
+    def __init__(self, reader):
+        self._reader = reader
+
+    @property
+    def readStream(self):
+        return self._reader
+
+
+def test_kafka_stream_option_plumbing():
+    from bigdatafraude_ml_graphx_spark.streaming.source import kafka_stream
+
+    rec = _RecordingReader()
+    kafka_stream(
+        _FakeSparkSession(rec),
+        bootstrap_servers="broker1:9092,broker2:9092",
+        topic="transactions",
+        starting_offsets="earliest",
+    )
+    assert rec.fmt == "kafka"
+    assert rec.options == {
+        "kafka.bootstrap.servers": "broker1:9092,broker2:9092",
+        "subscribe": "transactions",
+        "startingOffsets": "earliest",
+        "maxOffsetsPerTrigger": 1000,  # reference's rate-limit default
+    }
+    assert rec.loaded
+
+
+def test_kafka_stream_rate_limit_opt_out():
+    from bigdatafraude_ml_graphx_spark.streaming.source import kafka_stream
+
+    rec = _RecordingReader()
+    kafka_stream(
+        _FakeSparkSession(rec), "b:9092", "t", max_offsets_per_trigger=None
+    )
+    assert "maxOffsetsPerTrigger" not in rec.options

@@ -69,6 +69,48 @@ def test_asof_join_picks_latest_at_or_before(spark):
     assert rows[102]["b_id"] is None and rows[102]["b_val"] is None
 
 
+def test_asof_join_null_build_value_not_backfilled(spark):
+    # The as-of build row has a legitimately NULL value column; a per-column
+    # last(ignorenulls) would backfill it from the OLDER build row, mixing
+    # values across build rows. The struct-packed attach must return the
+    # as-of row's actual (NULL) value alongside its other columns.
+    probe = spark.createDataFrame([(1, _ts(10), 100, 1.0)], _SCHEMA)
+    build = spark.createDataFrame(
+        [(1, _ts(2), 200, 99.0), (1, _ts(8), 201, None)], _SCHEMA
+    )
+    out = asof_join(
+        probe,
+        build,
+        key="user_id",
+        probe_ts="ts",
+        build_ts="ts",
+        attach={"b_id": "event_id", "b_val": "value"},
+        tie_break="event_id",
+    )
+    row = out.collect()[0]
+    assert row["b_id"] == 201  # the true as-of row...
+    assert row["b_val"] is None  # ...and ITS value, not minute-2's 99.0
+
+
+def test_asof_join_null_probe_key_gets_nulls(spark):
+    # SQL equi-join semantics: NULL key never matches NULL key. A NULL-keyed
+    # probe row must get NULL attachments even when NULL-keyed build rows
+    # exist; NULL-keyed build rows must never attach to anything.
+    probe = spark.createDataFrame(
+        [(None, _ts(10), 100, 1.0), (1, _ts(10), 101, 1.0)], _SCHEMA
+    )
+    build = spark.createDataFrame(
+        [(None, _ts(2), 200, 5.0), (1, _ts(2), 201, 7.0)], _SCHEMA
+    )
+    out = asof_join(
+        probe, build, "user_id", "ts", "ts", {"b_id": "event_id"}, "event_id"
+    )
+    rows = {r["event_id"]: r for r in out.collect()}
+    assert len(rows) == 2
+    assert rows[100]["b_id"] is None  # NULL key: no match, ever
+    assert rows[101]["b_id"] == 201
+
+
 def test_asof_join_single_shuffle(spark):
     probe = spark.createDataFrame([(1, _ts(1), 1, 1.0)], _SCHEMA)
     build = spark.createDataFrame([(1, _ts(0), 2, 2.0)], _SCHEMA)
@@ -123,3 +165,35 @@ def test_bucketed_interval_join_exact_containment(spark):
     )
     pairs = sorted((r["event_id"], r["ival_id"]) for r in out.collect())
     assert pairs == [(1, 10), (2, 11)]
+
+
+def test_bucketed_interval_join_left_keeps_unmatched_probe(spark):
+    import pytest
+
+    probe = spark.createDataFrame(
+        # minute 5 is inside [0, 10); minute 30 matches nothing
+        [(1, _ts(5), 1, 1.0), (2, _ts(30), 2, 1.0)], _SCHEMA
+    )
+    intervals = spark.createDataFrame(
+        [(10, _ts(0), _ts(10))],
+        StructType(
+            [
+                StructField("ival_id", LongType()),
+                StructField("lo", TimestampNTZType()),
+                StructField("hi", TimestampNTZType()),
+            ]
+        ),
+    )
+    out = bucketed_interval_join(
+        probe, intervals, "ts", "lo", "hi", bucket_seconds=300, how="left"
+    )
+    pairs = sorted(
+        (r["event_id"], r["ival_id"]) for r in out.collect()
+    )
+    # unmatched probe row survives with a NULL build side (pre-fix it was
+    # silently dropped by the post-join residual filter)
+    assert pairs == [(1, 10), (2, None)]
+    with pytest.raises(ValueError, match="inner"):
+        bucketed_interval_join(
+            probe, intervals, "ts", "lo", "hi", bucket_seconds=300, how="full"
+        )
