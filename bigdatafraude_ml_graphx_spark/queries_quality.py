@@ -1,0 +1,145 @@
+"""Training-data quality / packing / scrubbing / contamination queries
+(q67-q70) — the corpus-preparation surface beyond the reference's own scope
+(its data is tabular; a 100 TB text pipeline needs these before any token is
+trained on).
+
+Every query has a full DuckDB oracle; tokenization shares the canonical
+normalization fragment with queries_text (single source of truth on both
+engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .dedup.contamination import contamination_overlap
+from .functions.redaction import oracle_hits_sql, oracle_redact_sql, redact_pii, pii_hits
+from .functions.repetition import oracle_repetition_sql, repetition_metrics
+from .operators.chunking import chunk_documents, oracle_chunk_sql
+from .queries import query
+from .queries_text import _NORM
+
+_REP_THRESHOLDS = dict(
+    max_top_token_frac=0.15, min_distinct_ratio=0.45, max_dup_bigram_frac=0.5
+)
+
+
+@query(
+    "q67_repetition_quality",
+    oracle=oracle_repetition_sql(norm_sql=_NORM, **_REP_THRESHOLDS),
+)
+def q67_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style repetition filters: distinct-token ratio, top-token
+    share, duplicate-bigram fraction, and the keep/drop verdict per doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return repetition_metrics(docs, **_REP_THRESHOLDS)
+
+
+_CHUNK_TOKENS = 16
+
+
+@query("q68_doc_chunking", oracle=oracle_chunk_sql(_CHUNK_TOKENS, _NORM))
+def q68_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking (training packing): every doc becomes
+    ceil(n/16) chunks of ≤16 tokens; pure per-row transform, no shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return chunk_documents(docs, chunk_tokens=_CHUNK_TOKENS)
+
+
+# The synthetic corpus carries no PII, so the query plants a deterministic
+# contact line derived from doc_id on BOTH engines — the redactor then has
+# real work whose output the oracle verifies bit-for-bit.
+_CONTACT_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example"
+    " or +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' ref ' || CAST(doc_id * doc_id + 100000 AS VARCHAR)"
+)
+
+
+def _contact_col() -> F.Column:
+    return F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@mail.example or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        (F.col("doc_id") * F.col("doc_id") + 100000).cast("string"),
+    )
+
+
+_HITS = oracle_hits_sql(_CONTACT_SQL)
+
+
+@query(
+    "q69_pii_redaction",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_HITS['email']} AS BIGINT) AS n_email,
+           CAST({_HITS['phone']} AS BIGINT) AS n_phone,
+           CAST({_HITS['digits']} AS BIGINT) AS n_digits,
+           md5({oracle_redact_sql(_CONTACT_SQL)}) AS redacted_fp
+    FROM documents
+    """,
+)
+def q69_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub: per-pattern hit counts + fingerprint of the scrubbed text.
+    Pure regexp column expressions — whole-stage codegen, no UDF."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "_contact", _contact_col()
+    )
+    hits = pii_hits("_contact")
+    return docs.select(
+        "doc_id",
+        hits["email"].cast("long").alias("n_email"),
+        hits["phone"].cast("long").alias("n_phone"),
+        hits["digits"].cast("long").alias("n_digits"),
+        F.md5(redact_pii("_contact")).alias("redacted_fp"),
+    )
+
+
+_EVAL_MOD = 50  # every 50th doc stands in for the benchmark set
+_MIN_SHARED = 2
+
+
+@query(
+    "q70_contamination_overlap",
+    oracle=f"""
+    WITH d AS (SELECT doc_id AS doc,
+                      list_filter(string_split({_NORM}, ' '), x -> x != '') AS toks
+               FROM documents),
+    sh AS (SELECT DISTINCT doc, shingle
+           FROM (SELECT doc,
+                        unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                              i -> array_to_string(toks[i:i+2], ' ')))
+                        AS shingle
+                 FROM d)),
+    ev AS (SELECT doc AS eval_doc, shingle FROM sh WHERE doc % {_EVAL_MOD} = 0),
+    evn AS (SELECT eval_doc, COUNT(*) AS eval_n FROM ev GROUP BY eval_doc),
+    shared AS (SELECT sh.doc, ev.eval_doc, COUNT(*) AS n_shared
+               FROM sh JOIN ev ON sh.shingle = ev.shingle
+                              AND sh.doc != ev.eval_doc
+               GROUP BY sh.doc, ev.eval_doc
+               HAVING COUNT(*) >= {_MIN_SHARED})
+    SELECT shared.doc, shared.eval_doc,
+           CAST(n_shared AS BIGINT) AS n_shared,
+           CAST(n_shared AS DOUBLE) / eval_n AS overlap_frac
+    FROM shared JOIN evn USING (eval_doc)
+    """,
+)
+def q70_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination sweep: corpus docs sharing ≥2 word trigrams
+    with the (broadcast) eval set, with the fraction of each eval doc's
+    shingles found in the training doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    eval_set = docs.filter(F.col("doc_id") % _EVAL_MOD == 0)
+    return contamination_overlap(
+        docs, eval_set, n=3, min_shared=_MIN_SHARED
+    ).select(
+        "doc",
+        "eval_doc",
+        F.col("n_shared").cast("long").alias("n_shared"),
+        "overlap_frac",
+    )
