@@ -59,17 +59,29 @@ def simhash_near_pairs(
     sig = simhash64(df, text_col, id_col)
     bands = max_hamming + 1
     width = BITS // bands
-    banded = None
-    for i in range(bands):
-        part = sig.select(
-            "doc",
-            "simhash",
+    # Single-pass banding (array-of-structs + explode) and persist: a
+    # union-of-selects would re-run the 32-aggregate signature build once
+    # per band per join side (the recompute trap lsh_candidate_pairs
+    # documents — 8x observed there).
+    band_structs = [
+        F.struct(
             F.lit(i).alias("band"),
             F.shiftright(F.col("simhash"), i * width)
             .bitwiseAND(F.lit((1 << width) - 1))
             .alias("band_bits"),
         )
-        banded = part if banded is None else banded.unionByName(part)
+        for i in range(bands)
+    ]
+    banded = (
+        sig.select("doc", "simhash", F.explode(F.array(*band_structs)).alias("bk"))
+        .select(
+            "doc",
+            "simhash",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_bits").alias("band_bits"),
+        )
+        .persist()
+    )
 
     a = banded.alias("a")
     b = banded.alias("b")

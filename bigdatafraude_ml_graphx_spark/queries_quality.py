@@ -100,6 +100,44 @@ def q69_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
+    from .queries_text import _simhash_oracle
+
+    bands = max_hamming + 1
+    width = 32 // bands
+    mask = (1 << width) - 1
+    sig = _simhash_oracle().strip()
+    return f"""
+    WITH sig AS ({sig}),
+    banded AS (SELECT doc, simhash, band,
+                      (simhash >> (band * {width})) & {mask} AS band_bits
+               FROM sig CROSS JOIN (SELECT unnest(range(0, {bands})) AS band)),
+    cand AS (SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                    a.simhash AS sa, b.simhash AS sb
+             FROM banded a JOIN banded b
+               ON a.band = b.band AND a.band_bits = b.band_bits
+              AND a.doc < b.doc)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {max_hamming}
+    """
+
+
+@query("q71_simhash_near_pairs", oracle=_simhash_pairs_oracle())
+def q71_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: pigeonhole banding (Hamming ≤ 3 ⇒ ≥1 of 4
+    bands agree exactly) makes the candidate build an equi join on
+    (band, band_bits) — never O(N²); the exact Hamming filter runs on
+    candidates only."""
+    from .dedup.simhash import simhash_near_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = simhash_near_pairs(docs, max_hamming=3)
+    return out.select(
+        "doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 _EVAL_MOD = 50  # every 50th doc stands in for the benchmark set
 _MIN_SHARED = 2
 

@@ -33,16 +33,31 @@ def build_ivf_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
+    method: str = "sample",
 ) -> tuple[DataFrame, DataFrame]:
     """Returns ``(centroids, assigned)``: ``centroids(cell, cvec)`` and the
-    corpus with an added ``cell`` column (nearest centroid by cosine)."""
-    centroids = (
-        df.select(F.col(vec_col).alias("cvec"))
-        .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("cvec").cast("string"))))
-        .limit(n_cells)
-        .withColumn("cell", F.monotonically_increasing_id())
-        .localCheckpoint(eager=True)
-    )
+    corpus with an added ``cell`` column (nearest centroid by cosine).
+
+    ``method='sample'`` picks deterministic corpus vectors as centroids (one
+    pass, cheapest). ``method='kmeans'`` trains an MLlib k-means coarse
+    quantizer — the standard IVF construction (Jégou et al. 2011): centroids
+    track the data distribution, so cells are balanced and probe recall is
+    higher at the same ``n_probe``. MLlib k-means is itself distributed
+    (k·dim doubles broadcast per iteration), so the build holds at corpus
+    scale; train on a hash-sample when even that is too hot.
+    """
+    if method == "kmeans":
+        centroids = _kmeans_centroids(df, n_cells, vec_col, seed)
+    elif method == "sample":
+        centroids = (
+            df.select(F.col(vec_col).alias("cvec"))
+            .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("cvec").cast("string"))))
+            .limit(n_cells)
+            .withColumn("cell", F.monotonically_increasing_id())
+            .localCheckpoint(eager=True)
+        )
+    else:
+        raise ValueError(f"method must be 'sample' or 'kmeans', got {method!r}")
     corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     scored = corpus.join(F.broadcast(centroids)).select(
         "id",
@@ -60,6 +75,25 @@ def build_ivf_index(
         .select("id", "vec", "cell")
     )
     return centroids, assigned
+
+
+def _kmeans_centroids(
+    df: DataFrame, n_cells: int, vec_col: str, seed: int
+) -> DataFrame:
+    """Train the k-means coarse quantizer and return ``(cell, cvec)``."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    train = df.select(
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=20).fit(train)
+    spark = df.sparkSession
+    rows = [
+        (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+    ]
+    elem = df.schema[vec_col].dataType.elementType.simpleString()
+    return spark.createDataFrame(rows, f"cell long, cvec array<{elem}>")
 
 
 def ivf_topk(

@@ -59,3 +59,26 @@ def test_ivf_deterministic(emb):
             for r in ivf_topk(assigned, centroids, queries, k=3, n_probe=2).collect()
         }
     assert run() == run()
+
+
+def test_ivf_kmeans_quantizer_recall_and_coverage(emb):
+    """The k-means coarse quantizer (the standard IVF construction) must
+    assign every vector to exactly one of n_cells cells and reach at least
+    the recall floor of the sampled quantizer."""
+    import pytest as _pytest
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk(emb, queries, k=5)
+    centroids, assigned = build_ivf_index(emb, n_cells=8, method="kmeans")
+    assert centroids.count() == 8
+    assert assigned.count() == emb.count()  # every vector lands in a cell
+    assert assigned.select("cell").distinct().count() <= 8
+
+    approx = ivf_topk(assigned, centroids, queries, k=5, n_probe=4)
+    exact_pairs = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx_pairs = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(exact_pairs & approx_pairs) / len(exact_pairs)
+    assert recall >= 0.5, f"kmeans-IVF recall {recall:.2f} too low"
+
+    with _pytest.raises(ValueError, match="sample"):
+        build_ivf_index(emb, method="nonsense")

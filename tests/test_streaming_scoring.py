@@ -72,3 +72,38 @@ def test_stream_scoring_with_foreach_batch(spark, sf_dir, tmp_path):
     streamed_ids = {r["vec_id"] for r in alerts.select("vec_id").collect()}
     batch_ids = {r["vec_id"] for r in batch_alerts.select("vec_id").collect()}
     assert streamed_ids == batch_ids
+
+
+def test_stream_to_jdbc_end_to_end(spark, tmp_path):
+    """The reference's stream-to-database flow
+    (/root/reference/streaming/spark_to_postgres.py:26-34) end-to-end
+    against Spark's embedded Derby driver: file stream → foreachBatch →
+    distributed df.write.jdbc with the batch_id idempotence key → read back
+    and reconcile."""
+    from bigdatafraude_ml_graphx_spark.sources.io import read_jdbc
+    from bigdatafraude_ml_graphx_spark.streaming import (
+        file_stream,
+        foreach_batch_sink,
+        run_available_now,
+    )
+    from bigdatafraude_ml_graphx_spark.streaming.sinks import jdbc_batch_writer
+
+    src = str(tmp_path / "src")
+    df = spark.range(100).selectExpr("id", "id * 2 AS amount")
+    df.coalesce(2).write.parquet(src)
+
+    url = f"jdbc:derby:{tmp_path}/streamdb;create=true"
+    props = {"driver": "org.apache.derby.jdbc.EmbeddedDriver"}
+    stream = file_stream(spark, src, "id bigint, amount bigint")
+    q = foreach_batch_sink(
+        stream,
+        jdbc_batch_writer(url, "stream_out", props),
+        checkpoint=str(tmp_path / "ckpt"),
+        available_now=True,
+    )
+    run_available_now(q)
+
+    back = read_jdbc(spark, url, "stream_out", props)
+    assert back.count() == 100
+    assert set(back.columns) == {"id", "amount", "batch_id"}
+    assert back.agg(F.sum("amount")).collect()[0][0] == sum(2 * i for i in range(100))
