@@ -14,9 +14,11 @@ grows 0.27 s → 1.10 s without checkpointing,
 ``notebooks/4_graphx.ipynb:753-757``).
 
 Scale: O(graph diameter) rounds. Social/fraud graphs have tiny diameters
-(≤ ~20); each round shuffles |E|+|V| rows on the id key, broadcast-free, so
-the pattern holds at 100 TB. (GraphFrames' large-star/small-star does
-O(log d) rounds — worth adopting only if diameters are large.)
+(≤ ~20). The edge list is partitioned ONCE on the propagation key and cached;
+while the label frame fits a broadcast, a round shuffles nothing at all, and
+past that threshold each round degrades to one |E|+|V| shuffle on the id key.
+(GraphFrames' large-star/small-star does O(log d) rounds — worth adopting
+only if diameters are large.)
 """
 
 from __future__ import annotations
@@ -46,9 +48,12 @@ def connected_components(
     cell 44735382 output).
     """
     # Materialize the (possibly expensive) edge lineage ONCE — every
-    # iteration joins against `sym`; without this the upstream plan (e.g. a
-    # co-occurrence self-join) re-executes per iteration.
-    from .pagerank import _maybe_broadcast, _right_size
+    # iteration joins against `sym`. Pre-partition on ``v`` (the key the
+    # neighbor-min aggregation groups by) and persist(): persist PRESERVES
+    # output partitioning (localCheckpoint erases it), so each iteration's
+    # groupBy fuses partial+final aggregation with no shuffle — in the
+    # broadcast-label regime a whole round shuffles NOTHING.
+    from .pagerank import _maybe_broadcast
 
     sym = symmetrize(edges.select(src, dst), src, dst).select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -59,8 +64,7 @@ def connected_components(
     # saves a full |E| shuffle here.
     if dedup_edges:
         sym = sym.distinct()
-    sym = sym.localCheckpoint(eager=True)
-    sym = _right_size(sym)
+    sym = sym.repartition(F.col("v")).persist()
 
     ids = sym.select(F.col("u").alias("id"))
     if vertices is not None:
@@ -70,20 +74,32 @@ def connected_components(
     n_verts = labels.count()
 
     for i in range(max_iter):
-        # Candidate labels flowing across edges: neighbor's current label.
-        # The label frame is one narrow row per vertex — broadcast it while
-        # it fits so the (much larger) edge list never re-shuffles
+        # Candidate labels flowing across edges: min neighbor label per
+        # vertex. The label frame is one narrow row per vertex — broadcast
+        # it while it fits so the (much larger) edge list never re-shuffles
         # (localCheckpoint hides its size from AQE; see _maybe_broadcast).
         lb = _maybe_broadcast(labels, n_verts, broadcast_rows)
-        neighbor_labels = (
+        neighbor_min = (
             sym.join(lb, sym.u == lb.id)
             .select(F.col("v").alias("id"), F.col("component"))
-        )
-        new_labels = (
-            labels.select("id", "component")
-            .unionByName(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("component").alias("component"))
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        # least() ignores NULLs, so isolated vertices (no neighbor row after
+        # the left join) keep their own label. neighbor_min is map-side-only
+        # output (no shuffle statistic for AQE) — hint the broadcast in the
+        # same ≤broadcast_rows regime; past it both joins degrade to
+        # shuffles, the right plan at billion-vertex scale.
+        new_labels = (
+            labels.join(
+                _maybe_broadcast(neighbor_min, n_verts, broadcast_rows),
+                "id",
+                "left",
+            )
+            .select(
+                "id",
+                F.least("component", "nbr_component").alias("component"),
+            )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
             new_labels = new_labels.localCheckpoint(eager=True)
@@ -106,4 +122,5 @@ def connected_components(
         labels._cc_label_sum = new_sum
         if new_sum == old_sum:
             break
+    sym.unpersist()
     return labels

@@ -45,23 +45,6 @@ _ACC = "decimal(38,18)"  # used only for weight normalization totals
 _SCALE = 1e14
 
 
-def _right_size(df: DataFrame, target_bytes: int = 16 << 20) -> DataFrame:
-    """Coalesce a checkpointed frame so partitions hold ~``target_bytes`` —
-    pure task-overhead reduction, never a shuffle, never an increase.
-
-    Sizing reads the driver-side statistic the eager ``localCheckpoint``
-    already recorded (``optimizedPlan().stats().sizeInBytes``) — NO extra
-    Spark job. (A ``count()`` here used to add one job per checkpointed frame
-    per algorithm.) If the statistic is unavailable (un-checkpointed input),
-    the incoming partitioning stands."""
-    current = df.rdd.getNumPartitions()
-    size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
-    if size <= 0 or size >= 1 << 60:  # absent/default stat — don't guess
-        return df
-    want = max(1, min(current, -(-size // target_bytes)))
-    return df.coalesce(want) if want < current else df
-
-
 def _maybe_broadcast(df: DataFrame, n_rows: int, threshold: int) -> DataFrame:
     """Broadcast-hint a frame whose row count is known to be small.
 
@@ -106,16 +89,21 @@ def pagerank(
     """Run ``max_iter`` iterations of weighted PageRank. Returns
     ``(id, pagerank)`` over all vertices (edge endpoints ∪ ``vertices``)."""
     # Materialize the edge lineage once — it is joined in EVERY iteration —
-    # then right-size its partitioning: iteration cost is dominated by task
-    # overhead when partitions are small, so target ~1M edges/partition
-    # (never increasing the count — at real scale the incoming partitioning
-    # stands).
-    e = edges.select(
-        F.col(src).alias("src"),
-        F.col(dst).alias("dst"),
-        (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w"),
-    ).localCheckpoint(eager=True)
-    e = _right_size(e)
+    # pre-partitioned on ``dst``, the contribution-aggregation key. persist()
+    # (unlike localCheckpoint) PRESERVES output partitioning, so every
+    # iteration's groupBy(dst) fuses partial+final aggregation in one stage:
+    # in the broadcast-rank regime an iteration shuffles NOTHING — the |E|
+    # re-shuffle per iteration (5x at max_iter=5) becomes one setup shuffle.
+    # The no-count repartition lets AQE right-size the partition count.
+    e = (
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w"),
+        )
+        .repartition(F.col("dst"))
+        .persist()
+    )
 
     ids = e.select(F.col("src").alias("id")).unionByName(
         e.select(F.col("dst").alias("id"))
@@ -145,13 +133,15 @@ def pagerank(
                 (F.sum("contrib_q").cast("double") / F.lit(scale)).alias("contrib")
             )
         )
-        # No explicit hint on contribs: it is a shuffle output, so AQE sees
-        # its exact size and broadcasts it on its own — an explicit
-        # F.broadcast here would force an EXTRA materialization of the whole
-        # contribution pipeline just to collect it. Only `ranks` needs the
-        # hint (its checkpoint hides the stats).
+        # contribs is now map-side-only (no shuffle stage), so AQE has no
+        # size statistic to auto-broadcast from — hint it explicitly in the
+        # same ≤broadcast_rows regime as the ranks (contribs ≤ |V| rows).
+        # Past the threshold both joins degrade to shuffles, which is the
+        # right plan at billion-vertex scale.
         ranks = (
-            verts.join(contribs, "id", "left_outer")
+            verts.join(
+                _maybe_broadcast(contribs, n, broadcast_rows), "id", "left_outer"
+            )
             .select(
                 "id",
                 (
@@ -161,4 +151,5 @@ def pagerank(
             )
             .localCheckpoint(eager=True)
         )
+    e.unpersist()
     return ranks
