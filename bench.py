@@ -27,8 +27,8 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM paths the queries actually hit — vectorized parquet
-    # reader, shuffle machinery, broadcast exchange — on the two smallest
-    # tables, so per-query timings reflect execution, not first-touch
+    # reader (footers + every column type), shuffle machinery, broadcast
+    # exchange — so per-query timings reflect execution, not first-touch
     # initialization of each subsystem.
     region = spark.read.parquet(os.path.join(sf_dir, "region.parquet"))
     nation = spark.read.parquet(os.path.join(sf_dir, "nation.parquet"))
@@ -40,6 +40,20 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+
+    for tbl in (
+        "customer supplier part orders lineitem events documents embeddings"
+    ).split():
+        load_table(spark, sf_dir, tbl).write.format("noop").mode("overwrite").save()
+    # Spawn the reusable Python/Arrow workers the mapInPandas kernels run on
+    # (first spawn pays interpreter + pandas import + Arrow channel setup).
+    def _identity(it):
+        yield from it
+
+    spark.range(32).repartition(32).mapInPandas(
+        _identity, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in sorted(q.QUERIES):

@@ -61,11 +61,25 @@ def cooccurrence_edges(
 
 
 def symmetrize(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Undirected view of an edge list: each edge emitted in both directions."""
+    """Undirected view of an edge list: each edge emitted in both directions.
+
+    ``explode`` of the two orientations, not a two-branch union: Spark plans
+    union branches independently, so a union re-executes the upstream edge
+    lineage (often an expensive self-join) once per branch. The explode
+    doubles rows in a single pass over one execution — same output, half the
+    work, at any scale.
+    """
     cols = edges.columns
-    rev = edges.select(
-        F.col(dst).alias(src),
-        F.col(src).alias(dst),
-        *[F.col(c) for c in cols if c not in (src, dst)],
+    payload = [c for c in cols if c not in (src, dst)]
+    both = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("s"), F.col(dst).alias("d")),
+                F.struct(F.col(dst).alias("s"), F.col(src).alias("d")),
+            )
+        ).alias("__sym"),
+        *payload,
     )
-    return edges.select(*cols).unionByName(rev.select(*cols))
+    return both.select(
+        F.col("__sym.s").alias(src), F.col("__sym.d").alias(dst), *payload
+    ).select(*cols)

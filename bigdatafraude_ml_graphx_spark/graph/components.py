@@ -48,12 +48,15 @@ def connected_components(
     cell 44735382 output).
     """
     # Materialize the (possibly expensive) edge lineage ONCE — every
-    # iteration joins against `sym`. Pre-partition on ``v`` (the key the
-    # neighbor-min aggregation groups by) and persist(): persist PRESERVES
-    # output partitioning (localCheckpoint erases it), so each iteration's
-    # groupBy fuses partial+final aggregation with no shuffle — in the
-    # broadcast-label regime a whole round shuffles NOTHING.
-    from .pagerank import _maybe_broadcast
+    # iteration joins against `sym`. Hash-partition on ``v`` (the key the
+    # neighbor-min aggregation groups by) with a count-derived partition
+    # number and persist(): persist PRESERVES output partitioning
+    # (localCheckpoint erases it), so each iteration's groupBy fuses
+    # partial+final aggregation with no shuffle — in the broadcast-label
+    # regime a whole round shuffles NOTHING — while the sized partition
+    # count keeps small graphs off the task-overhead floor and large ones
+    # fully parallel.
+    from .pagerank import _coalesced, _maybe_broadcast, _sized_keyed_persist
 
     sym = symmetrize(edges.select(src, dst), src, dst).select(
         F.col(src).alias("u"), F.col(dst).alias("v")
@@ -64,7 +67,7 @@ def connected_components(
     # saves a full |E| shuffle here.
     if dedup_edges:
         sym = sym.distinct()
-    sym = sym.repartition(F.col("v")).persist()
+    sym = _sized_keyed_persist(sym, key="v")
 
     ids = sym.select(F.col("u").alias("id"))
     if vertices is not None:
@@ -72,6 +75,7 @@ def connected_components(
     labels = ids.distinct().withColumn("component", F.col("id"))
     labels = labels.localCheckpoint(eager=True)
     n_verts = labels.count()
+    labels = _coalesced(labels, n_verts)
 
     for i in range(max_iter):
         # Candidate labels flowing across edges: min neighbor label per
@@ -86,16 +90,14 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
         )
         # least() ignores NULLs, so isolated vertices (no neighbor row after
-        # the left join) keep their own label. neighbor_min is map-side-only
-        # output (no shuffle statistic for AQE) — hint the broadcast in the
-        # same ≤broadcast_rows regime; past it both joins degrade to
-        # shuffles, the right plan at billion-vertex scale.
+        # the left join) keep their own label. No broadcast hint on
+        # neighbor_min: labels ⋈ neighbor_min is |V|-vs-|V| — a broadcast
+        # build job per iteration costs more than the equal-sized exchange
+        # it avoids, and at billion-vertex scale the shuffle join is the
+        # only correct plan. Only the label state joined against the
+        # |E|-scale edge list needs the hint.
         new_labels = (
-            labels.join(
-                _maybe_broadcast(neighbor_min, n_verts, broadcast_rows),
-                "id",
-                "left",
-            )
+            labels.join(neighbor_min, "id", "left")
             .select(
                 "id",
                 F.least("component", "nbr_component").alias("component"),

@@ -13,10 +13,14 @@ from pyspark.sql import functions as F
 
 
 def degrees(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
-    """Total degree per vertex over a directed edge list: in + out."""
-    ids = edges.select(F.col(src).alias("id")).unionAll(
-        edges.select(F.col(dst).alias("id"))
-    )
+    """Total degree per vertex over a directed edge list: in + out.
+
+    ``explode(array(src, dst))``, not a two-branch unionAll: Spark plans
+    union branches independently, so a union would execute the upstream edge
+    lineage (e.g. a co-occurrence self-join) twice. The explode reads each
+    edge row once — one scan, one shuffle, at any scale.
+    """
+    ids = edges.select(F.explode(F.array(F.col(src), F.col(dst))).alias("id"))
     return ids.groupBy("id").agg(F.count("*").alias("degree"))
 
 

@@ -45,6 +45,38 @@ _ACC = "decimal(38,18)"  # used only for weight normalization totals
 _SCALE = 1e14
 
 
+def _sized_keyed_persist(df: DataFrame, key: str, target_rows: int = 250_000) -> DataFrame:
+    """Materialize ``df`` once, then hash-partition it on ``key`` with a
+    partition count derived from its measured size (~``target_rows`` rows per
+    partition) and persist.
+
+    Iterated frames need BOTH properties: persist() preserving the hash
+    partitioning on the aggregation key (so per-iteration groupBys fuse
+    partial+final with no Exchange) AND a partition count matched to the data
+    (32 near-empty partitions make a 10k-edge iteration pure task overhead;
+    at 100 TB the same formula yields thousands of partitions and full
+    parallelism). The count is read off an eager localCheckpoint, so it costs
+    one materialization the loop needs anyway — not an extra pass over the
+    upstream lineage (e.g. a co-occurrence self-join).
+    """
+    ck = df.localCheckpoint(eager=True)
+    n = ck.count()
+    parts = max(1, min(ck.rdd.getNumPartitions(), -(-n // target_rows)))
+    return ck.repartition(parts, F.col(key)).persist()
+
+
+def _coalesced(df: DataFrame, n_rows: int, target_rows: int = 250_000) -> DataFrame:
+    """Coalesce a materialized frame to ~``target_rows``-row partitions —
+    never an increase, never a shuffle. The state frame's partition count
+    propagates through every broadcast-join iteration output (and so sizes
+    every checkpoint/aggregate job in the loop), so keep it matched to the
+    vertex count: 1 partition for a 150-vertex bench graph, thousands at
+    billion-vertex scale (where the count exceeds target and this is a
+    no-op)."""
+    parts = max(1, min(df.rdd.getNumPartitions(), -(-n_rows // target_rows)))
+    return df.coalesce(parts) if parts < df.rdd.getNumPartitions() else df
+
+
 def _maybe_broadcast(df: DataFrame, n_rows: int, threshold: int) -> DataFrame:
     """Broadcast-hint a frame whose row count is known to be small.
 
@@ -64,15 +96,15 @@ def normalize_weights(
 ) -> DataFrame:
     """Per-source weight normalization: weight / Σ weight over the src's
     outgoing edges (the reference's amount-share normalization,
-    ``notebooks/4_graphx.ipynb:681-703``)."""
-    totals = edges.groupBy(src).agg(
-        F.sum(F.col(weight).cast(_ACC)).alias("_total")
-    )
-    return (
-        edges.join(totals, src)
-        .withColumn(weight, (F.col(weight) / F.col("_total")).cast("double"))
-        .drop("_total")
-    )
+    ``notebooks/4_graphx.ipynb:681-703``).
+
+    A window sum over ``src``, not agg + self-join: one pass over the edge
+    lineage and one shuffle. The decimal accumulator keeps the total exact
+    (order-independent), so the result is deterministic either way."""
+    from pyspark.sql import Window
+
+    total = F.sum(F.col(weight).cast(_ACC)).over(Window.partitionBy(src))
+    return edges.withColumn(weight, (F.col(weight) / total).cast("double"))
 
 
 def pagerank(
@@ -89,20 +121,19 @@ def pagerank(
     """Run ``max_iter`` iterations of weighted PageRank. Returns
     ``(id, pagerank)`` over all vertices (edge endpoints ∪ ``vertices``)."""
     # Materialize the edge lineage once — it is joined in EVERY iteration —
-    # pre-partitioned on ``dst``, the contribution-aggregation key. persist()
-    # (unlike localCheckpoint) PRESERVES output partitioning, so every
-    # iteration's groupBy(dst) fuses partial+final aggregation in one stage:
-    # in the broadcast-rank regime an iteration shuffles NOTHING — the |E|
+    # then hash-partition it on ``dst``, the contribution-aggregation key,
+    # with a count-derived partition number, and persist. persist() (unlike
+    # localCheckpoint) PRESERVES output partitioning, so every iteration's
+    # groupBy(dst) fuses partial+final aggregation in one stage: in the
+    # broadcast-rank regime an iteration shuffles NOTHING — the |E|
     # re-shuffle per iteration (5x at max_iter=5) becomes one setup shuffle.
-    # The no-count repartition lets AQE right-size the partition count.
-    e = (
+    e = _sized_keyed_persist(
         edges.select(
             F.col(src).alias("src"),
             F.col(dst).alias("dst"),
             (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w"),
-        )
-        .repartition(F.col("dst"))
-        .persist()
+        ),
+        key="dst",
     )
 
     ids = e.select(F.col("src").alias("id")).unionByName(
@@ -112,6 +143,7 @@ def pagerank(
         ids = ids.unionByName(vertices.select("id"))
     verts = ids.distinct().localCheckpoint(eager=True)
     n = verts.count()
+    verts = _coalesced(verts, n)
 
     ranks = verts.withColumn("pagerank", F.lit(1.0 / n))
     ranks = ranks.localCheckpoint(eager=True)
@@ -133,15 +165,15 @@ def pagerank(
                 (F.sum("contrib_q").cast("double") / F.lit(scale)).alias("contrib")
             )
         )
-        # contribs is now map-side-only (no shuffle stage), so AQE has no
-        # size statistic to auto-broadcast from — hint it explicitly in the
-        # same ≤broadcast_rows regime as the ranks (contribs ≤ |V| rows).
-        # Past the threshold both joins degrade to shuffles, which is the
-        # right plan at billion-vertex scale.
+        # No broadcast hint on contribs: verts ⋈ contribs is |V|-vs-|V| —
+        # broadcasting would add a separate build job (driver collect +
+        # rebroadcast) per iteration to avoid a shuffle of the same size as
+        # the broadcast. The shuffle join is one exchange over the
+        # right-sized (tiny at bench scale) partitioning, and at
+        # billion-vertex scale it is the only correct plan anyway. Only the
+        # rank state joined against the |E|-scale edge list needs the hint.
         ranks = (
-            verts.join(
-                _maybe_broadcast(contribs, n, broadcast_rows), "id", "left_outer"
-            )
+            verts.join(contribs, "id", "left_outer")
             .select(
                 "id",
                 (

@@ -127,13 +127,16 @@ def q23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     hand-rolled loop (``notebooks/4_graphx.ipynb:833-894``) with per-source
     weight normalization (``:681-703``) and localCheckpoint lineage
     truncation. Oracle: the same recurrence unrolled in SQL."""
+    from pyspark.sql import Window
+
     e = symmetrize(_events_edges(spark, sf_dir))
-    totals = e.groupBy("src").agg(F.sum("weight").alias("_total"))
-    e = e.join(totals, "src").select(
+    # Window sum over src, not agg+join: the symmetrized co-occurrence
+    # lineage is computed once. Integer weight totals are exact in any
+    # grouping, so values match the oracle's join formulation bit-for-bit.
+    total = F.sum("weight").over(Window.partitionBy("src"))
+    e = e.select(
         "src",
         "dst",
-        (F.col("weight").cast("double") / F.col("_total").cast("double")).alias(
-            "weight"
-        ),
+        (F.col("weight").cast("double") / total.cast("double")).alias("weight"),
     )
     return pagerank(e, alpha=0.15, max_iter=5)

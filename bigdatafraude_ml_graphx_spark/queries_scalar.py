@@ -91,17 +91,21 @@ def q40_string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q41_edge_weight_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source edge weight normalization (G4): the reference's
-    amount-share weights — join + agg + arithmetic
-    (``notebooks/4_graphx.ipynb:681-703``). Integer totals divide in double:
-    deterministic."""
+    amount-share weights (``notebooks/4_graphx.ipynb:681-703``), expressed as
+    a window sum over ``src`` rather than the reference's agg + self-join —
+    the edge lineage (a co-occurrence self-join) is computed once and
+    shuffled once instead of twice plus a join. Integer totals divide in
+    double: deterministic, value-identical to the agg+join form."""
+    from pyspark.sql import Window
+
     e = cooccurrence_edges(
         load_table(spark, sf_dir, "events"), "user_id", "ts", "hour", ("event_type",)
     )
-    tot = e.groupBy("src").agg(F.sum("weight").alias("total"))
-    return e.join(tot, "src").select(
+    total = F.sum("weight").over(Window.partitionBy("src"))
+    return e.select(
         "src",
         "dst",
-        (F.col("weight").cast("double") / F.col("total").cast("double")).alias(
+        (F.col("weight").cast("double") / total.cast("double")).alias(
             "norm_weight"
         ),
     )
