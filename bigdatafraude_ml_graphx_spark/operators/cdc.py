@@ -1,0 +1,46 @@
+"""Change-data-capture style compaction: latest-row-wins per key.
+
+The reference has no incremental surface at all (every notebook recomputes
+from the raw CSV, e.g. ``/root/reference/notebooks/2_sql_analysis.ipynb``
+re-reads ``creditcard.csv`` per run); a 100 TB pipeline ingests append-only
+change logs and must compact them to current state. The canonical operator is
+"keep the newest version of each key", which Spark expresses as one
+``row_number`` window — a single hash shuffle on the key, no self-join, no
+global sort.
+
+Scale notes:
+* One shuffle on ``keys``; per-key state is a sort of that key's rows only.
+* At petabyte scale the same operator runs incrementally: compact new
+  partitions, then ``latest_by_key`` over (compacted ∪ delta) — the window
+  formulation is identical, which is why it's exposed as an operator instead
+  of an inline query.
+* ``max_by(struct(...))`` would compute the same thing in one aggregate;
+  the window form is used because it (a) returns the whole winning row
+  without re-joining and (b) extends to "keep newest N versions" for free.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_RN = "__cdc_rn"
+
+
+def latest_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str],
+    keep: int = 1,
+) -> DataFrame:
+    """Keep the ``keep`` newest rows per ``keys``, newest = descending on
+    ``order_by`` (pass a unique final column, e.g. an event id, for a
+    deterministic winner on timestamp ties)."""
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc() for c in order_by])
+    return (
+        df.withColumn(_RN, F.row_number().over(w))
+        .filter(F.col(_RN) <= keep)
+        .drop(_RN)
+    )
