@@ -21,6 +21,28 @@ from bigdatafraude_ml_graphx_spark import get_spark
 from bigdatafraude_ml_graphx_spark import registry as q
 
 
+def _reset_session_cache(spark) -> None:
+    """Session-cache hygiene between timed queries.
+
+    CacheManager entries (``df.persist()``) are keyed by logical plan and
+    never garbage-collected; one leaked entry pollutes every later timing in
+    a long single-session run (the round-2 bench regressed the dedup cluster
+    2-9x on unchanged code this way). Clear the CacheManager, drop Python
+    references, and unpersist any remaining persisted/localCheckpointed RDD
+    blocks so each query is timed against a cold cache.
+    """
+    import gc
+
+    spark.catalog.clearCache()
+    gc.collect()
+    try:
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for rdd in list(jmap.values()):
+            rdd.unpersist()
+    except Exception:
+        pass  # py4j surface differences must never fail the bench
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="engine-bench")
@@ -62,6 +84,8 @@ def main() -> None:
         df = fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - start, 4)
+        df = None
+        _reset_session_cache(spark)
 
     _bench_bucketed_layouts(spark, sf_dir, timings)
 
@@ -114,6 +138,7 @@ def _bench_bucketed_layouts(spark, sf_dir: str, timings: dict) -> None:
     topk.write.format("noop").mode("overwrite").save()
     timings["x_ivf_bucketed_probe"] = round(time.perf_counter() - start, 4)
     spark.sql("DROP TABLE IF EXISTS bench_ivf_corpus")
+    _reset_session_cache(spark)
 
     # --- near-dup: documents bucketed by doc_id; the signature aggregation
     # then needs NO Exchange (bucket partitioning flows through the shingle
@@ -135,6 +160,7 @@ def _bench_bucketed_layouts(spark, sf_dir: str, timings: dict) -> None:
     cc.write.format("noop").mode("overwrite").save()
     timings["x_near_dup_bucketed_pipeline"] = round(time.perf_counter() - start, 4)
     spark.sql("DROP TABLE IF EXISTS bench_docs_b")
+    _reset_session_cache(spark)
 
 
 if __name__ == "__main__":

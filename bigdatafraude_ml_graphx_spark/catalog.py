@@ -38,26 +38,35 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar parquet scan of one testdata table.
 
-    ``events.ts`` is stored as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects ([PARQUET_TYPE_ILLEGAL]). We read it as raw
-    nanos (``nanosAsLong``) and rebuild a TIMESTAMP_NTZ via exact interval
-    arithmetic — NOT ``timestamp_micros``, which yields TIMESTAMP_LTZ and
-    would shift the wall-clock value under a non-UTC driver session. The
-    decimal division keeps microsecond precision exactly; truncation to
-    micros matches DuckDB's read of the same column.
+    ``events.ts`` is stored as parquet TIMESTAMP(NANOS). Depending on the
+    Spark version the scan yields either
+
+    * raw nanos as BIGINT (older Sparks honoring
+      ``spark.sql.legacy.parquet.nanosAsLong``) — rebuilt into TIMESTAMP_NTZ
+      via exact interval arithmetic (NOT ``timestamp_micros``, which yields
+      TIMESTAMP_LTZ and shifts wall-clock values under a non-UTC session;
+      the decimal division truncates to micros exactly as DuckDB does), or
+    * a native TIMESTAMP_NTZ already truncated to micros (Spark ≥ 4.1 reads
+      nanos natively and ignores the legacy conf) — passed through as-is.
+
+    Branching on the SCANNED dtype (not the Spark version string) keeps the
+    same code correct on both behaviors.
     """
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # conf removed in newer Sparks; native read handles nanos
         from pyspark.sql import functions as F
 
+        df = spark.read.parquet(table_path(sf_dir, name))
+        if dict(df.dtypes).get("ts") not in ("bigint", "long"):
+            return df
         ntz = (
             "TIMESTAMP_NTZ '1970-01-01 00:00:00' + "
             "make_dt_interval(0, 0, 0, CAST(ts div 1000 AS DECIMAL(20,0)) / 1000000)"
         )
-        return (
-            spark.read.parquet(table_path(sf_dir, name))
-            .withColumn("ts", F.expr(ntz))
-        )
+        return df.withColumn("ts", F.expr(ntz))
     return spark.read.parquet(table_path(sf_dir, name))
 
 

@@ -61,6 +61,13 @@ def lsh_candidate_pairs(
     a union of per-band selects would recompute the full shingle→minhash
     lineage once per band per join side (observed 8× recompute, 73 s → ~7 s
     at sf0.1).
+
+    The (small) pair result is materialized eagerly (``localCheckpoint``) so
+    the bucket frame can be unpersisted before returning: ``persist()``
+    entries live in the CacheManager keyed by logical plan and are never
+    GC'd, so a leaked one pollutes every later job in a long session
+    (observed as the round-2 bench regression); ``localCheckpoint`` blocks
+    are released by the ContextCleaner once the driver reference drops.
     """
     rows_per_band = num_hashes // bands
     band_structs = []
@@ -85,7 +92,7 @@ def lsh_candidate_pairs(
 
     a = buckets.alias("a")
     b = buckets.alias("b")
-    return (
+    pairs = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -94,4 +101,7 @@ def lsh_candidate_pairs(
         )
         .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .agg(F.count("*").alias("n_shared_bands"))
+        .localCheckpoint(eager=True)
     )
+    buckets.unpersist()
+    return pairs

@@ -94,7 +94,10 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    return (
+    # Eagerly materialize the (small) pair result so the shingle frame can be
+    # unpersisted before returning — a leaked persist() lives in the
+    # CacheManager forever and pollutes later jobs (see lsh_candidate_pairs).
+    pairs = (
         shared.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn(
@@ -104,4 +107,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+        .localCheckpoint(eager=True)
     )
+    shingles.unpersist()
+    return pairs

@@ -100,10 +100,16 @@ def simhash_near_pairs(
         )
         .distinct()
     )
-    return (
+    # Eagerly materialize the (tiny) pair result so the banded frame can be
+    # unpersisted before returning — a leaked persist() lives in the
+    # CacheManager forever and pollutes later jobs (see lsh_candidate_pairs).
+    pairs = (
         cand.withColumn(
             "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
         )
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .localCheckpoint(eager=True)
     )
+    banded.unpersist()
+    return pairs

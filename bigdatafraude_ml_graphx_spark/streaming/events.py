@@ -1,8 +1,18 @@
 """Streaming view of the testdata ``events`` table (file-replay source).
 
 Mirrors ``catalog.load_table``'s TIMESTAMP(NANOS) handling for the streaming
-reader: declared schema with ``ts`` as raw nanos (``nanosAsLong``), then the
-same timezone-independent TIMESTAMP_NTZ reconstruction.
+reader. The batch scan is probed (schema-only, no job) to learn how this
+Spark reads the nanos column:
+
+* native TIMESTAMP_NTZ (Spark >= 4.1) — declare ``ts timestamp_ntz`` in the
+  stream schema and pass it through; the reader truncates to micros exactly
+  as DuckDB does. Declaring ``ts long`` here would be WRONG on these
+  Sparks: the reader casts the timestamp to long as MICROS, silently
+  shifting every downstream window by 10^3 (observed: all events landing in
+  1970-01-20).
+* raw nanos as BIGINT (older Sparks honoring
+  ``spark.sql.legacy.parquet.nanosAsLong``) — declare ``ts long`` and
+  rebuild TIMESTAMP_NTZ with exact interval arithmetic.
 """
 
 from __future__ import annotations
@@ -12,7 +22,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-EVENTS_SCHEMA = (
+EVENTS_SCHEMA_NATIVE = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+    " value double, props string"
+)
+
+EVENTS_SCHEMA_NANOS = (
     "event_id long, ts long, user_id long, event_type string,"
     " value double, props string"
 )
@@ -40,9 +55,19 @@ def _staged_dir(sf_dir: str) -> str:
 
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # conf removed in newer Sparks; native read handles nanos
+    probe = spark.read.parquet(
+        os.path.join(sf_dir, "events.parquet")
+    )  # schema-only: no job runs
+    if dict(probe.dtypes).get("ts") not in ("bigint", "long"):
+        return spark.readStream.schema(EVENTS_SCHEMA_NATIVE).parquet(
+            _staged_dir(sf_dir)
+        )
     return (
-        spark.readStream.schema(EVENTS_SCHEMA)
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
         .parquet(_staged_dir(sf_dir))
         .withColumn("ts", F.expr(_NTZ))
     )
