@@ -1,0 +1,103 @@
+"""CDC compaction + vector-quantization query declarations.
+
+Wires :mod:`.operators.cdc` and :mod:`.similarity.quantize` into the judged
+surface: q74 is the latest-row-wins change-log compaction every incremental
+100 TB pipeline runs on ingest; q75 freezes the scalar-quantization contract
+(codes + reconstruction error) against an exact DuckDB mirror.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .operators.cdc import latest_by_key
+from .queries import query
+from .similarity.quantize import dequantize, scalar_quantize
+
+
+@query(
+    "q74_cdc_latest_events",
+    oracle="""
+    SELECT event_id, ts, user_id, event_type, value, props FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events)
+    WHERE rn <= 1
+    """,
+)
+def q74_cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest event per user — the CDC "current state" compaction
+    (operators/cdc.py). One hash shuffle on the key; the event_id tiebreak
+    makes the winner deterministic on timestamp ties. The reference recomputes
+    everything from raw CSV per run (notebooks/2_sql_analysis.ipynb); this is
+    the incremental-ingest operator that replaces that at scale."""
+    return latest_by_key(
+        load_table(spark, sf_dir, "events"),
+        keys=("user_id",),
+        order_by=("ts", "event_id"),
+    )
+
+
+# Per-vector double view of the embedding + its min/max — shared between the
+# code and the error expressions in the oracle.
+_V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+@query(
+    "q75_scalar_quantize",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, {_V} AS v,
+               list_min({_V}) AS mn, list_max({_V}) AS mx
+        FROM embeddings),
+    q AS (
+        SELECT vec_id, v, mn, mx,
+               CASE WHEN mx > mn THEN
+                 list_transform(v, x -> least(CAST(255 AS BIGINT),
+                     CAST(floor((x - mn) / ((mx - mn) / 255.0)) AS BIGINT)))
+               ELSE list_transform(v, x -> CAST(0 AS BIGINT)) END AS codes
+        FROM s)
+    SELECT vec_id,
+           CAST(len(codes) AS INTEGER) AS n_codes,
+           CAST(list_sum(codes) AS BIGINT) AS sum_codes,
+           CAST(list_min(codes) AS INTEGER) AS min_code,
+           CAST(list_max(codes) AS INTEGER) AS max_code,
+           mn AS qmin, mx AS qmax,
+           list_max([abs(mn + CAST(codes[i] AS DOUBLE) * ((mx - mn) / 255.0)
+                         - v[i])
+                     for i in range(1, len(v) + 1)]) AS max_abs_err
+    FROM q
+    """,
+)
+def q75_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-bit scalar quantization round-trip (similarity/quantize.py): codes,
+    stored range, and the max per-vector reconstruction error after
+    dequantization. Pure projection — zero shuffle, no UDF; every arithmetic
+    step is exactly-rounded IEEE-754 so codes and errors are bit-identical in
+    any engine (the summary columns are scalars so the driver hash is
+    list-representation-independent)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = scalar_quantize(emb, vec_col="embedding", out_col="qvec", bits=8)
+    dq = dequantize(q, qvec_col="qvec", out_col="dqvec", bits=8)
+    err = F.array_max(
+        F.zip_with(
+            "dqvec",
+            F.transform("embedding", lambda x: x.cast("double")),
+            lambda a, b: F.abs(a - b),
+        )
+    )
+    return dq.select(
+        "vec_id",
+        F.size("qvec").alias("n_codes"),
+        F.aggregate(
+            "qvec", F.lit(0).cast("bigint"), lambda acc, c: acc + c.cast("bigint")
+        ).alias("sum_codes"),
+        F.array_min("qvec").alias("min_code"),
+        F.array_max("qvec").alias("max_code"),
+        F.col("qvec_min").alias("qmin"),
+        F.col("qvec_max").alias("qmax"),
+        err.alias("max_abs_err"),
+    )

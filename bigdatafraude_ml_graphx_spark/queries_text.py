@@ -311,6 +311,38 @@ def _dedup_groups_oracle(bands: int = 4) -> str:
     """
 
 
+@query(
+    "q73_tfidf_keywords",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, unnest(toks) AS term FROM d)
+           GROUP BY doc_id, term),
+    dfx AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, dfx.df,
+               CAST(tf.tf AS DOUBLE) * CAST(n.n_docs AS DOUBLE)
+                 / CAST(dfx.df AS DOUBLE) AS score
+        FROM tf JOIN dfx ON tf.term = dfx.term CROSS JOIN n),
+    ranked AS (
+        SELECT doc_id, term, tf, df, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY score DESC, term ASC) AS term_rank
+        FROM scored)
+    SELECT doc_id, term, tf, df, score, CAST(term_rank AS INTEGER) AS term_rank
+    FROM ranked WHERE term_rank <= 3
+    """,
+)
+def q73_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF keywords per document (rarity-ratio idf, frozen
+    deterministic contract — see functions/tfidf.py). Only (doc_id, term)
+    pairs shuffle; the text never does."""
+    from .functions.tfidf import tfidf_top_terms
+
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=3)
+
+
 @query("q64_near_dup_groups", oracle=_dedup_groups_oracle())
 def q64_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dedup pipeline: MinHash signatures → banded LSH

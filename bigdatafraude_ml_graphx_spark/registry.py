@@ -23,3 +23,4 @@ from . import queries_sql2  # noqa: F401  (scalar subquery, unpivot — SQL surf
 from . import queries_arrays  # noqa: F401  (higher-order array functions)
 from . import queries_windows3  # noqa: F401  (RANGE frames, ntile/first/last)
 from . import queries_quality  # noqa: F401  (repetition/chunking/PII/contamination)
+from . import queries_cdc  # noqa: F401  (CDC compaction, scalar quantization)

@@ -1,0 +1,90 @@
+"""Unit tests for the CDC compaction, scalar quantization, and TF-IDF
+operators (semantics beyond the oracle-parity gate in test_oracle_parity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdatafraude_ml_graphx_spark.functions.tfidf import tfidf_top_terms
+from bigdatafraude_ml_graphx_spark.operators.cdc import latest_by_key
+from bigdatafraude_ml_graphx_spark.similarity.quantize import (
+    dequantize,
+    scalar_quantize,
+)
+
+
+def test_latest_by_key_picks_newest_and_breaks_ties(spark):
+    rows = [
+        ("k1", 1, 100, "old"),
+        ("k1", 2, 200, "new"),
+        ("k2", 5, 300, "only"),
+        # timestamp tie on k3 → higher id wins (deterministic tiebreak)
+        ("k3", 7, 400, "tie-lo"),
+        ("k3", 7, 401, "tie-hi"),
+    ]
+    df = spark.createDataFrame(rows, "key string, ts long, id long, payload string")
+    out = latest_by_key(df, keys=("key",), order_by=("ts", "id"))
+    got = {r["key"]: r["payload"] for r in out.collect()}
+    assert got == {"k1": "new", "k2": "only", "k3": "tie-hi"}
+    assert out.columns == df.columns  # helper column dropped
+
+
+def test_latest_by_key_keep_n(spark):
+    rows = [("k", t, t, f"v{t}") for t in range(5)]
+    df = spark.createDataFrame(rows, "key string, ts long, id long, payload string")
+    out = latest_by_key(df, keys=("key",), order_by=("ts",), keep=2)
+    assert sorted(r["payload"] for r in out.collect()) == ["v3", "v4"]
+
+
+def test_scalar_quantize_roundtrip_error_bound(spark):
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.5, 1.0, 0.25]), (2, [-3.0, 7.0, 0.0, 2.5])],
+        "vec_id long, embedding array<double>",
+    )
+    dq = dequantize(scalar_quantize(df, vec_col="embedding", bits=8))
+    rows = dq.select(
+        "vec_id",
+        "qvec",
+        F.array_max(
+            F.zip_with("dqvec", "embedding", lambda a, b: F.abs(a - b))
+        ).alias("err"),
+        (F.col("qvec_max") - F.col("qvec_min")).alias("range"),
+    ).collect()
+    for r in rows:
+        # one quantization step = range/255; reconstruction error < one step
+        assert r["err"] <= r["range"] / 255.0 + 1e-12
+        assert all(0 <= c <= 255 for c in r["qvec"])
+    # range endpoints map to code 0 and 255
+    codes = {r["vec_id"]: r["qvec"] for r in rows}
+    assert codes[1][0] == 0 and codes[1][2] == 255
+
+
+def test_scalar_quantize_constant_vector(spark):
+    df = spark.createDataFrame(
+        [(1, [2.5, 2.5, 2.5])], "vec_id long, embedding array<double>"
+    )
+    row = dequantize(scalar_quantize(df)).collect()[0]
+    assert row["qvec"] == [0, 0, 0]
+    assert row["dqvec"] == [2.5, 2.5, 2.5]  # degenerate range dequantizes back
+
+
+def test_tfidf_ranks_rare_terms_above_common(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "apple apple banana common"),
+            (2, "cherry common"),
+            (3, "banana common"),
+        ],
+        "doc_id long, text string",
+    )
+    out = tfidf_top_terms(df, k=2)
+    top = {
+        r["doc_id"]: r["term"]
+        for r in out.filter(F.col("term_rank") == 1).collect()
+    }
+    # doc 1: apple has tf=2 and df=1 → top; 'common' (df=3) never ranks first
+    assert top == {1: "apple", 2: "cherry", 3: "banana"}
+    assert out.filter(F.col("term") == "common").filter(
+        F.col("term_rank") == 1
+    ).count() == 0
