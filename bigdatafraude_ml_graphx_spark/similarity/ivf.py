@@ -3,10 +3,15 @@ scale path for similarity search (north-star: "an IVF or LSH-bucketed variant
 as the scale path").
 
 Index build: pick ``n_cells`` deterministic centroids (seeded sample of the
-corpus), assign every vector to its nearest centroid — one broadcast join, no
-shuffle of the corpus beyond the assignment column. Query: probe the
-``n_probe`` nearest cells per query and brute-force only within those cells —
-the corpus×query cross product shrinks by ~``n_cells/n_probe``×.
+corpus or an MLlib k-means fit), then assign every vector to its nearest
+centroid as a PURE PROJECTION: the ≤``n_cells`` centroids are inlined into
+the plan as literals and the argmax over their cosine similarities is a
+per-row array expression — zero shuffle, zero row blowup. (The previous
+formulation — explode via broadcast join then a ``Window.partitionBy(id)``
+argmax — shuffled the 16×-exploded corpus; a scale-killer at 100 TB.)
+Query: probe the ``n_probe`` nearest cells per query and brute-force only
+within those cells — the corpus×query cross product shrinks by
+~``n_cells/n_probe``×.
 
 At 100 TB the assignment step writes a bucketed/partitioned table keyed by
 ``cell`` so probes become partition-pruned scans; here the same plan shape is
@@ -59,22 +64,46 @@ def build_ivf_index(
     else:
         raise ValueError(f"method must be 'sample' or 'kmeans', got {method!r}")
     corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    scored = corpus.join(F.broadcast(centroids)).select(
-        "id",
-        "vec",
-        "cell",
-        (
-            _qsum_array(_pos_products(F.col("vec"), F.col("cvec")))
-            / (_norm(F.col("vec")) * _norm(F.col("cvec")))
-        ).alias("sim"),
-    )
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(), F.col("cell").asc())
-    assigned = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("id", "vec", "cell")
+    assigned = corpus.withColumn(
+        "cell", _nearest_cell_expr(F.col("vec"), centroids)
     )
     return centroids, assigned
+
+
+def _nearest_cell_expr(vec, centroids: DataFrame):
+    """Nearest-centroid argmax as a single column expression.
+
+    The centroid frame is collected to the driver (≤ n_cells rows — index
+    METADATA, like k-means' own ``clusterCenters()``, not a data-path
+    collect) and inlined as literals. Centroid norms are precomputed in
+    Python with the SAME quantized arithmetic as :func:`_norm` (int64 sums of
+    ``floor(x·x·1e12 + 0.5)``), so the inlined constants are bit-identical to
+    what the JVM expression would produce. Ties break toward the smallest
+    cell id, matching the previous window formulation
+    (``orderBy(sim desc, cell asc)``) via ``array_min`` over
+    ``struct(-sim, cell)``.
+    """
+    import math
+
+    from .cosine import _QSCALE
+
+    rows = centroids.select("cell", "cvec").collect()
+    vnorm = _norm(vec)
+    entries = []
+    for r in rows:
+        cvals = [float(x) for x in r["cvec"]]
+        cnorm = math.sqrt(
+            sum(math.floor(x * x * _QSCALE + 0.5) for x in cvals) / _QSCALE
+        )
+        cvec = F.array(*[F.lit(x) for x in cvals])
+        sim = _qsum_array(_pos_products(vec, cvec)) / (vnorm * F.lit(cnorm))
+        entries.append(
+            F.struct(
+                (-sim).alias("neg_sim"),
+                F.lit(int(r["cell"])).cast("long").alias("cell"),
+            )
+        )
+    return F.array_min(F.array(*entries))["cell"]
 
 
 def _kmeans_centroids(

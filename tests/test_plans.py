@@ -247,3 +247,29 @@ def test_minhash_agg_no_exchange_on_bucketed_docs(spark, sf_dir):
         assert sigs.count() == base.count()
     finally:
         spark.sql("DROP TABLE IF EXISTS t_docs_b")
+
+
+def test_ivf_build_assignment_no_exchange(spark, sf_dir):
+    """Nearest-centroid assignment is a pure projection (inlined-literal
+    centroids + per-row argmax): the plan must contain no Exchange, no
+    Window, no join — the corpus never shuffles during index build."""
+    from bigdatafraude_ml_graphx_spark.plans import formatted_plan
+    from bigdatafraude_ml_graphx_spark.similarity.ivf import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assigned = build_ivf_index(emb, n_cells=8)
+    plan = formatted_plan(assigned)
+    assert "Exchange" not in plan, plan
+    assert "Window" not in plan, plan
+    assert "Join" not in plan, plan
+    # every vector gets exactly one cell, all cells within range
+    from pyspark.sql import functions as F
+
+    stats = assigned.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("id").alias("n_ids"),
+        F.min("cell").alias("mn"),
+        F.max("cell").alias("mx"),
+    ).collect()[0]
+    assert stats["n"] == stats["n_ids"]
+    assert 0 <= stats["mn"] and stats["mx"] <= 7
