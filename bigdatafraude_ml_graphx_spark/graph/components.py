@@ -77,6 +77,7 @@ def connected_components(
     n_verts = labels.count()
     labels = _coalesced(labels, n_verts)
 
+    prev_fp: int | None = None
     for i in range(max_iter):
         # Candidate labels flowing across edges: min neighbor label per
         # vertex. The label frame is one narrow row per vertex — broadcast
@@ -115,14 +116,15 @@ def connected_components(
         # /root/reference/notebooks/4_graphx.ipynb:334-336) and NULL == NULL
         # would end the loop after one round with wrong labels. bit_xor is
         # order-insensitive and cannot overflow under ANSI mode (sum can).
+        # (An xor collision between consecutive DIFFERENT label sets would
+        # exit one round early — probability ~2^-64 per round, negligible.)
         fingerprint = F.bit_xor(F.xxhash64("id", "component"))
-        new_sum = new_labels.agg(fingerprint).collect()[0][0]
-        old_sum = getattr(labels, "_cc_label_sum", None)
-        if old_sum is None:
-            old_sum = labels.agg(fingerprint).collect()[0][0]
+        new_fp = new_labels.agg(fingerprint).collect()[0][0]
+        if prev_fp is None:
+            prev_fp = labels.agg(fingerprint).collect()[0][0]
         labels = new_labels
-        labels._cc_label_sum = new_sum
-        if new_sum == old_sum:
+        if new_fp == prev_fp:
             break
+        prev_fp = new_fp
     sym.unpersist()
     return labels

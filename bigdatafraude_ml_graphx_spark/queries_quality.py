@@ -138,6 +138,49 @@ def q71_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash_groups_oracle(max_hamming: int = 3) -> str:
+    """SimHash near-pairs (same fragments as q71) + recursive-CTE transitive
+    closure (same labeling as q64): group id = min reachable doc id."""
+    pairs = _simhash_pairs_oracle(max_hamming).strip()
+    return f"""
+    WITH RECURSIVE p AS ({pairs}),
+    sym AS (SELECT doc_a AS u, doc_b AS v FROM p
+            UNION SELECT doc_b, doc_a FROM p),
+    reach(a, bnode) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.bnode = s.u)
+    SELECT a AS doc, MIN(bnode) AS dup_group,
+           (a = MIN(bnode)) AS is_canonical
+    FROM reach GROUP BY a
+    """
+
+
+@query("q76_simhash_dup_groups", oracle=_simhash_groups_oracle())
+def q76_simhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-pairs routed through the SAME connected-components
+    canonicalization as the MinHash-LSH pipeline (q64): both fingerprint
+    families share one dup-group decision operator. The pair list is a
+    distinct-ed equi-join output (one row per pair), so component propagation
+    skips its dedup shuffle."""
+    from .dedup.simhash import simhash_near_pairs
+    from .graph.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = simhash_near_pairs(docs, max_hamming=3)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(
+        edges,
+        vertices=docs.select(F.col("doc_id").alias("id")),
+        dedup_edges=False,
+    )
+    return cc.select(
+        F.col("id").alias("doc"),
+        F.col("component").alias("dup_group"),
+        (F.col("id") == F.col("component")).alias("is_canonical"),
+    )
+
+
 _EVAL_MOD = 50  # every 50th doc stands in for the benchmark set
 _MIN_SHARED = 2
 
