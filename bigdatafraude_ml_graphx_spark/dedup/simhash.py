@@ -1,12 +1,20 @@
 """SimHash fingerprints (Charikar) for near-duplicate detection.
 
-A 32-bit SimHash over the canonical tokens: each token hashes to 32 bits
-(md5-based, engine-portable); bit b of the fingerprint is 1 iff the majority
-of tokens have bit b set. Near-duplicates = fingerprints within a small
-Hamming distance.
+A 64-bit SimHash over the canonical tokens: each token hashes to 64 bits
+(hex chars 1-8 and 9-16 of one md5 — ONE digest yields both 32-bit halves,
+so widening costs no extra hashing); bit b of the fingerprint is 1 iff the
+majority of tokens have bit b set. Near-duplicates = fingerprints within a
+small Hamming distance.
 
-Implementation is exploded-bit aggregation — tokens × 32 rows, summed with
-map-side combine; the shuffle carries 32 longs per doc. No UDFs.
+64 bits (vs 32) matters for the BLOCKING step, not just collision odds:
+``simhash_near_pairs`` bands the fingerprint into ``max_hamming+1`` pieces,
+and the candidate count per band scales ~N²/2^width. At Hamming ≤ 3 that is
+16-bit bands instead of 8-bit — 256× fewer random band collisions, which is
+the difference between a candidate join that grows linearly with corpus size
+and one that quietly goes quadratic at 100 TB.
+
+Implementation is exploded-bit aggregation — tokens × 64 rows, summed with
+map-side combine; the shuffle carries 64 longs per doc. No UDFs.
 """
 
 from __future__ import annotations
@@ -17,30 +25,49 @@ from pyspark.sql import functions as F
 from ..functions.text import tokens
 from .minhash import _hash64
 
-BITS = 32
+BITS = 64
+_HALF = 32
 
 
 def simhash64(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
-    """Per-doc SimHash: ``(doc, simhash)`` with a 32-bit fingerprint."""
+    """Per-doc SimHash: ``(doc, simhash)`` with a 64-bit fingerprint."""
     toks = df.select(
         F.col(id_col).alias("doc"), F.explode(tokens(text_col)).alias("tok")
     )
-    h = toks.withColumn("h", _hash64(F.col("tok"), 0))
-    # For each bit: +1 if set else -1; majority vote = sign of the sum.
-    bit_sums = h.groupBy("doc").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-            ).alias(f"b{b}")
-            for b in range(BITS)
-        ]
+    # One md5 per token; hex chars 1-8 / 9-16 are two independent 32-bit
+    # halves (same salt prefix convention as minhash._hash64).
+    m = F.md5(F.concat(F.lit("0:"), F.col("tok")))
+    h = toks.select(
+        "doc",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("long").alias("h_lo"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("long").alias("h_hi"),
     )
+
+    def _bit(b: int):
+        col, off = ("h_lo", b) if b < _HALF else ("h_hi", b - _HALF)
+        return F.shiftright(F.col(col), off).bitwiseAND(F.lit(1))
+
+    # Majority vote without per-bit branching: sum each 0/1 bit and compare
+    # 2·popcount > n — the CASE-WHEN ±1 formulation doubles the aggregate
+    # expression work for the same verdict.
+    bit_sums = h.groupBy("doc").agg(
+        F.count("*").alias("n_toks"),
+        *[F.sum(_bit(b)).alias(f"b{b}") for b in range(BITS)],
+    )
+    # Recompose with bitwise OR of shifted bits — shiftleft wraps into the
+    # sign bit for b=63 (two's complement), and OR never overflows, so this
+    # is ANSI-mode safe where addition of 2^63 would not be.
     sim = F.lit(0).cast("long")
     for b in range(BITS):
-        sim = sim + F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(0)
+        bit = (
+            F.when(
+                F.col(f"b{b}") * 2 > F.col("n_toks"),
+                F.shiftleft(F.lit(1).cast("long"), b),
+            ).otherwise(F.lit(0).cast("long"))
+        )
+        sim = sim.bitwiseOR(bit)
     return bit_sums.select("doc", sim.alias("simhash"))
 
 
@@ -60,7 +87,7 @@ def simhash_near_pairs(
     bands = max_hamming + 1
     width = BITS // bands
     # Single-pass banding (array-of-structs + explode) and persist: a
-    # union-of-selects would re-run the 32-aggregate signature build once
+    # union-of-selects would re-run the 64-aggregate signature build once
     # per band per join side (the recompute trap lsh_candidate_pairs
     # documents — 8x observed there).
     band_structs = [

@@ -104,7 +104,7 @@ def _simhash_pairs_oracle(max_hamming: int = 3) -> str:
     from .queries_text import _simhash_oracle
 
     bands = max_hamming + 1
-    width = 32 // bands
+    width = 64 // bands
     mask = (1 << width) - 1
     sig = _simhash_oracle().strip()
     return f"""

@@ -215,28 +215,44 @@ def q29_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _simhash_oracle() -> str:
-    h = _hash_sql("tok", 0)
+    """64-bit SimHash mirror: hex chars 1-8 / 9-16 of one md5 per token are
+    the two 32-bit halves (matching dedup/simhash.py). DuckDB's checked
+    arithmetic rejects ``1 << 63``, so the sign bit is set via xor with
+    MIN_BIGINT instead."""
+    md5 = "md5('0:' || tok)"
+    h_lo = f"CAST('0x' || substr({md5}, 1, 8) AS BIGINT)"
+    h_hi = f"CAST('0x' || substr({md5}, 9, 8) AS BIGINT)"
+
+    def bit(b: int) -> str:
+        col, off = ("h_lo", b) if b < 32 else ("h_hi", b - 32)
+        return f"({col} >> {off}) & 1"
+
     bit_sums = ", ".join(
-        f"CAST(SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{b}"
-        for b in range(32)
+        f"CAST(SUM({bit(b)}) AS BIGINT) AS b{b}" for b in range(64)
     )
-    recompose = " + ".join(
-        f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
-        for b in range(32)
+    low = " | ".join(
+        f"CASE WHEN b{b} * 2 > n_toks THEN (CAST(1 AS BIGINT) << {b}) ELSE 0 END"
+        for b in range(63)
     )
     return f"""
     WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
     tk AS (SELECT doc_id AS doc, unnest(toks) AS tok FROM d),
-    hashed AS (SELECT doc, {h} AS h FROM tk),
-    bits AS (SELECT doc, {bit_sums} FROM hashed GROUP BY doc)
-    SELECT doc, {recompose} AS simhash FROM bits
+    hashed AS (SELECT doc, {h_lo} AS h_lo, {h_hi} AS h_hi FROM tk),
+    bits AS (SELECT doc, CAST(COUNT(*) AS BIGINT) AS n_toks, {bit_sums}
+             FROM hashed GROUP BY doc),
+    lo AS (SELECT doc, ({low}) AS lo_bits, b63, n_toks FROM bits)
+    SELECT doc,
+           CASE WHEN b63 * 2 > n_toks
+                THEN xor(lo_bits, CAST('-9223372036854775808' AS BIGINT))
+                ELSE lo_bits END AS simhash
+    FROM lo
     """
 
 
 @query("q30_simhash", oracle=_simhash_oracle())
 def q30_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash fingerprints (majority-vote bits over md5 token
-    hashes) — exploded-bit aggregation, no UDFs."""
+    """64-bit SimHash fingerprints (majority-vote bits over two salted md5
+    token-hash halves) — exploded-bit aggregation, no UDFs."""
     return simhash64(load_table(spark, sf_dir, "documents"))
 
 
