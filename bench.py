@@ -68,6 +68,34 @@ def main() -> None:
         "customer supplier part orders lineitem events documents embeddings"
     ).split():
         load_table(spark, sf_dir, tbl).write.format("noop").mode("overwrite").save()
+    # Warm the aggregate/window codegen paths the first queries hit (the
+    # DECIMAL-sum construction and ranking windows JIT on first use; without
+    # this the alphabetically-first query absorbs their compile cost).
+    from bigdatafraude_ml_graphx_spark.functions.deterministic import dsum
+    from pyspark.sql import Window
+    import pyspark.sql.functions as F
+
+    li = load_table(spark, sf_dir, "lineitem").limit(100_000)
+    (
+        li.groupBy("l_returnflag")
+        .agg(dsum("l_quantity", "s"), F.avg("l_discount").alias("a"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+    (
+        li.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("l_returnflag").orderBy("l_orderkey")
+            ),
+        )
+        .filter(F.col("rn") <= 3)
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
+
     # Spawn the reusable Python/Arrow workers the mapInPandas kernels run on
     # (first spawn pays interpreter + pandas import + Arrow channel setup).
     def _identity(it):

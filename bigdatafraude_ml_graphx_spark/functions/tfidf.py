@@ -14,11 +14,15 @@ Spark and any SQL oracle produce bit-identical scores. Ranking by
 whenever tf ties are broken by the same term order (both are monotone in
 ``tf`` and in ``1/df``); the frozen contract is the ratio form.
 
-Scale shape: tokenize once (staged array column), explode, two hash
-aggregations (per-doc-term tf, per-term df), one shuffle join on the term,
-and a per-doc top-k window. The text itself never shuffles — only (doc_id,
-term) pairs. df could be sketched (count-min) at extreme cardinality; exact
-counts are kept because the term dictionary is ≪ corpus size.
+Scale shape: tokenize once (staged array column), explode, ONE hash
+aggregation to (doc, term, tf), then df as a count window over the term —
+not a separate per-term aggregate joined back, which would re-execute the
+whole tokenize→explode→aggregate lineage a second time (observed: two full
+scans of the corpus and 5 Exchanges; the window form scans once with 3).
+The text itself never shuffles — only (doc_id, term) pairs. df could be
+sketched (count-min) at extreme cardinality; exact counts are kept because
+the term dictionary is ≪ corpus size. N comes from a count-star over the
+corpus — a parquet-footer-only scan.
 """
 
 from __future__ import annotations
@@ -46,10 +50,9 @@ def tfidf_top_terms(
         .groupBy(id_col, "term")
         .agg(F.count("*").alias("tf"))
     )
-    df_ = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = docs.select(F.count("*").alias("__n"))
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "score",
