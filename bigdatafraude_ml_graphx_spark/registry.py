@@ -24,6 +24,7 @@ from . import queries_arrays  # noqa: F401  (higher-order array functions)
 from . import queries_windows3  # noqa: F401  (RANGE frames, ntile/first/last)
 from . import queries_quality  # noqa: F401  (repetition/chunking/PII/contamination)
 from . import queries_cdc  # noqa: F401  (CDC compaction, scalar quantization)
+from . import queries_analytics  # noqa: F401  (sessionization/funnel/cohorts/triangles)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a

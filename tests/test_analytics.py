@@ -1,0 +1,111 @@
+"""Semantic unit tests for the event-analytics queries (q77-q80) on
+hand-built micro-datasets — the oracle-parity gate checks exact values on the
+real table; these pin the EDGE semantics (gap boundary, funnel ordering,
+triangle canonicality) that random data may never exercise.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+
+def _ev(spark, rows):
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp_ntz, user_id long, event_type string"
+    )
+
+
+def _t(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_sessionization_gap_boundary(spark):
+    from bigdatafraude_ml_graphx_spark.queries_analytics import _GAP_S
+
+    assert _GAP_S == 1800
+    rows = [
+        (1, _t("2024-01-01 10:00:00"), 1, "view"),
+        # exactly 1800 s later -> SAME session (strict > breaks)
+        (2, _t("2024-01-01 10:30:00"), 1, "view"),
+        # 1801 s after event 2 -> NEW session
+        (3, _t("2024-01-01 11:00:01"), 1, "view"),
+    ]
+    df = _ev(spark, rows)
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(win)
+    flagged = df.select(
+        "user_id",
+        "ts",
+        F.when(
+            lag_ts.isNull()
+            | (
+                F.timestamp_diff(
+                    "SECOND",
+                    F.date_trunc("second", lag_ts),
+                    F.date_trunc("second", F.col("ts")),
+                )
+                > 1800
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_s"),
+    )
+    sessions = flagged.agg(F.sum("new_s")).collect()[0][0]
+    assert sessions == 2  # events 1+2 together, event 3 alone
+
+
+def test_funnel_requires_order(spark):
+    from bigdatafraude_ml_graphx_spark.queries_analytics import q78_event_funnel
+
+    rows = [
+        # user 1: full ordered funnel
+        (1, _t("2024-01-01 09:00:00"), 1, "view"),
+        (2, _t("2024-01-01 09:05:00"), 1, "click"),
+        (3, _t("2024-01-01 09:10:00"), 1, "purchase"),
+        # user 2: purchase BEFORE view/click -> depth stops at 2
+        (4, _t("2024-01-01 08:00:00"), 2, "purchase"),
+        (5, _t("2024-01-01 09:00:00"), 2, "view"),
+        (6, _t("2024-01-01 09:05:00"), 2, "click"),
+        # user 3: never views -> depth 0
+        (7, _t("2024-01-01 09:00:00"), 3, "click"),
+    ]
+    import os, tempfile
+
+    # route through a parquet table the query loader can read
+    d = tempfile.mkdtemp(prefix="funnel_t_")
+    df = _ev(spark, rows).withColumn("value", F.lit(1.0)).withColumn(
+        "props", F.lit("{}")
+    )
+    df.write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    out = {
+        r["funnel_depth"]: r["n_users"]
+        for r in q78_event_funnel(spark, d).collect()
+    }
+    assert out == {3: 1, 2: 1, 0: 1}
+
+
+def test_triangle_count_on_known_graph(spark):
+    from bigdatafraude_ml_graphx_spark.queries_analytics import _TRI_MIN_WEIGHT
+
+    edges = spark.createDataFrame(
+        # K4 on {1,2,3,4} (4 triangles) plus a pendant edge 4-5
+        [(a, b) for a in range(1, 5) for b in range(a + 1, 5)] + [(4, 5)],
+        "src long, dst long",
+    )
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    n = (
+        ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+        .join(
+            ac,
+            (F.col("ac.src") == F.col("ab.src"))
+            & (F.col("ac.dst") == F.col("bc.dst")),
+        )
+        .count()
+    )
+    assert n == 4  # C(4,3) triangles in K4; pendant edge adds none
+    assert _TRI_MIN_WEIGHT >= 1
