@@ -207,6 +207,30 @@ def q79_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("q81_sketch_aggregates")
+def q81_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the sketches that replace exact distinct
+    counts and percentiles at 100 TB: HyperLogLog++ (`approx_count_distinct`,
+    rsd 2%) and the Greenwald-Khanna quantile sketch (`approx_percentile`).
+    Both are single-pass, mergeable, fixed-memory aggregates: partial
+    sketches merge associatively across partitions, so the shuffle carries
+    one sketch per group instead of the value set. No DuckDB oracle — sketch
+    internals are engine-specific by nature; the error bound vs the exact
+    answer is pinned in tests/test_analytics.py instead."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
+        F.count("*").alias("n_events"),
+    ).select(
+        "event_type",
+        "approx_users",
+        F.col("value_p50_p95")[0].alias("value_p50"),
+        F.col("value_p50_p95")[1].alias("value_p95"),
+        "n_events",
+    )
+
+
 _TRI_MIN_WEIGHT = 5
 
 

@@ -109,3 +109,33 @@ def test_triangle_count_on_known_graph(spark):
     )
     assert n == 4  # C(4,3) triangles in K4; pendant edge adds none
     assert _TRI_MIN_WEIGHT >= 1
+
+
+def test_sketch_aggregates_error_bounds(spark, sf_dir):
+    """HLL distinct counts within the configured rsd (with slack) of exact;
+    approx percentiles inside the value range and ordered."""
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+    from bigdatafraude_ml_graphx_spark.queries_analytics import (
+        q81_sketch_aggregates,
+    )
+
+    approx = {
+        r["event_type"]: r for r in q81_sketch_aggregates(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r["event_type"]: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.min("value").alias("lo"),
+            F.max("value").alias("hi"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        rel_err = abs(a["approx_users"] - e["users"]) / max(e["users"], 1)
+        assert rel_err < 0.10, f"{et}: HLL rel err {rel_err:.3f}"
+        assert e["lo"] <= a["value_p50"] <= a["value_p95"] <= e["hi"]
