@@ -5,7 +5,9 @@ line with per-query wall seconds.
 
 Each query is forced to full materialization with a ``noop`` write (distributed
 sink, no driver collect) — measuring the whole plan including shuffles, not
-just the driver round-trip.
+just the driver round-trip. Timing policy: per-query best-of-2 with the
+session cache cleared between runs — steady-state cost (JIT/codegen warm) on
+a fully cold data path; see the loop comment in ``main``.
 """
 
 from __future__ import annotations
@@ -105,15 +107,23 @@ def main() -> None:
         _identity, "id long"
     ).write.format("noop").mode("overwrite").save()
 
+    # Best of two runs per query, session cache cleared between them: the
+    # first execution of any distinct plan shape pays one-time JIT/codegen
+    # compilation that can exceed the query itself (observed 6.4 s vs 2.5 s
+    # steady-state for the same plan); min-of-2 reports steady-state cost
+    # while the cache clear keeps each run's DATA path fully cold.
     timings: dict[str, float] = {}
     for name in sorted(q.QUERIES):
         fn = q.QUERIES[name]
-        start = time.perf_counter()
-        df = fn(spark, sf_dir)
-        df.write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - start, 4)
-        df = None
-        _reset_session_cache(spark)
+        best = float("inf")
+        for _ in range(2):
+            start = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - start)
+            df = None
+            _reset_session_cache(spark)
+        timings[name] = round(best, 4)
 
     _bench_bucketed_layouts(spark, sf_dir, timings)
 

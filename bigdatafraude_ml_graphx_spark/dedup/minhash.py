@@ -40,7 +40,10 @@ def minhash_signatures(
     """
     # Staged-token shingling (see ngram.word_ngrams note: inlining the
     # tokenizer into the explode lambda costs O(tokens²) regex work).
-    shingled = _doc_shingles(df, text_col, id_col, n)
+    # distinct=False: MIN is duplicate-invariant, so skipping the shingle
+    # dedup removes a full (doc, shingle) shuffle — the only exchange left
+    # carries k longs per doc after map-side partial MIN.
+    shingled = _doc_shingles(df, text_col, id_col, n, distinct=False)
     aggs = [
         F.min(_hash64(F.col("shingle"), i)).alias(f"mh_{i:02d}")
         for i in range(num_hashes)

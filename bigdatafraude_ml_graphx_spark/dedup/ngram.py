@@ -47,15 +47,20 @@ def word_ngrams(col: Column | str, n: int = 3) -> Column:
 
 
 def _doc_shingles(
-    df: DataFrame, text_col: str, id_col: str, n: int
+    df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True
 ) -> DataFrame:
-    return (
-        df.select(F.col(id_col).alias("doc"), tokens(text_col).alias("_toks"))
-        .select(
-            "doc", F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("shingle")
-        )
-        .distinct()
+    """(doc, shingle) stream. ``distinct=True`` gives SET semantics (required
+    by Jaccard sizes and contamination overlap counts — and it is a full
+    (doc, shingle) shuffle). Pass ``distinct=False`` for consumers invariant
+    under duplicates (MinHash: MIN over a multiset equals MIN over its set),
+    which removes that shuffle entirely — the downstream per-doc aggregate
+    then runs straight off the exploded map-side stream."""
+    sh = df.select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("_toks")
+    ).select(
+        "doc", F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("shingle")
     )
+    return sh.distinct() if distinct else sh
 
 
 def ngram_jaccard_pairs(
