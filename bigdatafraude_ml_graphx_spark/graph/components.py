@@ -128,3 +128,110 @@ def connected_components(
         prev_fp = new_fp
     sym.unpersist()
     return labels
+
+
+def connected_components_star(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star/small-star contraction
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond") —
+    O(log² n) rounds instead of :func:`connected_components`' O(diameter).
+
+    Same contract: ``(id, component)`` with component = min vertex id.
+
+    When to use which: label propagation does less work per round (one join +
+    one aggregate) and wins on short-diameter graphs — social/fraud graphs,
+    LSH candidate graphs (diameter ≤ ~20). Star contraction pays two
+    window-aggregate shuffles + a distinct per round but collapses a
+    1000-hop chain in ~10 rounds where propagation needs 1000; at 100 TB it
+    is the safe default when the diameter is unknown (road networks, linked
+    event chains, long reply threads).
+
+    Round shape: large-star hangs every strictly-larger neighbor of ``u``
+    onto ``m = min(Γ(u) ∪ u)``; small-star re-hangs the smaller-or-equal
+    neighbors (max-keyed representation) onto the same min. Both are window
+    minimums over the edge key — per-round cost is |E| through two hash
+    shuffles, monotonically shrinking as stars flatten. Convergence = edge
+    fingerprint unchanged (same bit_xor/xxhash64 aggregate as label
+    propagation); at the fixpoint every edge is (vertex, root).
+    """
+    from pyspark.sql import Window
+
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    fingerprint = F.bit_xor(F.xxhash64("u", "v"))
+    prev_fp = None
+    for _ in range(max_iter):
+        # --- large-star over e: key = each endpoint (symmetric view);
+        # hang every strictly-larger neighbor onto min(Γ(a) ∪ a) ----------
+        sym = e.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("u").alias("a"), F.col("v").alias("b")),
+                    F.struct(F.col("v").alias("a"), F.col("u").alias("b")),
+                )
+            ).alias("s")
+        ).select(F.col("s.a").alias("a"), F.col("s.b").alias("b"))
+        m = F.least(F.min("b").over(Window.partitionBy("a")), F.col("a"))
+        e_ls = (
+            sym.withColumn("m", m)
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # --- small-star over the LARGE-STAR OUTPUT (the phases alternate —
+        # they are not parallel views of the same edge set): max-keyed
+        # edges re-hang key + smaller neighbors onto the minimum ----------
+        keyed = e_ls.select(
+            F.greatest(F.col("u"), F.col("v")).alias("a"),
+            F.least(F.col("u"), F.col("v")).alias("b"),
+        )
+        m2 = F.min("b").over(Window.partitionBy("a"))  # b < a always
+        new_e = (
+            keyed.withColumn("m", m2)
+            .select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("b").alias("x"), F.col("m").alias("y")),
+                        F.struct(F.col("a").alias("x"), F.col("m").alias("y")),
+                    )
+                ).alias("s")
+            )
+            .select(F.col("s.x").alias("u"), F.col("s.y").alias("v"))
+            .filter(F.col("u") != F.col("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        new_fp = new_e.agg(fingerprint).collect()[0][0]
+        if prev_fp is None:
+            prev_fp = e.agg(fingerprint).collect()[0][0]
+        e = new_e
+        if new_fp == prev_fp:
+            break
+        prev_fp = new_fp
+
+    # Fixpoint edges are (vertex, root): root < vertex everywhere. Labels =
+    # edge map ∪ roots ∪ isolated vertices (their own singletons).
+    members = e.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    roots = e.select(F.col("v").alias("id")).distinct().withColumn(
+        "component", F.col("id")
+    )
+    labels = members.unionByName(roots)
+    if vertices is not None:
+        isolated = vertices.select("id").join(
+            labels.select("id"), "id", "left_anti"
+        )
+        labels = labels.unionByName(
+            isolated.withColumn("component", F.col("id"))
+        )
+    return labels

@@ -88,6 +88,32 @@ def q22_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(_events_edges(spark, sf_dir), dedup_edges=False)
 
 
+@query(
+    "q82_connected_components_star",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    sym AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0),
+    nodes AS (SELECT DISTINCT u AS id FROM sym),
+    reach(a, bnode) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.bnode = s.u
+    )
+    SELECT a AS id, MIN(bnode) AS component FROM reach GROUP BY a
+    """,
+)
+def q82_connected_components_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components via alternating large-star/small-star contraction
+    (Kiveris et al. 2014) — O(log² n) rounds, the CC to reach for when the
+    diameter is unknown at 100 TB. Same labeling contract (and oracle) as
+    q22's min-label propagation; equivalence on random graphs is
+    property-tested against a union-find reference
+    (tests/test_graph_property.py)."""
+    from .graph.components import connected_components_star
+
+    return connected_components_star(_events_edges(spark, sf_dir))
+
+
 def _pagerank_oracle(iters: int = 5) -> str:
     """Unrolled PageRank oracle mirroring :func:`..graph.pagerank` arithmetic
     exactly: double products quantized to int64 at scale 1e14

@@ -55,3 +55,39 @@ def test_cc_matches_union_find(spark, edges, isolated):
         for r in connected_components(edge_df, vertices=vert_df).collect()
     }
     assert got == _union_find(edges, vertices)
+
+
+@settings(max_examples=8, deadline=None)
+@given(edges=_edges, isolated=_isolated)
+def test_cc_star_matches_union_find(spark, edges, isolated):
+    from bigdatafraude_ml_graphx_spark.graph.components import (
+        connected_components_star,
+    )
+
+    vertices = sorted({v for e in edges for v in e} | isolated)
+    if not vertices:
+        return
+    edge_df = spark.createDataFrame(
+        edges or [(None, None)], "src long, dst long"
+    ).dropna()
+    vert_df = spark.createDataFrame([(v,) for v in vertices], "id long")
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components_star(edge_df, vertices=vert_df).collect()
+    }
+    assert got == _union_find(edges, vertices)
+
+
+def test_cc_star_long_chain(spark):
+    """A 60-hop path — label propagation's worst case (O(diameter) rounds,
+    here capped) is star contraction's best case (O(log) rounds)."""
+    from bigdatafraude_ml_graphx_spark.graph.components import (
+        connected_components_star,
+    )
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "src long, dst long"
+    )
+    labels = connected_components_star(chain).collect()
+    assert len(labels) == 61
+    assert all(r["component"] == 0 for r in labels)
