@@ -51,6 +51,46 @@ def chunk_documents(
     )
 
 
+def pack_chunks(
+    chunks: DataFrame,
+    budget_tokens: int = 128,
+    group_col: str = "lang",
+    doc_col: str = "doc",
+    chunk_col: str = "chunk_id",
+    size_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Concatenate-and-split sequence packing: chunks are laid end-to-end in
+    a deterministic order within each ``group_col`` stream, and each chunk
+    joins the bin in which its first token lands (bin = token range
+    ``[i·budget, (i+1)·budget)``). A bin can exceed the budget by at most
+    one chunk's tail — the standard fixed-stride packing trade-off.
+
+    Returns one row per (group, bin): ``(group_col, bin_id, n_chunks,
+    bin_tokens)``.
+
+    Scale: the running sum is sequential WITHIN a group — ``group_col`` is
+    the parallelism unit and stands in for whatever stream partitioning a
+    real pipeline packs over (per input file, per shard). Cross-group
+    packing never happens, so groups scale independently; one hash shuffle
+    on the group key.
+    """
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(doc_col, chunk_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = F.sum(size_col).over(w) - F.col(size_col)
+    binned = chunks.withColumn(
+        "bin_id", F.floor(start / F.lit(budget_tokens)).cast("long")
+    )
+    return binned.groupBy(group_col, "bin_id").agg(
+        F.count("*").alias("n_chunks"),
+        F.sum(size_col).cast("long").alias("bin_tokens"),
+    )
+
+
 def oracle_chunk_sql(chunk_tokens: int, norm_sql: str) -> str:
     """DuckDB SQL mirroring :func:`chunk_documents` over ``documents``.
     DuckDB list slices (1-based, inclusive, clamped) match Spark's

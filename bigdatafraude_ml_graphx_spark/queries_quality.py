@@ -48,6 +48,43 @@ def q68_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(docs, chunk_tokens=_CHUNK_TOKENS)
 
 
+_PACK_BUDGET = 64
+
+
+@query(
+    "q83_sequence_packing",
+    oracle=f"""
+    WITH chunks AS ({oracle_chunk_sql(_CHUNK_TOKENS, _NORM)}),
+    lng AS (SELECT doc_id AS doc, lang FROM documents),
+    binned AS (
+        SELECT l.lang,
+               CAST(floor((SUM(c.n_chunk_tokens) OVER (
+                               PARTITION BY l.lang ORDER BY c.doc, c.chunk_id
+                               ROWS UNBOUNDED PRECEDING)
+                           - c.n_chunk_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+                 AS bin_id,
+               c.n_chunk_tokens
+        FROM chunks c JOIN lng l ON c.doc = l.doc)
+    SELECT lang, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS bin_tokens
+    FROM binned GROUP BY lang, bin_id
+    """,
+)
+def q83_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concatenate-and-split sequence packing: 16-token chunks laid
+    end-to-end per language stream, binned into 64-token training sequences
+    (operators/chunking.py::pack_chunks). The group key is the parallelism
+    unit — a stand-in for per-shard packing at 100 TB."""
+    from .operators.chunking import pack_chunks
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=_CHUNK_TOKENS).join(
+        docs.select(F.col("doc_id").alias("doc"), "lang"), "doc"
+    )
+    return pack_chunks(chunks, budget_tokens=_PACK_BUDGET, group_col="lang")
+
+
 # The synthetic corpus carries no PII, so the query plants a deterministic
 # contact line derived from doc_id on BOTH engines — the redactor then has
 # real work whose output the oracle verifies bit-for-bit.

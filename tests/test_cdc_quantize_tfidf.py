@@ -88,3 +88,27 @@ def test_tfidf_ranks_rare_terms_above_common(spark):
     assert out.filter(F.col("term") == "common").filter(
         F.col("term_rank") == 1
     ).count() == 0
+
+
+def test_pack_chunks_conservation_and_overflow_bound(spark):
+    from bigdatafraude_ml_graphx_spark.operators.chunking import pack_chunks
+
+    rows = []
+    for doc in range(6):
+        for cid in range(4):
+            rows.append(("g1" if doc < 3 else "g2", doc, cid, 7 + (doc + cid) % 10))
+    chunks = spark.createDataFrame(
+        rows, "lang string, doc long, chunk_id long, n_chunk_tokens long"
+    )
+    out = pack_chunks(chunks, budget_tokens=20, group_col="lang").collect()
+    total_in = sum(r[3] for r in rows)
+    assert sum(r["bin_tokens"] for r in out) == total_in  # nothing lost
+    assert sum(r["n_chunks"] for r in out) == len(rows)
+    max_chunk = max(r[3] for r in rows)
+    for r in out:
+        # a bin exceeds the budget by at most one chunk's tail
+        assert r["bin_tokens"] <= 20 + max_chunk - 1
+    # bins are contiguous from 0 within each group
+    for g in ("g1", "g2"):
+        bins = sorted(r["bin_id"] for r in out if r["lang"] == g)
+        assert bins == list(range(len(bins)))
