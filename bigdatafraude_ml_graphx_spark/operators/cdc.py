@@ -29,6 +29,54 @@ from pyspark.sql import functions as F
 _RN = "__cdc_rn"
 
 
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str],
+    compare_cols: Sequence[str],
+) -> DataFrame:
+    """Row-level reconciliation of two snapshots of the same table: one
+    full-outer equi join on the key, null-safe comparison of the payload
+    columns. Returns ``(*key_cols, status)`` for every non-identical row,
+    with ``status`` ∈ {'added', 'removed', 'changed'} (identical rows are
+    dropped — at 100 TB the diff is ≪ the table and the join is the only
+    shuffle, one per side on the key).
+    """
+    o = old.select(
+        *[F.col(k).alias(f"__ok_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__o_{c}") for c in compare_cols],
+    )
+    n = new.select(
+        *[F.col(k).alias(f"__nk_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__n_{c}") for c in compare_cols],
+    )
+    cond = [
+        o[f"__ok_{k}"].eqNullSafe(n[f"__nk_{k}"]) for k in key_cols
+    ]
+    joined = o.join(n, cond, "full_outer")
+    # Source keys are non-null (table identity), so side presence is just
+    # the first key column's nullity after the outer join.
+    in_old = joined[f"__ok_{key_cols[0]}"].isNotNull()
+    in_new = joined[f"__nk_{key_cols[0]}"].isNotNull()
+    differs = F.lit(False)
+    for c in compare_cols:
+        differs = differs | ~joined[f"__o_{c}"].eqNullSafe(joined[f"__n_{c}"])
+    status = (
+        F.when(~in_new, F.lit("removed"))
+        .when(~in_old, F.lit("added"))
+        .when(differs, F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    keys = [
+        F.coalesce(joined[f"__ok_{k}"], joined[f"__nk_{k}"]).alias(k)
+        for k in key_cols
+    ]
+    return (
+        joined.select(*keys, status.alias("status"))
+        .filter(F.col("status") != "unchanged")
+    )
+
+
 def latest_by_key(
     df: DataFrame,
     keys: Sequence[str],

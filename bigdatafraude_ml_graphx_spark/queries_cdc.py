@@ -41,6 +41,58 @@ def q74_cdc_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "q84_snapshot_diff",
+    oracle="""
+    WITH old AS (SELECT event_id, event_type, value FROM events),
+    new AS (
+        SELECT event_id, event_type,
+               CASE WHEN event_id % 101 = 0 THEN value + 1.0 ELSE value END
+                 AS value
+        FROM events WHERE event_id % 97 != 0
+        UNION ALL
+        SELECT event_id + 10000000, event_type, value
+        FROM events WHERE event_id % 103 = 0),
+    d AS (
+        SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+               CASE WHEN n.event_id IS NULL THEN 'removed'
+                    WHEN o.event_id IS NULL THEN 'added'
+                    WHEN (o.event_type IS DISTINCT FROM n.event_type)
+                      OR (o.value IS DISTINCT FROM n.value) THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id)
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM d WHERE status != 'unchanged' GROUP BY status
+    """,
+)
+def q84_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (operators/cdc.py::snapshot_diff): the 'new'
+    snapshot is the events table with deterministic deletes (id%97),
+    updates (id%101, value+1 — exact in IEEE), and inserts (id%103 cloned
+    past the id range); the diff summarizes added/removed/changed counts.
+    One full-outer equi join on the key — the audit every incremental
+    pipeline runs between a source and its compacted mirror."""
+    from .operators.cdc import snapshot_diff
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "value"
+    )
+    new = ev.filter(F.col("event_id") % 97 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 101 == 0, F.col("value") + 1.0).otherwise(
+            F.col("value")
+        ),
+    ).unionByName(
+        ev.filter(F.col("event_id") % 103 == 0).withColumn(
+            "event_id", F.col("event_id") + 10_000_000
+        )
+    )
+    diff = snapshot_diff(
+        ev, new, key_cols=("event_id",), compare_cols=("event_type", "value")
+    )
+    return diff.groupBy("status").agg(F.count("*").alias("n_rows"))
+
+
 # Per-vector double view of the embedding + its min/max — shared between the
 # code and the error expressions in the oracle.
 _V = "list_transform(embedding, x -> CAST(x AS DOUBLE))"

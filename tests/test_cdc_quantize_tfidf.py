@@ -112,3 +112,34 @@ def test_pack_chunks_conservation_and_overflow_bound(spark):
     for g in ("g1", "g2"):
         bins = sorted(r["bin_id"] for r in out if r["lang"] == g)
         assert bins == list(range(len(bins)))
+
+
+def test_snapshot_diff_row_level(spark):
+    from bigdatafraude_ml_graphx_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.0), (4, "d", 4.0)],
+        "id long, t string, v double",
+    )
+    new = spark.createDataFrame(
+        # 1 unchanged; 2 unchanged (NULL == NULL null-safe); 3 changed;
+        # 4 removed; 5 added
+        [(1, "a", 1.0), (2, "b", None), (3, "c", 3.5), (5, "e", 5.0)],
+        "id long, t string, v double",
+    )
+    got = {
+        r["id"]: r["status"]
+        for r in snapshot_diff(
+            old, new, key_cols=("id",), compare_cols=("t", "v")
+        ).collect()
+    }
+    assert got == {3: "changed", 4: "removed", 5: "added"}  # 1,2 dropped
+
+
+def test_snapshot_diff_null_transition_is_change(spark):
+    from bigdatafraude_ml_graphx_spark.operators.cdc import snapshot_diff
+
+    old = spark.createDataFrame([(1, None)], "id long, v double")
+    new = spark.createDataFrame([(1, 0.0)], "id long, v double")
+    rows = snapshot_diff(old, new, ("id",), ("v",)).collect()
+    assert [(r["id"], r["status"]) for r in rows] == [(1, "changed")]
