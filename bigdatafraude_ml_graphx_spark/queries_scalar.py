@@ -109,3 +109,71 @@ def q41_edge_weight_normalization(spark: SparkSession, sf_dir: str) -> DataFrame
             "norm_weight"
         ),
     )
+
+
+_CORR_SCALE = 100  # quantization: values -> int cents; see docstring
+
+
+def _corr_pair(xq, yq):
+    """Pearson correlation from EXACT integer moment sums.
+
+    Each value is quantized once (``floor(x*100 + 0.5)`` — a linear map, and
+    Pearson correlation is invariant under positive linear maps of either
+    variable, so quantization changes the answer only through the one-time
+    rounding of each value, identically in both engines). All five moment
+    sums accumulate exactly (DECIMAL(38,0) here, HUGEINT in DuckDB —
+    sums of squared cents overflow int64 at sf0.1 row counts), so the final
+    double arithmetic is a fixed expression over exact integers:
+    bit-identical in any engine, any partitioning.
+    """
+    d = "decimal(38,0)"
+    n = F.count("*").cast(d)
+    sx, sy = F.sum(xq.cast(d)), F.sum(yq.cast(d))
+    sxx = F.sum((xq * xq).cast(d))
+    syy = F.sum((yq * yq).cast(d))
+    sxy = F.sum((xq * yq).cast(d))
+    num = (n * sxy - sx * sy).cast("double")
+    den = F.sqrt((n * sxx - sx * sx).cast("double")) * F.sqrt(
+        (n * syy - sy * sy).cast("double")
+    )
+    return num / den
+
+
+def _corr_oracle_pair(x: str, y: str) -> str:
+    qx = f"CAST(floor({x} * {_CORR_SCALE} + 0.5) AS BIGINT)"
+    qy = f"CAST(floor({y} * {_CORR_SCALE} + 0.5) AS BIGINT)"
+    n = "CAST(COUNT(*) AS HUGEINT)"
+    return f"""CAST({n} * SUM(CAST({qx} * {qy} AS HUGEINT))
+         - SUM(CAST({qx} AS HUGEINT)) * SUM(CAST({qy} AS HUGEINT)) AS DOUBLE)
+      / (sqrt(CAST({n} * SUM(CAST({qx} AS HUGEINT) * CAST({qx} AS HUGEINT))
+              - SUM(CAST({qx} AS HUGEINT)) * SUM(CAST({qx} AS HUGEINT)) AS DOUBLE))
+         * sqrt(CAST({n} * SUM(CAST({qy} AS HUGEINT) * CAST({qy} AS HUGEINT))
+                - SUM(CAST({qy} AS HUGEINT)) * SUM(CAST({qy} AS HUGEINT)) AS DOUBLE)))"""
+
+
+@query(
+    "q85_correlation_matrix",
+    oracle=f"""
+    SELECT
+        {_corr_oracle_pair('l_quantity', 'l_extendedprice')} AS corr_qty_price,
+        {_corr_oracle_pair('l_quantity', 'l_discount')} AS corr_qty_disc,
+        {_corr_oracle_pair('l_extendedprice', 'l_discount')} AS corr_price_disc
+    FROM lineitem
+    """,
+)
+def q85_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlations over lineitem in ONE aggregate pass
+    (map-side partial moment sums; the shuffle carries 15 integers total).
+    F.corr is a double-accumulation aggregate whose result depends on
+    partition order; this formulation quantizes values once and accumulates
+    exact integer moments instead, so the correlation is deterministic and
+    oracle-checkable bit-for-bit — the describe()-style profiling matrix a
+    100 TB pipeline can actually regression-test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    q = lambda c: F.floor(F.col(c) * _CORR_SCALE + F.lit(0.5)).cast("long")  # noqa: E731
+    qty, price, disc = q("l_quantity"), q("l_extendedprice"), q("l_discount")
+    return li.agg(
+        _corr_pair(qty, price).alias("corr_qty_price"),
+        _corr_pair(qty, disc).alias("corr_qty_disc"),
+        _corr_pair(price, disc).alias("corr_price_disc"),
+    )
