@@ -124,44 +124,45 @@ _FUNNEL = ("view", "click", "purchase")
 )
 def q78_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ordered funnel (view → click → purchase): each stage's earliest
-    qualifying timestamp must not precede the previous stage's. Three
-    |users|-sized aggregates chained on user_id equi joins — every stage
-    reuses the user_id partitioning, and stage outputs only shrink, so the
-    funnel deepens for free at scale (no per-event state, no window over the
-    raw stream)."""
-    ev = load_table(spark, sf_dir, "events")
-    users = ev.select("user_id").distinct()
-    s1 = (
-        ev.filter(F.col("event_type") == _FUNNEL[0])
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t1"))
+    qualifying timestamp must not precede the previous stage's. Implemented
+    as three stacked window minimums over ONE user_id partitioning — a
+    single shuffle and a single scan of events (the equivalent
+    per-stage-aggregate-and-join formulation scans events three times and
+    plans 7 Exchanges). Each later stage's min conditions on the earlier
+    stage's window value, so Catalyst chains the Window operators without
+    re-partitioning; the per-user depth then reduces over |users| rows."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts"
     )
-    s2 = (
-        ev.filter(F.col("event_type") == _FUNNEL[1])
-        .join(s1, "user_id")
-        .filter(F.col("ts") >= F.col("t1"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t2"))
+    w = Window.partitionBy("user_id")
+    staged = ev.withColumn(
+        "t1", F.min(F.when(F.col("event_type") == _FUNNEL[0], F.col("ts"))).over(w)
     )
-    s3 = (
-        ev.filter(F.col("event_type") == _FUNNEL[2])
-        .join(s2, "user_id")
-        .filter(F.col("ts") >= F.col("t2"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("t3"))
+    staged = staged.withColumn(
+        "t2",
+        F.min(
+            F.when(
+                (F.col("event_type") == _FUNNEL[1]) & (F.col("ts") >= F.col("t1")),
+                F.col("ts"),
+            )
+        ).over(w),
     )
-    depth = (
-        users.join(s1, "user_id", "left")
-        .join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
-        .select(
-            "user_id",
+    staged = staged.withColumn(
+        "t3",
+        F.min(
+            F.when(
+                (F.col("event_type") == _FUNNEL[2]) & (F.col("ts") >= F.col("t2")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    depth = staged.groupBy("user_id").agg(
+        F.max(
             F.when(F.col("t3").isNotNull(), 3)
             .when(F.col("t2").isNotNull(), 2)
             .when(F.col("t1").isNotNull(), 1)
             .otherwise(0)
-            .alias("funnel_depth"),
-        )
+        ).alias("funnel_depth")
     )
     return depth.groupBy("funnel_depth").agg(F.count("*").alias("n_users"))
 
@@ -183,9 +184,10 @@ def q78_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q79_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cohort retention matrix: users grouped by first-seen week, counted in
-    each later active week. Two aggregates and one equi join, all keyed on
-    user_id — a single partitioning serves the whole query; the result is
-    |weeks|² rows regardless of event volume."""
+    each later active week. Two aggregates and one equi join keyed on
+    user_id; inputs to the join are already |users| / |user-weeks| sized, so
+    event volume only touches the first aggregation pass. The result is
+    |weeks|² rows regardless of corpus size."""
     ev = load_table(spark, sf_dir, "events")
     fw = ev.groupBy("user_id").agg(
         F.min(F.date_trunc("week", F.col("ts"))).alias("cohort_week")
