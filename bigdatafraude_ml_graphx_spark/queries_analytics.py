@@ -263,6 +263,9 @@ def q80_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholded graph."""
     from .graph import cooccurrence_edges
 
+    # Materialize the (small) thresholded edge list before the triple
+    # self-join: three aliases of a lazy frame would re-execute the whole
+    # co-occurrence build once per join side (3 scans of events).
     e = (
         cooccurrence_edges(
             load_table(spark, sf_dir, "events"), "user_id", "ts", "hour",
@@ -270,6 +273,7 @@ def q80_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("weight") >= _TRI_MIN_WEIGHT)
         .select("src", "dst")
+        .localCheckpoint(eager=True)
     )
     ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
     tri = ab.join(bc, F.col("ab.dst") == F.col("bc.src")).join(
