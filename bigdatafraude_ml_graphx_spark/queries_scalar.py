@@ -8,6 +8,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .graph import cooccurrence_edges
+from .functions.deterministic import oracle_davg, oracle_dstddev_samp
 from .queries import query
 
 
@@ -176,4 +177,48 @@ def q85_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         _corr_pair(qty, price).alias("corr_qty_price"),
         _corr_pair(qty, disc).alias("corr_qty_disc"),
         _corr_pair(price, disc).alias("corr_price_disc"),
+    )
+
+
+@query(
+    "q86_value_outliers",
+    oracle=f"""
+    WITH stats AS (
+        SELECT event_type,
+               {oracle_davg('value')} AS mu,
+               {oracle_dstddev_samp('value')} AS sigma
+        FROM events GROUP BY event_type),
+    z AS (
+        SELECT e.event_type, abs((e.value - s.mu) / s.sigma) AS abs_z
+        FROM events e JOIN stats s ON e.event_type = s.event_type)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(COALESCE(SUM(CASE WHEN abs_z > 3.0 THEN 1 END), 0) AS BIGINT)
+             AS n_outliers,
+           MAX(abs_z) AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+)
+def q86_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier census — the data-quality gate run before
+    training on any numeric column. Group stats use the exact decimal-sum
+    mean/stddev (functions/deterministic.py), so the z-scores — and the
+    outlier verdicts at the |z| > 3 boundary — are bit-identical in any
+    engine at any partitioning. Stats frame is |groups| rows -> broadcast
+    join back onto events; one aggregate pass each way."""
+    from .functions.deterministic import davg, dstddev_samp
+
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        davg("value", "mu"), dstddev_samp("value", "sigma")
+    )
+    z = ev.join(F.broadcast(stats), "event_type").withColumn(
+        "abs_z", F.abs((F.col("value") - F.col("mu")) / F.col("sigma"))
+    )
+    return z.groupBy("event_type").agg(
+        F.count("*").alias("n_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("abs_z") > 3.0, 1)), F.lit(0)
+        ).cast("long").alias("n_outliers"),
+        F.max("abs_z").alias("max_abs_z"),
     )
