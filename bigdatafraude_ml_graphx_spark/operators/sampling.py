@@ -130,3 +130,61 @@ def oracle_stratified_sample_predicate(
         f"substr(md5({_oracle_key(key_exprs)}), 1, {len(default_hex)})"
         f" < (CASE {whens} ELSE '{default_hex}' END)"
     )
+
+
+def weighted_sample_topk(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    salt: str = "ws",
+) -> DataFrame:
+    """EXACT weighted sampling without replacement, deterministically.
+
+    Each row enters a race with ``weight`` replicated md5 draws; its priority
+    is the MINIMUM draw. P(a's min beats b's min) = w_a / (w_a + w_b) — the
+    exponential-race property — so taking the top-``k`` rows by ascending
+    priority IS weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res semantics) with INTEGER weights and no floating ``pow``: every
+    step is md5 + MIN + rank, bit-identical in any engine.
+
+    The cost of exactness is the replication explode (Σ weights rows). Cap
+    weights (quantize to a small integer scale) to bound it; when approximate
+    determinism suffices at extreme scale, the ``u^(1/w)`` A-Res key is the
+    cheaper non-portable alternative.
+    """
+    # group cols join the draw key so each group runs an independent race
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in [*(group_cols or []), *key_cols]]
+    )
+    drawn = (
+        df.withColumn("__rep", F.explode(F.sequence(F.lit(1), F.col(weight_col))))
+        .withColumn(
+            "__draw",
+            F.md5(
+                F.concat(
+                    F.lit(f"{salt}:"), key, F.lit(":"), F.col("__rep").cast("string")
+                )
+            ),
+        )
+    )
+    groups = [F.col(c) for c in (group_cols or [])]
+    agg_keys = [*(group_cols or []), *key_cols]
+    pri = drawn.groupBy(*agg_keys).agg(
+        # weight is functionally dependent on the key; MIN (not first) keeps
+        # the aggregate order-independent by construction
+        F.min("__draw").alias("priority"), F.min(weight_col).alias("__w")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*groups).orderBy("priority")
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy("priority")
+    )
+    return (
+        pri.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .select(*agg_keys, F.col("__w").alias(weight_col), "sample_rank")
+    )

@@ -98,3 +98,58 @@ def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
     )
+
+
+@query(
+    "q87_weighted_sample",
+    oracle="""
+    WITH src AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               CAST(l_quantity AS INTEGER) AS w
+        FROM lineitem),
+    drawn AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber, w,
+               md5('ws:' || l_returnflag || '|'
+                   || CAST(l_orderkey AS VARCHAR) || '|'
+                   || CAST(l_linenumber AS VARCHAR) || ':'
+                   || CAST(rep AS VARCHAR)) AS draw
+        FROM src, unnest(range(1, w + 1)) AS t(rep)),
+    pri AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber,
+               MIN(draw) AS priority, MIN(w) AS w
+        FROM drawn GROUP BY 1, 2, 3),
+    ranked AS (
+        SELECT l_returnflag, l_orderkey, l_linenumber, w, priority,
+               ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                                  ORDER BY priority) AS sample_rank
+        FROM pri)
+    SELECT l_returnflag, l_orderkey, l_linenumber, w,
+           CAST(sample_rank AS INTEGER) AS sample_rank
+    FROM ranked WHERE sample_rank <= 5
+    """,
+)
+def q87_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted sampling without replacement, 5 rows per return flag,
+    weight = quantity (operators/sampling.py::weighted_sample_topk): each
+    row races with `weight` replicated md5 draws and the minimum wins —
+    P(a beats b) = w_a/(w_a+w_b), i.e. Efraimidis-Spirakis semantics with no
+    floating pow, so the sampled set itself is bit-identical across
+    engines."""
+    from .operators.sampling import weighted_sample_topk
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.col("l_quantity").cast("int").alias("w"),
+    )
+    out = weighted_sample_topk(
+        li,
+        key_cols=["l_orderkey", "l_linenumber"],
+        weight_col="w",
+        k=5,
+        group_cols=["l_returnflag"],
+    )
+    return out.select(
+        "l_returnflag", "l_orderkey", "l_linenumber", "w", "sample_rank"
+    )

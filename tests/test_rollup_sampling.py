@@ -162,3 +162,41 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
         assert kept[lang] == total[lang]
     s2 = stratified_hash_sample(docs, ["doc_id"], "lang", rates)
     assert s1.select("doc_id").exceptAll(s2.select("doc_id")).count() == 0
+
+
+def test_weighted_sample_race_probability(spark):
+    """P(weight-9 key wins the race vs weight-1 key) = 9/10 exactly; over
+    200 independent trials (trial id in the draw key) the empirical win rate
+    must land in a generous binomial band around 0.9."""
+    from bigdatafraude_ml_graphx_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    rows = [(t, key, 9 if key == "heavy" else 1)
+            for t in range(200) for key in ("heavy", "light")]
+    df = spark.createDataFrame(rows, "trial long, key string, w int")
+    winners = weighted_sample_topk(
+        df, key_cols=["key"], weight_col="w", k=1, group_cols=["trial"]
+    )
+    n_heavy = winners.filter(F.col("key") == "heavy").count()
+    assert winners.count() == 200
+    assert 160 <= n_heavy <= 198, n_heavy  # ~Binomial(200, 0.9)
+
+
+def test_weighted_sample_deterministic_and_exhaustive(spark):
+    from bigdatafraude_ml_graphx_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(i, 1 + i % 5) for i in range(30)], "id long, w int"
+    )
+    a = weighted_sample_topk(df, ["id"], "w", k=10).collect()
+    b = weighted_sample_topk(df, ["id"], "w", k=10).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))  # reproducible
+    ranks = sorted(r["sample_rank"] for r in a)
+    assert ranks == list(range(1, 11))
+    # k >= population: everything is sampled, each exactly once
+    full = weighted_sample_topk(df, ["id"], "w", k=100)
+    assert full.count() == 30
+    assert full.select("id").distinct().count() == 30
