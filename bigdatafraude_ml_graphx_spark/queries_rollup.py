@@ -106,7 +106,9 @@ def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH src AS (
         SELECT l_returnflag, l_orderkey, l_linenumber,
                CAST(l_quantity AS INTEGER) AS w
-        FROM lineitem),
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-03-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'),
     drawn AS (
         SELECT l_returnflag, l_orderkey, l_linenumber, w,
                md5('ws:' || l_returnflag || '|'
@@ -130,14 +132,19 @@ def q65_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q87_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact weighted sampling without replacement, 5 rows per return flag,
-    weight = quantity (operators/sampling.py::weighted_sample_topk): each
+    weight = quantity, over one ship month — the explode costs sum-of-weights
+    rows, so the demo bounds its slice; the operator itself is
+    slice-agnostic (operators/sampling.py::weighted_sample_topk). Each
     row races with `weight` replicated md5 draws and the minimum wins —
     P(a beats b) = w_a/(w_a+w_b), i.e. Efraimidis-Spirakis semantics with no
     floating pow, so the sampled set itself is bit-identical across
     engines."""
     from .operators.sampling import weighted_sample_topk
 
-    li = load_table(spark, sf_dir, "lineitem").select(
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1995-03-01")
+        & (F.col("l_shipdate") < "1995-04-01")
+    ).select(
         "l_returnflag",
         "l_orderkey",
         "l_linenumber",
