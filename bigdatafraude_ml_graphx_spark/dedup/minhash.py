@@ -55,6 +55,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     num_hashes: int = 16,
     bands: int = 4,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Banded LSH: docs sharing any band of their signature become a candidate
     pair ``(doc_a, doc_b, n_shared_bands)``. rows/band = num_hashes/bands.
@@ -65,12 +66,26 @@ def lsh_candidate_pairs(
     lineage once per band per join side (observed 8× recompute, 73 s → ~7 s
     at sf0.1).
 
-    The (small) pair result is materialized eagerly (``localCheckpoint``) so
-    the bucket frame can be unpersisted before returning: ``persist()``
-    entries live in the CacheManager keyed by logical plan and are never
-    GC'd, so a leaked one pollutes every later job in a long session
-    (observed as the round-2 bench regression); ``localCheckpoint`` blocks
-    are released by the ContextCleaner once the driver reference drops.
+    HOT-BUCKET CAP: a bucket holding B docs emits B·(B-1)/2 pairs, so ONE
+    degenerate bucket (e.g. every empty/boilerplate doc shares the NULL-
+    signature band) goes quadratic at scale no matter how good the bands
+    are. Buckets larger than ``max_bucket`` are dropped before the join —
+    a bucket that popular has no discriminating power anyway (its members
+    collide with everything; true near-dup pairs inside it still share
+    their OTHER, selective bands). The count-filter is a window over the
+    same (band, band_key) the join shuffles on, so AQE/Catalyst reuse the
+    exchange. Below the cap the output is IDENTICAL to the uncapped
+    operator (equivalence + adversarial bound tested in tests/test_dedup_cap.py).
+
+    EAGER + NON-RECOVERABLE: the returned frame is ``localCheckpoint``-ed —
+    calling this function runs the full job NOW, and the result lives in
+    executor block storage (not fault-tolerant: executor loss makes it
+    unrecomputable; re-call the function in that case). This is the
+    deliberate trade for cache hygiene: the intermediate bucket frame is
+    persisted for the self-join and MUST be unpersisted before returning
+    (a leaked ``persist()`` lives in the CacheManager forever and polluted
+    every later job in round 2's bench), which requires the result to be
+    materialized first. Compose lazily AROUND this operator, not through it.
     """
     rows_per_band = num_hashes // bands
     band_structs = []
@@ -87,9 +102,17 @@ def lsh_candidate_pairs(
                 ),
             )
         )
-    buckets = (
+    from pyspark.sql import Window
+
+    exploded = (
         signatures.select("doc", F.explode(F.array(*band_structs)).alias("bk"))
         .select("doc", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    )
+    bucket_n = F.count("*").over(Window.partitionBy("band", "band_key"))
+    buckets = (
+        exploded.withColumn("__bn", bucket_n)
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
         .persist()
     )
 

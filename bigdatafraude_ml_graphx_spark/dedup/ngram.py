@@ -72,7 +72,14 @@ def ngram_jaccard_pairs(
     max_shingle_freq: int | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(doc_a, doc_b, jaccard)`` with
-    ``doc_a < doc_b`` and n-gram Jaccard ≥ ``threshold``."""
+    ``doc_a < doc_b`` and n-gram Jaccard ≥ ``threshold``.
+
+    EAGER + NON-RECOVERABLE: the result is ``localCheckpoint``-ed at call
+    time so the shared shingle frame can be unpersisted before returning
+    (cache-hygiene contract — see ``lsh_candidate_pairs``); executor loss
+    invalidates the returned frame, and callers composing larger pipelines
+    should treat this call as a materialization barrier.
+    """
     shingles = _doc_shingles(df, text_col, id_col, n)
     if max_shingle_freq is not None:
         freq = shingles.groupBy("shingle").agg(F.count("*").alias("_f"))

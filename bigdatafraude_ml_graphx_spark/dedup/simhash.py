@@ -76,12 +76,25 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = 100_000,
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ ``max_hamming``.
 
     Blocking: split the fingerprint into ``max_hamming+1`` bands — any pair
     within the distance must agree exactly on ≥1 band (pigeonhole), so the
     join is an equi join on (band, band_bits), never O(N²).
+
+    Band buckets larger than ``max_bucket`` are dropped before the join —
+    the hot-bucket quadratic-blowup guard ``lsh_candidate_pairs`` documents
+    (e.g. all-empty docs share fingerprint 0 in every band). NOTE: unlike
+    MinHash banding, a capped SimHash bucket CAN lose pairs whose only
+    agreeing band was the hot one (the pigeonhole guarantee needs all
+    bands); below the cap the output is exactly the uncapped result.
+
+    EAGER + NON-RECOVERABLE: the result is ``localCheckpoint``-ed at call
+    time so the intermediate banded frame can be unpersisted (cache-hygiene
+    contract — see ``lsh_candidate_pairs``); executor loss invalidates the
+    returned frame, and composition around it is no longer lazy.
     """
     sig = simhash64(df, text_col, id_col)
     bands = max_hamming + 1
@@ -99,7 +112,9 @@ def simhash_near_pairs(
         )
         for i in range(bands)
     ]
-    banded = (
+    from pyspark.sql import Window
+
+    exploded = (
         sig.select("doc", "simhash", F.explode(F.array(*band_structs)).alias("bk"))
         .select(
             "doc",
@@ -107,6 +122,13 @@ def simhash_near_pairs(
             F.col("bk.band").alias("band"),
             F.col("bk.band_bits").alias("band_bits"),
         )
+    )
+    banded = (
+        exploded.withColumn(
+            "__bn", F.count("*").over(Window.partitionBy("band", "band_bits"))
+        )
+        .filter(F.col("__bn") <= max_bucket)
+        .drop("__bn")
         .persist()
     )
 

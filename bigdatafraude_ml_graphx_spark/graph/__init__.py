@@ -4,3 +4,4 @@ from .components import connected_components, connected_components_star  # noqa:
 from .pagerank import pagerank  # noqa: F401
 from .api import PropertyGraph  # noqa: F401
 from .pagerank import normalize_weights  # noqa: F401
+from .triangles import triangle_count, orient_by_degree, wedges  # noqa: F401

@@ -91,6 +91,41 @@ def pack_chunks(
     )
 
 
+def pack_chunks_hashed(
+    chunks: DataFrame,
+    budget_tokens: int = 128,
+    hex_digits: int = 1,
+    doc_col: str = "doc",
+    chunk_col: str = "chunk_id",
+    size_col: str = "n_chunk_tokens",
+) -> DataFrame:
+    """Per-partition sequence packing for corpora with NO natural group key.
+
+    ``pack_chunks`` needs a group column; when none exists the obvious
+    substitute — pack within ``spark_partition_id()`` — makes the output
+    depend on the physical partitioning (non-reproducible across runs,
+    file layouts, and engines). Instead each doc is routed to a VIRTUAL
+    partition by the first ``hex_digits`` chars of md5(doc) — 16^digits
+    independent packing streams, deterministic everywhere md5 exists, and
+    statistically balanced regardless of doc-id distribution (the same
+    engine-portable-hash argument as operators/sampling.hash_bucket).
+
+    Scale: one hash shuffle on ``part_id``; the sequential running sum is
+    confined to ~N/16^digits chunks per stream — raise ``hex_digits`` as
+    the corpus grows (2 → 256 streams, 3 → 4096). Returns one row per
+    (part_id, bin_id): ``(part_id, bin_id, n_chunks, bin_tokens)``.
+    """
+    part = F.substring(F.md5(F.col(doc_col).cast("string")), 1, hex_digits)
+    return pack_chunks(
+        chunks.withColumn("part_id", part),
+        budget_tokens=budget_tokens,
+        group_col="part_id",
+        doc_col=doc_col,
+        chunk_col=chunk_col,
+        size_col=size_col,
+    )
+
+
 def oracle_chunk_sql(chunk_tokens: int, norm_sql: str) -> str:
     """DuckDB SQL mirroring :func:`chunk_documents` over ``documents``.
     DuckDB list slices (1-based, inclusive, clamped) match Spark's

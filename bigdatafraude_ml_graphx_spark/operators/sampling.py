@@ -139,6 +139,7 @@ def weighted_sample_topk(
     k: int,
     group_cols: list[str] | None = None,
     salt: str = "ws",
+    max_weight: int = 10_000,
 ) -> DataFrame:
     """EXACT weighted sampling without replacement, deterministically.
 
@@ -149,17 +150,41 @@ def weighted_sample_topk(
     A-Res semantics) with INTEGER weights and no floating ``pow``: every
     step is md5 + MIN + rank, bit-identical in any engine.
 
-    The cost of exactness is the replication explode (Σ weights rows). Cap
-    weights (quantize to a small integer scale) to bound it; when approximate
-    determinism suffices at extreme scale, the ``u^(1/w)`` A-Res key is the
-    cheaper non-portable alternative.
+    The cost of exactness is the replication explode (Σ weights rows), so the
+    operator ENFORCES a bound: any weight above ``max_weight`` fails the job
+    (executor-side ``raise_error`` — no driver round-trip, stays lazy).
+    Quantize large weights to a small integer scale before calling, or use
+    :func:`weighted_sample_ares` — the float-keyed variant with no explode —
+    when bit-portable cross-engine determinism isn't required.
+
+    Rows with weight <= 0 are excluded up front (zero draws can't win a race).
+    Without the filter, Spark's ``sequence(1, w)`` would count DOWNWARD for
+    w <= 0 (step defaults to -1 when start > stop), silently granting draws
+    to zero/negative weights and diverging from SQL ``range(1, w+1)``.
     """
+    if max_weight < 1:
+        raise ValueError(f"max_weight must be >= 1, got {max_weight}")
     # group cols join the draw key so each group runs an independent race
     key = F.concat_ws(
         "|", *[F.col(c).cast("string") for c in [*(group_cols or []), *key_cols]]
     )
+    wcol = F.col(weight_col)
+    bounded = F.when(
+        wcol > max_weight,
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"weighted_sample_topk: weight exceeds max_weight="
+                    f"{max_weight} (replication explode would be unbounded); "
+                    f"quantize weights or raise max_weight. offending weight="
+                ),
+                wcol.cast("string"),
+            )
+        ).cast("long"),
+    ).otherwise(wcol.cast("long"))
     drawn = (
-        df.withColumn("__rep", F.explode(F.sequence(F.lit(1), F.col(weight_col))))
+        df.filter(wcol >= 1)
+        .withColumn("__rep", F.explode(F.sequence(F.lit(1).cast("long"), bounded)))
         .withColumn(
             "__draw",
             F.md5(
@@ -187,4 +212,50 @@ def weighted_sample_topk(
         pri.withColumn("sample_rank", F.row_number().over(w))
         .filter(F.col("sample_rank") <= k)
         .select(*agg_keys, F.col("__w").alias(weight_col), "sample_rank")
+    )
+
+
+def weighted_sample_ares(
+    df: DataFrame,
+    key_cols: list[str],
+    weight_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    salt: str = "ws",
+) -> DataFrame:
+    """Efraimidis-Spirakis A-Res weighted sampling — the scale path.
+
+    Each row gets key ``-ln(u) / w`` where ``u`` is a deterministic uniform
+    derived from md5 of the row key (15 hex chars → 60 mantissa bits); the
+    ``k`` smallest keys per group are the sample. Same inclusion
+    probabilities as :func:`weighted_sample_topk` but ZERO row replication:
+    one projection + one top-k per group, so it holds for arbitrary float
+    weights at any scale (100 TB = one scan, one shuffle of k rows/group).
+
+    Deterministic across runs and partitionings (the uniform comes from the
+    key hash, not ``rand()``), but NOT bit-portable across engines — float
+    ``ln``/division differ in ULPs from DuckDB, so ties near the k boundary
+    could flip. Use the exact replicated variant when a cross-engine oracle
+    must match; use this one in production.
+    """
+    key = F.concat_ws(
+        "|", *[F.col(c).cast("string") for c in [*(group_cols or []), *key_cols]]
+    )
+    # u in (0, 1]: 60-bit integer from the md5 prefix, +1 to exclude 0
+    u = (F.conv(F.substring(F.md5(F.concat(F.lit(f"{salt}:"), key)), 1, 15), 16, 10)
+         .cast("double") + F.lit(1.0)) / F.lit(float(16 ** 15))
+    wcol = F.col(weight_col).cast("double")
+    keyed = df.filter(wcol > 0).withColumn("__ares", -F.log(u) / wcol)
+    from pyspark.sql import Window
+
+    groups = [F.col(c) for c in (group_cols or [])]
+    w = (
+        Window.partitionBy(*groups).orderBy("__ares")
+        if groups
+        else Window.partitionBy(F.lit(1)).orderBy("__ares")
+    )
+    return (
+        keyed.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= k)
+        .drop("__ares")
     )

@@ -209,27 +209,85 @@ def q79_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("q81_sketch_aggregates")
+_SKETCH_RSD = 0.02  # HLL++ relative standard deviation
+_RANK_EPS = 0.01  # GK rank-error budget (accuracy 10k guarantees 1e-4)
+
+
+@query(
+    "q81_sketch_aggregates",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS users_within_bound,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+    FROM events GROUP BY event_type
+    """,
+)
 def q81_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate aggregates — the sketches that replace exact distinct
-    counts and percentiles at 100 TB: HyperLogLog++ (`approx_count_distinct`,
-    rsd 2%) and the Greenwald-Khanna quantile sketch (`approx_percentile`).
-    Both are single-pass, mergeable, fixed-memory aggregates: partial
-    sketches merge associatively across partitions, so the shuffle carries
-    one sketch per group instead of the value set. No DuckDB oracle — sketch
-    internals are engine-specific by nature; the error bound vs the exact
-    answer is pinned in tests/test_analytics.py instead."""
+    """Sketch aggregates with an IN-QUERY verified error contract.
+
+    HyperLogLog++ (`approx_count_distinct`, rsd 2%) and Greenwald-Khanna
+    quantiles (`percentile_approx`) are the single-pass, mergeable,
+    fixed-memory aggregates that replace exact distincts/percentiles at
+    100 TB. Sketch VALUES are engine-specific, so instead of emitting them
+    the query emits the CONTRACT: per group, booleans asserting (a) the HLL
+    estimate is within 3·rsd of the exact distinct count and (b) the rank of
+    each returned quantile value is within ±1% of its target. The DuckDB
+    oracle computes the exact aggregates and pins the booleans to TRUE — a
+    sketch drifting out of bound breaks the value hash and fails the driver
+    gate. (The exact distinct / rank recheck is the verification cost; the
+    production path uses the sketches alone.)
+    """
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95], 10_000).alias("value_p50_p95"),
-        F.count("*").alias("n_events"),
-    ).select(
+    sk = (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=_SKETCH_RSD).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10_000).alias("ps"),
+            F.count("*").alias("n_events"),
+        )
+        .select(
+            "event_type",
+            "approx_users",
+            "exact_users",
+            F.col("ps")[0].alias("p50"),
+            F.col("ps")[1].alias("p95"),
+            "n_events",
+        )
+    )
+    # Re-rank the returned quantile values against the raw data: the GK
+    # guarantee is on RANK (frac of values strictly below <= q + eps and
+    # frac at-or-below >= q - eps), which unlike the values themselves is
+    # checkable portably. Broadcast the per-group sketch row back onto the
+    # events scan — one extra scan, no extra shuffle of events.
+    checked = (
+        ev.filter(F.col("value").isNotNull())
+        .join(F.broadcast(sk), "event_type")
+        .groupBy("event_type", "approx_users", "exact_users", "p50", "p95", "n_events")
+        .agg(
+            F.avg((F.col("value") < F.col("p50")).cast("int")).alias("lt50"),
+            F.avg((F.col("value") <= F.col("p50")).cast("int")).alias("le50"),
+            F.avg((F.col("value") < F.col("p95")).cast("int")).alias("lt95"),
+            F.avg((F.col("value") <= F.col("p95")).cast("int")).alias("le95"),
+        )
+    )
+    return checked.select(
         "event_type",
-        "approx_users",
-        F.col("value_p50_p95")[0].alias("value_p50"),
-        F.col("value_p50_p95")[1].alias("value_p95"),
+        "exact_users",
         "n_events",
+        (
+            F.abs(F.col("approx_users") - F.col("exact_users"))
+            <= F.lit(3 * _SKETCH_RSD) * F.col("exact_users")
+        ).alias("users_within_bound"),
+        (
+            (F.col("lt50") <= 0.5 + _RANK_EPS) & (F.col("le50") >= 0.5 - _RANK_EPS)
+        ).alias("p50_rank_ok"),
+        (
+            (F.col("lt95") <= 0.95 + _RANK_EPS) & (F.col("le95") >= 0.95 - _RANK_EPS)
+        ).alias("p95_rank_ok"),
     )
 
 
@@ -256,16 +314,17 @@ _TRI_MIN_WEIGHT = 5
 def q80_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count over the strong-tie co-occurrence graph (weight ≥ 5 —
     counting on the raw near-complete graph is wedge-quadratic; sparsify
-    first, the standard practice). Canonical src<dst edges make each
-    triangle appear exactly once as (a<b<c): two equi joins, no dedup pass.
-    At scale, ordering endpoints by DEGREE instead of id (compact-forward,
-    Latapy 2008) bounds the wedge work further; id order suffices on the
-    thresholded graph."""
-    from .graph import cooccurrence_edges
+    first, the standard practice). Counted DEGREE-ORDERED (compact-forward,
+    Latapy 2008 — see graph/triangles.py): edges orient low-degree →
+    high-degree, so a hub vertex never fans out wedges and the wedge join's
+    max per-key work is O(√|E|) regardless of skew. The undirected triangle
+    count is orientation-invariant, so the id-ordered SQL oracle still
+    matches exactly."""
+    from .graph import cooccurrence_edges, triangle_count
 
-    # Materialize the (small) thresholded edge list before the triple
-    # self-join: three aliases of a lazy frame would re-execute the whole
-    # co-occurrence build once per join side (3 scans of events).
+    # Materialize the (small) thresholded edge list before the degree and
+    # wedge joins: multiple join sides over a lazy frame would re-execute
+    # the whole co-occurrence build once per side (3+ scans of events).
     e = (
         cooccurrence_edges(
             load_table(spark, sf_dir, "events"), "user_id", "ts", "hour",
@@ -275,10 +334,4 @@ def q80_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .localCheckpoint(eager=True)
     )
-    ab, bc, ac = e.alias("ab"), e.alias("bc"), e.alias("ac")
-    tri = ab.join(bc, F.col("ab.dst") == F.col("bc.src")).join(
-        ac,
-        (F.col("ac.src") == F.col("ab.src"))
-        & (F.col("ac.dst") == F.col("bc.dst")),
-    )
-    return tri.agg(F.count("*").alias("n_triangles"))
+    return triangle_count(e)

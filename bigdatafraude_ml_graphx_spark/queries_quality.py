@@ -85,6 +85,42 @@ def q83_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_chunks(chunks, budget_tokens=_PACK_BUDGET, group_col="lang")
 
 
+@query(
+    "q88_packed_hashed",
+    oracle=f"""
+    WITH chunks AS ({oracle_chunk_sql(_CHUNK_TOKENS, _NORM)}),
+    parted AS (
+        SELECT substr(md5(CAST(doc AS VARCHAR)), 1, 1) AS part_id,
+               doc, chunk_id, n_chunk_tokens
+        FROM chunks),
+    binned AS (
+        SELECT part_id,
+               CAST(floor((SUM(n_chunk_tokens) OVER (
+                               PARTITION BY part_id ORDER BY doc, chunk_id
+                               ROWS UNBOUNDED PRECEDING)
+                           - n_chunk_tokens) / {_PACK_BUDGET}.0) AS BIGINT)
+                 AS bin_id,
+               n_chunk_tokens
+        FROM parted)
+    SELECT part_id, bin_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(n_chunk_tokens) AS BIGINT) AS bin_tokens
+    FROM binned GROUP BY part_id, bin_id
+    """,
+)
+def q88_packed_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition sequence packing for corpora WITHOUT a natural group
+    key: docs route to 16 virtual partitions by md5-prefix (deterministic
+    and engine-portable, unlike ``spark_partition_id()`` which couples the
+    output to the physical layout), then pack within each stream
+    (operators/chunking.py::pack_chunks_hashed)."""
+    from .operators.chunking import pack_chunks_hashed
+
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = chunk_documents(docs, chunk_tokens=_CHUNK_TOKENS)
+    return pack_chunks_hashed(chunks, budget_tokens=_PACK_BUDGET, hex_digits=1)
+
+
 # The synthetic corpus carries no PII, so the query plants a deterministic
 # contact line derived from doc_id on BOTH engines — the redactor then has
 # real work whose output the oracle verifies bit-for-bit.

@@ -25,6 +25,7 @@ from . import queries_windows3  # noqa: F401  (RANGE frames, ntile/first/last)
 from . import queries_quality  # noqa: F401  (repetition/chunking/PII/contamination)
 from . import queries_cdc  # noqa: F401  (CDC compaction, scalar quantization)
 from . import queries_analytics  # noqa: F401  (sessionization/funnel/cohorts/triangles)
+from . import queries_tpch2  # noqa: F401  (deep multi-way joins: Q5/Q14/Q15 shapes)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a
@@ -39,7 +40,7 @@ from . import queries_analytics  # noqa: F401  (sessionization/funnel/cohorts/tr
 # ---------------------------------------------------------------------------
 
 _DRIVER_CERTIFIED = frozenset({
-    # every name with a driver row in CORRECTNESS_r01.json / _r02.json
+    # every name with a driver row in CORRECTNESS_r01/r02/r03.json ...
     "q01_pricing_summary", "q02_top10_orders", "q03_price_histogram",
     "q04_revenue_filter", "q05_null_census", "q06_distinct_segments",
     "q07_global_stats", "q08_segment_revenue", "q09_customer_order_counts",
@@ -57,8 +58,36 @@ _DRIVER_CERTIFIED = frozenset({
     "q40_string_functions", "q41_edge_weight_normalization",
     "q42_sliding_window", "q43_session_windows", "q44_percentiles",
     "q45_grouping_sets", "q46_embedding_near_dups", "q47_orderby_case_topk",
-    "q48_coalesce_and_array_index", "q59_multimodal_decode",
-    "q64_near_dup_groups",
+    "q48_coalesce_and_array_index", "q49_ivf_topk", "q50_asof_join",
+    "q51_range_join", "q52_pivot_counts", "q53_token_explode",
+    "q54_hierarchical_rollup", "q55_hash_sample", "q56_scalar_subquery",
+    "q57_unpivot", "q58_array_norms", "q59_multimodal_decode",
+    "q60_range_frame_trailing_sum", "q61_ntile_first_last",
+    "q62_shipping_priority", "q63_exists_late_orders", "q64_near_dup_groups",
+    "q65_stratified_sample", "q66_map_functions", "q67_repetition_quality",
+    "q68_doc_chunking", "q69_pii_redaction", "q70_contamination_overlap",
+    "q71_simhash_near_pairs", "q72_embedding_centroids",
+    "q73_tfidf_keywords", "q74_cdc_latest_events", "q75_scalar_quantize",
+    "q76_simhash_dup_groups", "q77_batch_sessionization", "q78_event_funnel",
+    "q79_retention_cohorts", "q80_triangle_count", "q81_sketch_aggregates",
+    "q82_connected_components_star", "q83_sequence_packing",
+    "q84_snapshot_diff", "q85_correlation_matrix", "q86_value_outliers",
+    "q87_weighted_sample",
+}) - frozenset({
+    # ... MINUS queries whose lineage changed since their last driver row —
+    # these must re-enter the 50-entry prefix so round 4 certifies the code
+    # that actually ships (VERDICT r3 "Next round" #1 + this round's edits):
+    "q22_connected_components",   # r3 CC state-cleanup rewrite
+    "q27_ngram_jaccard_pairs",    # r3 staged-token rewrite lineage
+    "q28_minhash_signatures",     # r3 distinct-skip rewrite
+    "q29_lsh_candidates",         # downstream of q28 rewrite + r4 band cap
+    "q30_simhash",                # r3 32→64-bit widening
+    "q33_stream_hourly",          # r3 nanos-timestamp branch
+    "q64_near_dup_groups",        # r3 MinHash/CC lineage change
+    "q80_triangle_count",         # r4 compact-forward rewrite
+    "q81_sketch_aggregates",      # r4 graduates rows-only → exact oracle
+    "q87_weighted_sample",        # r4 weight-bound enforcement
+    "q49_ivf_topk",               # r4 broadcast-centroid assignment
 })
 
 

@@ -50,6 +50,21 @@ def build_ivf_index(
     higher at the same ``n_probe``. MLlib k-means is itself distributed
     (k·dim doubles broadcast per iteration), so the build holds at corpus
     scale; train on a hash-sample when even that is too hot.
+
+    EAGER: calling this function executes the centroid build (sample sort /
+    k-means fit, plus for small ``n_cells`` a ≤``n_cells``-row metadata
+    collect) at CALL time, not when ``assigned`` is consumed — index
+    construction is inherently a materialization point. The returned
+    ``centroids`` frame is checkpointed/created from the already-computed
+    rows, so reusing it does not re-run the build.
+
+    Assignment strategy switches on ``n_cells`` (see ``_INLINE_MAX_CELLS``):
+    small indexes inline the centroids as literals (pure projection, zero
+    shuffle, bit-deterministic); large indexes (the 4k–65k cells a 100 TB
+    index needs) broadcast-join the centroid table and take a ``min(struct)``
+    argmin — codegen stays bounded, the corpus never shuffles (broadcast
+    join + map-side partial aggregation reduce the n_cells-way blowup back
+    to one row per id before the exchange).
     """
     if method == "kmeans":
         centroids = _kmeans_centroids(df, n_cells, vec_col, seed)
@@ -64,10 +79,54 @@ def build_ivf_index(
     else:
         raise ValueError(f"method must be 'sample' or 'kmeans', got {method!r}")
     corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-    assigned = corpus.withColumn(
-        "cell", _nearest_cell_expr(F.col("vec"), centroids)
-    )
+    if n_cells <= _INLINE_MAX_CELLS:
+        assigned = corpus.withColumn(
+            "cell", _nearest_cell_expr(F.col("vec"), centroids)
+        )
+    else:
+        assigned = _assign_cells_broadcast(corpus, centroids)
     return centroids, assigned
+
+
+_INLINE_MAX_CELLS = 64
+
+
+def _assign_cells_broadcast(corpus: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment via broadcast join + struct-min argmin.
+
+    The literal-inlining path evaluates O(n_cells) struct expressions per
+    row — elegant at 64 cells, codegen-collapsing at the 4k–65k cells a
+    100 TB index needs. Here the centroid table (n_cells · dim doubles — MBs
+    even at 65k×128) is broadcast, the corpus×centroid similarities are
+    computed join-side, and the argmin reduces map-side (partial agg turns
+    n_cells rows/id back into 1 BEFORE the exchange), so the only shuffle is
+    one row per corpus id. Tie-break matches the literal path exactly:
+    min over struct(-sim, cell). Centroid norms are computed once in the
+    broadcast frame with the same quantized arithmetic as :func:`_norm`,
+    so both paths produce identical assignments (verified in
+    tests/test_similarity.py).
+    """
+    c = F.broadcast(
+        centroids.select(
+            F.col("cell").cast("long").alias("cell"),
+            "cvec",
+            _norm(F.col("cvec")).alias("cnorm"),
+        )
+    )
+    joined = corpus.join(c)
+    sim = _qsum_array(_pos_products(F.col("vec"), F.col("cvec"))) / (
+        _norm(F.col("vec")) * F.col("cnorm")
+    )
+    keyed = joined.select(
+        "id",
+        "vec",
+        F.struct((-sim).alias("neg_sim"), F.col("cell").alias("cell")).alias("k"),
+    )
+    return keyed.groupBy("id").agg(
+        # vec is functionally dependent on id (unique corpus ids), so
+        # min_by over the same key is deterministic and avoids a join-back
+        F.min_by("vec", "k").alias("vec"), F.min("k")["cell"].alias("cell")
+    ).select("id", "vec", "cell")
 
 
 def _nearest_cell_expr(vec, centroids: DataFrame):

@@ -111,15 +111,68 @@ def test_triangle_count_on_known_graph(spark):
     assert _TRI_MIN_WEIGHT >= 1
 
 
-def test_sketch_aggregates_error_bounds(spark, sf_dir):
-    """HLL distinct counts within the configured rsd (with slack) of exact;
-    approx percentiles inside the value range and ordered."""
+def _naive_triangles(spark, edges):
+    ab, bc, ac = edges.alias("ab"), edges.alias("bc"), edges.alias("ac")
+    return (
+        ab.join(bc, F.col("ab.dst") == F.col("bc.src"))
+        .join(
+            ac,
+            (F.col("ac.src") == F.col("ab.src"))
+            & (F.col("ac.dst") == F.col("bc.dst")),
+        )
+        .count()
+    )
+
+
+def test_compact_forward_matches_naive_on_random_graph(spark):
+    """Degree-ordered counting is orientation-invariant: same total as the
+    id-ordered naive enumeration on a pseudo-random graph."""
+    import random
+
+    from bigdatafraude_ml_graphx_spark.graph import triangle_count
+
+    rng = random.Random(7)
+    pairs = sorted(
+        {(a, b) for _ in range(300)
+         for a, b in [sorted(rng.sample(range(40), 2))]}
+    )
+    edges = spark.createDataFrame(pairs, "src long, dst long").localCheckpoint()
+    got = triangle_count(edges).collect()[0]["n_triangles"]
+    assert got == _naive_triangles(spark, edges)
+    assert got > 0  # fixture dense enough to be a real check
+
+
+def test_compact_forward_bounds_hub_wedges(spark):
+    """Star fixture: hub 0 joined to 200 leaves (plus one leaf-leaf edge).
+    Id-ordered enumeration builds ~C(200,2)=19900 wedges at the hub;
+    degree-ordering points every edge AT the hub, whose out-degree is 0 —
+    wedge-stage rows stay linear in |E|."""
+    from bigdatafraude_ml_graphx_spark.graph import (
+        orient_by_degree,
+        triangle_count,
+        wedges,
+    )
+
+    n = 200
+    rows = [(0, i) for i in range(1, n + 1)] + [(1, 2)]
+    edges = spark.createDataFrame(rows, "src long, dst long").localCheckpoint()
+    oriented = orient_by_degree(edges).localCheckpoint()
+    # every star edge orients leaf -> hub; each leaf has <= 2 out-edges
+    assert wedges(oriented).count() <= n + 1
+    assert triangle_count(edges).collect()[0]["n_triangles"] == 1  # {0,1,2}
+
+
+def test_sketch_aggregates_contract_holds(spark, sf_dir):
+    """q81 now emits the verified error contract: exact aggregates plus
+    booleans asserting the HLL estimate and GK quantile ranks are in bound.
+    All booleans must be TRUE (that's what the driver oracle pins) and the
+    exact columns must match an independent exact aggregation."""
     from bigdatafraude_ml_graphx_spark.catalog import load_table
     from bigdatafraude_ml_graphx_spark.queries_analytics import (
         q81_sketch_aggregates,
     )
 
-    approx = {
+    out = {
         r["event_type"]: r for r in q81_sketch_aggregates(spark, sf_dir).collect()
     }
     ev = load_table(spark, sf_dir, "events")
@@ -128,14 +181,15 @@ def test_sketch_aggregates_error_bounds(spark, sf_dir):
         for r in ev.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("users"),
-            F.min("value").alias("lo"),
-            F.max("value").alias("hi"),
+            F.count("*").alias("n"),
         )
         .collect()
     }
-    assert set(approx) == set(exact)
-    for et, a in approx.items():
-        e = exact[et]
-        rel_err = abs(a["approx_users"] - e["users"]) / max(e["users"], 1)
-        assert rel_err < 0.10, f"{et}: HLL rel err {rel_err:.3f}"
-        assert e["lo"] <= a["value_p50"] <= a["value_p95"] <= e["hi"]
+    assert set(out) == set(exact)
+    for et, a in out.items():
+        assert a["exact_users"] == exact[et]["users"]
+        assert a["n_events"] == exact[et]["n"]
+        assert a["users_within_bound"] and a["p50_rank_ok"] and a["p95_rank_ok"], (
+            et,
+            a,
+        )

@@ -183,6 +183,70 @@ def test_weighted_sample_race_probability(spark):
     assert 160 <= n_heavy <= 198, n_heavy  # ~Binomial(200, 0.9)
 
 
+def test_weighted_sample_rejects_unbounded_weights(spark):
+    """The replication explode is Σ weights rows — the operator must FAIL,
+    not silently blow up, when a weight exceeds the cap (executor-side
+    raise_error, so the check is distributed and lazy)."""
+    import pytest
+
+    from bigdatafraude_ml_graphx_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 5), (2, 10_000_000)], "id long, w long"
+    )
+    out = weighted_sample_topk(df, ["id"], "w", k=1, max_weight=100)
+    # Spark 4 surfaces executor raise_error as SparkRuntimeException; older
+    # clients as Py4JJavaError — match on the message, not the wrapper type
+    with pytest.raises(Exception, match="max_weight"):
+        out.collect()
+    with pytest.raises(ValueError):
+        weighted_sample_topk(df, ["id"], "w", k=1, max_weight=0)
+
+
+def test_weighted_sample_ignores_nonpositive_weights(spark):
+    """w <= 0 means zero draws: those rows must never be sampled. (Spark's
+    sequence(1, w) counts DOWN for w <= 0 — the operator filters first so
+    Spark matches SQL range(1, w+1) semantics.)"""
+    from bigdatafraude_ml_graphx_spark.operators.sampling import (
+        weighted_sample_topk,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 3), (2, 0), (3, -2), (4, 1)], "id long, w long"
+    )
+    ids = {r["id"] for r in weighted_sample_topk(df, ["id"], "w", k=10).collect()}
+    assert ids == {1, 4}
+
+
+def test_weighted_sample_ares_scale_path(spark):
+    """A-Res variant: no explode, deterministic, same inclusion behavior in
+    the aggregate — the weight-9 key beats weight-1 ~90% of trials."""
+    from bigdatafraude_ml_graphx_spark.operators.sampling import (
+        weighted_sample_ares,
+    )
+
+    rows = [(t, key, 9.0 if key == "heavy" else 1.0)
+            for t in range(200) for key in ("heavy", "light")]
+    df = spark.createDataFrame(rows, "trial long, key string, w double")
+    winners = weighted_sample_ares(
+        df, key_cols=["key"], weight_col="w", k=1, group_cols=["trial"]
+    )
+    assert winners.count() == 200
+    n_heavy = winners.filter(F.col("key") == "heavy").count()
+    assert 160 <= n_heavy <= 198, n_heavy
+    # deterministic across invocations; zero-weight rows excluded
+    a = sorted(map(tuple, winners.collect()))
+    b = sorted(map(tuple, weighted_sample_ares(
+        df, key_cols=["key"], weight_col="w", k=1, group_cols=["trial"]
+    ).collect()))
+    assert a == b
+    # float weights, no row replication: plan has no Generate/explode
+    plan = winners._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan
+
+
 def test_weighted_sample_deterministic_and_exhaustive(spark):
     from bigdatafraude_ml_graphx_spark.operators.sampling import (
         weighted_sample_topk,

@@ -61,6 +61,45 @@ def test_ivf_deterministic(emb):
     assert run() == run()
 
 
+def test_broadcast_assignment_matches_literal_path(emb):
+    """The two assignment strategies (inlined-literal argmin vs broadcast
+    join + struct-min) must produce identical cell assignments — both use
+    the same quantized similarity arithmetic and the same (-sim, cell)
+    tie-break."""
+    from bigdatafraude_ml_graphx_spark.similarity.ivf import (
+        _assign_cells_broadcast,
+        _nearest_cell_expr,
+    )
+
+    centroids, assigned_lit = build_ivf_index(emb, n_cells=8)
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    assigned_bc = _assign_cells_broadcast(corpus, centroids)
+    lit_map = {r["id"]: r["cell"] for r in assigned_lit.collect()}
+    bc_map = {r["id"]: r["cell"] for r in assigned_bc.collect()}
+    assert lit_map == bc_map and len(lit_map) == emb.count()
+
+
+def test_large_index_uses_broadcast_plan(emb):
+    """Above _INLINE_MAX_CELLS the assignment plan must contain a broadcast
+    join (bounded codegen), not an O(n_cells) literal case expression."""
+    from bigdatafraude_ml_graphx_spark.similarity.ivf import (
+        _INLINE_MAX_CELLS,
+        build_ivf_index,
+    )
+
+    n_cells = min(_INLINE_MAX_CELLS + 4, emb.count())
+    assert n_cells > _INLINE_MAX_CELLS, "fixture too small for the large path"
+    centroids, assigned = build_ivf_index(emb, n_cells=n_cells)
+    plan = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "Broadcast" in plan
+    # the corpus side must aggregate map-side: partial then final HashAggregate
+    assert plan.count("Aggregate") >= 2
+    # every corpus vector still lands in exactly one cell
+    assert assigned.count() == emb.count()
+
+
 def test_ivf_kmeans_quantizer_recall_and_coverage(emb):
     """The k-means coarse quantizer (the standard IVF construction) must
     assign every vector to exactly one of n_cells cells and reach at least
