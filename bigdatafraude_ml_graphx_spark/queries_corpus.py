@@ -1,0 +1,223 @@
+"""Corpus fingerprinting / vocabulary / embedding-LSH queries (round 4).
+
+North-star training-pipeline operators over `documents` and `embeddings`:
+winnowing fingerprints (the SIGMOD'03 plagiarism/overlap primitive), corpus
+bigram vocabulary (BPE/vocab-prep), signed-random-projection LSH signatures
+and bucket-verified near-pairs (cosine LSH without all-pairs), and
+equi-depth length deciles (length bucketing for packing/curriculum).
+
+The reference has no text or embedding surface (SURVEY §2.8: string ops
+stop at CASE labels); these extend the north-star set in BASELINE.json.
+Every query is exact-oracle-checked: hashing is md5 (engine-portable),
+embedding math is quantized-integer (order-independent), ties are broken
+deterministically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.text import tokens
+from .functions.winnow import oracle_winnow_sql, winnow_fingerprints
+from .queries import query
+from .similarity.srp import (
+    oracle_srp_signature_sql,
+    srp_banded_pairs,
+    srp_signature,
+    srp_signs,
+)
+
+_NORM = (
+    "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g')"
+)
+_TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
+
+# ---------------------------------------------------------------------------
+# q100 — winnowing fingerprints
+# ---------------------------------------------------------------------------
+
+_WK, _WW = 4, 5
+
+
+@query("q100_winnow_fingerprints", oracle=oracle_winnow_sql(_WK, _WW))
+def q100_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprint sets (k=4-gram hashes, window w=5) for every
+    document — guarantees a shared fingerprint for any copied passage of
+    ≥ k+w−1 tokens. Per-row k-gram hashing is a pure projection; the window
+    minimum is one per-document window (single shuffle on doc_id); at
+    100 TB the fingerprint SET (|docs|·O(len/w) rows of (id, 16-byte hash))
+    is ~2/w of the token count — the standard winnowing density bound."""
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=_WK, w=_WW)
+
+
+# ---------------------------------------------------------------------------
+# q101 — corpus bigram vocabulary (top-k)
+# ---------------------------------------------------------------------------
+
+_TOPN = 50
+
+
+@query(
+    "q101_bigram_vocab",
+    oracle=f"""
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (
+      SELECT tk[i] || ' ' || tk[i + 1] AS bigram
+      FROM (SELECT {_TOKS} AS tk FROM documents),
+           UNNEST(range(1, len(tk))) AS u(i)
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT {_TOPN}
+    """,
+)
+def q101_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-{50} corpus bigrams — the first step of vocabulary/BPE-merge
+    preparation. Bigrams are built from the STAGED token array (one
+    regex pass per document, not per gram), exploded before the shuffle so
+    only (bigram) strings move, counted with map-side partial aggregation,
+    and top-k compiles to TakeOrderedAndProject (no global sort). Tie-break
+    on the bigram string keeps the cut deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("tk"))
+    bigrams = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("tk") - 1),
+                lambda i: F.concat(
+                    F.element_at(F.col("tk"), i), F.lit(" "),
+                    F.element_at(F.col("tk"), i + 1),
+                ),
+            )
+        ).alias("bigram")
+    )
+    return (
+        bigrams.groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q102 / q103 — SRP (random-hyperplane) embedding LSH
+# ---------------------------------------------------------------------------
+
+_SRP_BITS, _SRP_DIM = 16, 64
+_SRP_SIGNS = srp_signs(_SRP_BITS, _SRP_DIM)
+_SRP_BANDS = 4
+_SRP_TAU = 0.4
+
+
+@query(
+    "q102_srp_signatures",
+    oracle=f"""
+    SELECT vec_id, {oracle_srp_signature_sql(_SRP_SIGNS)} AS sig
+    FROM embeddings
+    """,
+)
+def q102_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit signed-random-projection signatures per embedding — the
+    cosine-LSH analogue of SimHash (q30) for dense vectors. The hyperplane
+    sign matrix is a deterministic md5-derived literal shared with the
+    oracle; projections are exact int64 dot products over floor(x·10⁶)
+    quantized components. Pure per-row projection: zero shuffle at any
+    scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select("vec_id", srp_signature("embedding", _SRP_SIGNS).alias("sig"))
+
+
+def _oracle_srp_pairs() -> str:
+    dim = _SRP_DIM
+    bw = _SRP_BITS // _SRP_BANDS
+    mask = (1 << bw) - 1
+    bands = ", ".join(str(b) for b in range(_SRP_BANDS))
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> sa.q[i] * sb.q[i]))"
+    na = f"list_sum(list_transform(range(1, {dim + 1}), i -> sa.q[i] * sa.q[i]))"
+    nb = f"list_sum(list_transform(range(1, {dim + 1}), i -> sb.q[i] * sb.q[i]))"
+    return f"""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(range(1, {dim + 1}),
+                 i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                           AS BIGINT)) AS q,
+             {oracle_srp_signature_sql(_SRP_SIGNS)} AS sig
+      FROM embeddings
+    ), bands AS (
+      SELECT vec_id, b AS band, (sig >> (b * {bw})) & {mask} AS bval
+      FROM s, UNNEST([{bands}]) AS t(b)
+    ), cand AS (
+      SELECT DISTINCT a.vec_id AS a_id, b.vec_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id
+    )
+    SELECT a_id, b_id, cosine_q FROM (
+      SELECT a_id, b_id,
+             CAST({dot} AS DOUBLE)
+               / sqrt(CAST({na} AS DOUBLE))
+               / sqrt(CAST({nb} AS DOUBLE)) AS cosine_q
+      FROM cand JOIN s sa ON sa.vec_id = a_id JOIN s sb ON sb.vec_id = b_id)
+    WHERE cosine_q >= {_SRP_TAU}
+    """
+
+
+@query("q103_srp_near_pairs", oracle=_oracle_srp_pairs())
+def q103_srp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-neighbour pairs: SRP-banded candidates (4 bands × 4
+    bits — a pair is a candidate if ANY band of the 16-bit signature
+    matches, the MinHash-LSH banding discipline applied to cosine space)
+    verified by the EXACT quantized cosine ≥ 0.4. At 100 TB the candidate
+    step is equi self-joins on (band, value) — never all-pairs — the
+    id-pair distinct carries two bigints (vectors re-attach by id after),
+    AQE splits skewed buckets, and the hot-bucket cap (inert here) drops
+    degenerate mass."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return srp_banded_pairs(
+        e, "vec_id", "embedding", _SRP_SIGNS,
+        n_bands=_SRP_BANDS, min_cosine=_SRP_TAU,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q104 — equi-depth length deciles
+# ---------------------------------------------------------------------------
+
+@query(
+    "q104_length_deciles",
+    oracle="""
+    SELECT decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM (
+      SELECT n_chars,
+             NTILE(10) OVER (ORDER BY n_chars, doc_id) AS decile
+      FROM documents)
+    GROUP BY decile
+    ORDER BY decile
+    """,
+)
+def q104_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth document-length deciles (bucket boundaries + counts) —
+    the length-bucketing step before sequence packing / curriculum
+    sampling. NTILE over a TOTAL order (n_chars, doc_id) makes bucket
+    assignment deterministic across engines even on ties. The single
+    unpartitioned window is the known serial point: at 100 TB you'd swap
+    NTILE for approx_percentile boundaries (the documented approx path in
+    q44/q81) — this query certifies the exact semantics."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.orderBy("n_chars", "doc_id")
+    return (
+        d.select("n_chars", F.ntile(10).over(w).alias("decile"))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .orderBy("decile")
+    )

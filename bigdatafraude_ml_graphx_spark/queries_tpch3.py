@@ -1,0 +1,482 @@
+"""Deep decorrelation / disjunction / distribution query shapes (TPC-H
+Q7, Q8, Q10, Q13, Q17, Q18, Q19, Q22 adapted to the testdata's slim schema).
+
+These are the workloads where the *planner* earns its keep at 100 TB:
+bidirectional nation-pair joins, market-share ratios through a 6-way star,
+top-k over a grouped fact join, distribution-of-a-distribution double
+aggregation, correlated scalar subqueries decorrelated into per-key
+aggregate joins, HAVING-gated semi joins, multi-disjunct pushable predicate
+joins, and anti-join + global-scalar-subquery combinations.
+
+Scale posture shared by all eight: dimension tables (nation, region,
+supplier, part, customer projections) broadcast — at full TPC-H scale these
+are KB-to-low-GB while the fact tables are TB — so the only shuffles are
+the unavoidable fact-key joins and fact aggregations, which AQE re-sizes
+after the selective filters. All money/quantity sums use the exact
+DECIMAL-sum helpers (:mod:`.functions.deterministic`) so Spark and the
+DuckDB oracle agree bitwise and reruns are byte-identical.
+
+Reference parity: the reference's SQL surface stops at single equi joins +
+group-by (notebooks/3_sql.ipynb); this module extends the same declared
+surface to the decorrelated/compound join shapes a production fraud
+pipeline needs (e.g. "high-balance customers with no recent activity" is
+exactly the Q22 anti-join shape).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .functions.deterministic import davg, dsum, oracle_davg, oracle_dsum
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# q92 — TPC-H Q7 shape: bidirectional nation-pair shipping volume
+# ---------------------------------------------------------------------------
+
+_Q7_N1, _Q7_N2 = "NATION_1", "NATION_2"
+_Q7_LO, _Q7_HI = "1996-01-01 00:00:00", "1998-01-01 00:00:00"
+
+
+@query(
+    "q92_nation_pair_volume",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation,
+           cn.n_name AS cust_nation,
+           CAST(EXTRACT(year FROM l.l_shipdate) AS INT) AS l_year,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+    JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+    WHERE l.l_shipdate >= TIMESTAMP '{_Q7_LO}'
+      AND l.l_shipdate <  TIMESTAMP '{_Q7_HI}'
+      AND ((sn.n_name = '{_Q7_N1}' AND cn.n_name = '{_Q7_N2}')
+        OR (sn.n_name = '{_Q7_N2}' AND cn.n_name = '{_Q7_N1}'))
+    GROUP BY sn.n_name, cn.n_name, CAST(EXTRACT(year FROM l.l_shipdate) AS INT)
+    """,
+)
+def q92_nation_pair_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: revenue shipped between two nations, in both directions,
+    by year. The two-nation filter applies to the BROADCAST sides
+    (supplier⋈nation and customer⋈nation each collapse to a small keyed
+    map), so the fact tables are filtered by broadcast-hash-join lookup
+    before the single lineitem⋈orders shuffle; the bidirectional pair
+    predicate is a residual on the joined row, not a second join pass."""
+    pair = [_Q7_N1, _Q7_N2]
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name").isin(pair))
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= _Q7_LO) & (F.col("l_shipdate") < _Q7_HI)
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .filter(
+            ((F.col("supp_nation") == _Q7_N1) & (F.col("cust_nation") == _Q7_N2))
+            | ((F.col("supp_nation") == _Q7_N2) & (F.col("cust_nation") == _Q7_N1))
+        )
+        .withColumn("l_year", F.year("l_shipdate").cast("int"))
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q93 — TPC-H Q8 shape: nation market share within a region, by year
+# ---------------------------------------------------------------------------
+
+_Q8_NATION = "NATION_5"
+_Q8_REGION = "ASIA"
+_Q8_TYPE = "STANDARD"
+
+
+@query(
+    "q93_market_share",
+    oracle=f"""
+    SELECT l_year,
+           CAST(nation_rev / total_rev AS DOUBLE) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS l_year,
+             {oracle_dsum("CASE WHEN sn.n_name = '" + _Q8_NATION + "' "
+                          "THEN l.l_extendedprice * (1 - l.l_discount) "
+                          "ELSE 0 END")} AS nation_rev,
+             {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_rev
+      FROM lineitem l
+      JOIN orders o   ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn  ON c.c_nationkey = cn.n_nationkey
+      JOIN region r   ON cn.n_regionkey = r.r_regionkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn  ON s.s_nationkey = sn.n_nationkey
+      JOIN part p     ON l.l_partkey = p.p_partkey
+      WHERE r.r_name = '{_Q8_REGION}' AND p.p_type = '{_Q8_TYPE}'
+      GROUP BY CAST(EXTRACT(year FROM o.o_orderdate) AS INT))
+    """,
+)
+def q93_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8: the target nation's share of regional revenue for one part
+    type, per order year. The conditional-sum-over-total ratio is computed
+    in ONE aggregation over the joined fact (no second scan, no self-join):
+    the CASE lives inside the sum. Every dimension broadcasts; the part-type
+    filter makes the broadcast part map small enough that the fact rows
+    dropped by the join never reach the shuffle. Both sums stay DECIMAL
+    until the final per-year division."""
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == _Q8_REGION)
+    cn = load_table(spark, sf_dir, "nation")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(cn), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("c_custkey")
+    )
+    sn = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(sn), F.col("s_nationkey") == F.col("sn_key"))
+        .select("s_suppkey", "supp_nation")
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == _Q8_TYPE).select(
+        "p_partkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nation_rev = F.when(F.col("supp_nation") == _Q8_NATION, rev).otherwise(F.lit(0.0))
+    agg = (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .withColumn("l_year", F.year("o_orderdate").cast("int"))
+        .groupBy("l_year")
+        .agg(dsum(nation_rev, "nation_rev"), dsum(rev, "total_rev"))
+    )
+    return agg.select(
+        "l_year",
+        (F.col("nation_rev") / F.col("total_rev")).cast("double").alias("mkt_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q94 — TPC-H Q10 shape: top-20 customers by returned-item revenue
+# ---------------------------------------------------------------------------
+
+_Q10_LO, _Q10_HI = "1996-07-01 00:00:00", "1996-10-01 00:00:00"
+
+
+@query(
+    "q94_returned_item_customers",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(c.c_acctbal AS DOUBLE) AS c_acctbal,
+           n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '{_Q10_LO}'
+      AND o.o_orderdate <  TIMESTAMP '{_Q10_HI}'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+    """,
+)
+def q94_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in one quarter.
+    The returnflag filter pushes to the lineitem scan; aggregation keys on
+    the compact c_custkey and the customer attributes re-attach by
+    broadcast AFTER the top-20 cut (20 rows, not |customers|), so the
+    shuffled agg state carries one bigint key instead of name+nation
+    strings. Top-k compiles to TakeOrderedAndProject — no global sort.
+    DECIMAL revenue makes the DESC order (and its tie-break on custkey)
+    engine-stable."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= _Q10_LO) & (F.col("o_orderdate") < _Q10_HI)
+    )
+    per_cust = (
+        li.join(o.select("o_orderkey", "o_custkey"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    dim = F.broadcast(
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+            "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal"), "n_name"
+        )
+    )
+    return (
+        per_cust.join(dim, "c_custkey")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q95 — TPC-H Q13 shape: order-count distribution (double aggregation)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q95_order_count_distribution",
+    oracle="""
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c
+      LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q95_order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: distribution of per-customer non-urgent order counts —
+    the distribution-OF-a-distribution double aggregation. The inner
+    left-outer join carries the extra non-equi condition INSIDE the join
+    (not a post-filter, which would turn absent-orders customers into
+    dropped rows instead of c_count=0). First agg shuffles on c_custkey;
+    the second agg's input is |customers| rows of two ints and its key
+    cardinality is tiny, so AQE coalesces it to a near-free stage."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    per_cust = (
+        c.join(
+            o,
+            (c.c_custkey == o.o_custkey) & (o.o_orderpriority != "1-URGENT"),
+            "left_outer",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+# ---------------------------------------------------------------------------
+# q96 — TPC-H Q17 shape: small-quantity-order revenue (correlated avg)
+# ---------------------------------------------------------------------------
+
+_Q17_BRAND = "Brand#3"
+
+
+@query(
+    "q96_small_quantity_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN (
+      SELECT l_partkey AS agg_partkey,
+             0.2 * ({oracle_davg('l_quantity')}) AS avg_qty
+      FROM lineitem GROUP BY l_partkey) pa
+      ON pa.agg_partkey = l.l_partkey
+    WHERE p.p_brand = '{_Q17_BRAND}'
+      AND l.l_quantity < pa.avg_qty
+    """,
+)
+def q96_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: revenue lost to small-quantity orders of one brand. The
+    classic correlated scalar subquery (per-part average quantity) is
+    decorrelated into a per-partkey aggregate joined back to the fact —
+    the aggregate output is |parts| rows (key + one double), broadcastable
+    even at 100 TB fact scale, so the plan is: one shuffle to build the
+    per-part averages, then a broadcast join + residual filter on the
+    pruned (brand-filtered) lineitem scan. davg is the exact decimal
+    average, so the 0.2·avg threshold is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == _Q17_BRAND).select(
+        "p_partkey"
+    )
+    per_part = li.groupBy(F.col("l_partkey").alias("agg_partkey")).agg(
+        (0.2 * davg("l_quantity")).alias("avg_qty")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(per_part), F.col("l_partkey") == F.col("agg_partkey"))
+        .filter(F.col("l_quantity") < F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice") / 7.0).alias("avg_yearly"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q97 — TPC-H Q18 shape: large-volume orders (HAVING-gated semi join)
+# ---------------------------------------------------------------------------
+
+_Q18_MINQTY = 300
+
+
+@query(
+    "q97_large_volume_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+           CAST(o.o_totalprice AS DOUBLE) AS o_totalprice,
+           {oracle_dsum('l.l_quantity')} AS sum_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey
+      HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > {_Q18_MINQTY})
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    """,
+)
+def q97_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold, with
+    their customers. The IN-subquery is computed ONCE as a per-orderkey
+    aggregate with the HAVING applied at the aggregate (so the re-join
+    carries only qualifying keys + their already-computed sums — no second
+    pass over lineitem to re-sum, which the literal SQL shape implies).
+    Qualifying orders are a tiny fraction (46 of 15k at sf0.01), so the
+    orders/customer attach is a broadcast of the QUALIFYING side flipped
+    onto the fact — at 100 TB the qualifying set is still small because
+    the threshold selects the distribution tail."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .filter(F.col("sum_qty") > _Q18_MINQTY)
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate",
+        F.col("o_totalprice").cast("double").alias("o_totalprice"),
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), o.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), "o_orderdate", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q98 — TPC-H Q19 shape: disjunctive-predicate join revenue
+# ---------------------------------------------------------------------------
+
+@query(
+    "q98_disjunctive_revenue",
+    oracle=f"""
+    SELECT {oracle_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#1' AND p.p_size BETWEEN 1 AND 10
+           AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+       OR (p.p_brand = 'Brand#2' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+       OR (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 30
+           AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """,
+)
+def q98_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under three disjunctive brand/size/quantity
+    bands. The disjunction mixes part-only and lineitem-only predicates;
+    the derivable prefilters (p_brand ∈ {...} ∧ p_size ≤ 30 on part,
+    l_quantity ≤ 30 on lineitem) are applied explicitly before the join so
+    each scan prunes even though the full OR can only be evaluated on the
+    joined row — the standard manual strengthening Catalyst cannot always
+    infer across a disjunction. Part broadcasts; no shuffle at all."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 30)
+    )
+    p = load_table(spark, sf_dir, "part").filter(
+        F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") & (F.col("p_size") <= 30)
+    )
+    band = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 10)
+         & F.col("l_quantity").between(1, 11))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 20)
+           & F.col("l_quantity").between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 30)
+           & F.col("l_quantity").between(20, 30))
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(band)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q99 — TPC-H Q22 shape: lapsed high-balance customers (anti join + global avg)
+# ---------------------------------------------------------------------------
+
+_Q22_CUTOFF = "1999-06-01 00:00:00"
+
+
+@query(
+    "q99_lapsed_high_balance",
+    oracle=f"""
+    SELECT c.c_nationkey,
+           CAST(COUNT(*) AS BIGINT) AS numcust,
+           {oracle_dsum('c.c_acctbal')} AS totacctbal
+    FROM customer c
+    WHERE c.c_acctbal > (
+            SELECT {oracle_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0)
+      AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '{_Q22_CUTOFF}')
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q99_lapsed_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: above-average-balance customers with no recent orders,
+    tallied per nation — the fraud-relevant "dormant high-value account"
+    sweep. The global scalar subquery (average positive balance) is a
+    one-row aggregate cross-broadcast onto customer; the NOT EXISTS is a
+    LEFT ANTI join against the date-pruned orders projection. At 100 TB
+    the anti join's build side is only the recent orders' custkeys —
+    date-partition pruning keeps it a fraction of the full history."""
+    c = load_table(spark, sf_dir, "customer")
+    threshold = (
+        c.filter(F.col("c_acctbal") > 0.0)
+        .agg(davg("c_acctbal", "avg_bal"))
+    )
+    recent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= _Q22_CUTOFF
+    ).select("o_custkey")
+    return (
+        c.join(F.broadcast(threshold))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, c.c_custkey == recent.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal", "totacctbal"))
+        .orderBy("c_nationkey")
+    )

@@ -1,0 +1,164 @@
+"""Warehouse-modeling / quality-signal queries (round 4).
+
+SCD2 validity intervals (the CDC-to-dimension transform that pairs with
+`operators/cdc.py`), per-document unigram entropy (the information-density
+quality filter next to the Gopher/C4 repetition set), and deterministic
+per-group argmax via struct-max (the max_by shape with an explicit,
+engine-stable tie-break).
+
+The reference has no windowed modeling surface (SURVEY §2.5: it imports
+Window and never uses it); these extend the declared north-star set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# q105 — SCD2 validity intervals from an event/CDC history
+# ---------------------------------------------------------------------------
+
+@query(
+    "q105_scd2_intervals",
+    oracle="""
+    SELECT user_id, event_type AS attr_value, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE user_id % 97 = 0
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def q105_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type 2: turn a per-key change history into
+    [valid_from, valid_to) intervals with an is_current flag — the standard
+    CDC→dimension transform (pairs with q74's latest-row compaction: that
+    keeps the head, this keeps the full versioned timeline). One window per
+    key, ordered by (ts, event_id) so same-timestamp changes have a total
+    order; the open interval's NULL valid_to marks the current row. At
+    100 TB this is a single shuffle on the key — and the key partitioning
+    is reusable by every downstream as-of join (q50) against the dimension."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 97 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = F.lead("ts").over(w)
+    return (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("attr_value"),
+            F.col("ts").alias("valid_from"),
+            nxt.alias("valid_to"),
+            F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+            "event_id",
+        )
+        .orderBy("user_id", "valid_from", "event_id")
+        .drop("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q106 — per-document unigram entropy (information-density quality signal)
+# ---------------------------------------------------------------------------
+
+_NORM = (
+    "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g')"
+)
+_TOKS = f"list_filter(string_split({_NORM}, ' '), x -> x != '')"
+
+
+@query(
+    "q106_token_entropy",
+    oracle=f"""
+    SELECT doc_id,
+           ROUND(COALESCE(-SUM(
+               (CAST(c AS DOUBLE) / n) * ln(CAST(c AS DOUBLE) / n)
+           ), 0.0), 6) AS entropy,
+           CAST(MAX(n) AS BIGINT) AS n_tokens
+    FROM (
+      SELECT doc_id, token, COUNT(*) AS c,
+             SUM(COUNT(*)) OVER (PARTITION BY doc_id) AS n
+      FROM (
+        SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+      )
+      GROUP BY doc_id, token)
+    GROUP BY doc_id
+    """,
+)
+def q106_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram (Shannon) entropy per document — the information-density
+    quality filter: repeated-token spam scores near 0, natural text near
+    log(vocab). Plan: one explode before the shuffle (only (doc_id, token)
+    moves), one count aggregation, one per-doc window for the total, one
+    final per-doc sum — all map-side-combinable. The single ``ln`` is the
+    one non-correctly-rounded float op in the engine's oracle surface, so
+    the output rounds to 6 decimals on BOTH sides (libm vs Math.log can
+    differ in the last ulp; a 1e-6 grid makes the compare engine-stable)."""
+    from .functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    counts = tok.groupBy("doc_id", "token").agg(F.count("*").alias("c"))
+    n = F.sum("c").over(Window.partitionBy("doc_id"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        counts.withColumn("n", n)
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.coalesce(-F.sum(p * F.log(p)), F.lit(0.0)), 6
+            ).alias("entropy"),
+            F.max("n").alias("n_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q107 — deterministic per-group argmax via struct max
+# ---------------------------------------------------------------------------
+
+@query(
+    "q107_top_order_per_nation",
+    oracle="""
+    SELECT c.c_nationkey,
+           MAX({'p': CAST(o.o_totalprice AS DOUBLE), 'k': o.o_orderkey}).p
+             AS top_price,
+           MAX({'p': CAST(o.o_totalprice AS DOUBLE), 'k': o.o_orderkey}).k
+             AS top_orderkey
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_nationkey
+    ORDER BY c.c_nationkey
+    """,
+)
+def q107_top_order_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation argmax (the max_by shape) with a DETERMINISTIC tie-break:
+    MAX over struct(price, orderkey) orders lexicographically in both
+    engines, so equal prices resolve by key instead of partition order —
+    the correctness trap in naive max_by at scale, where ties ARE hit.
+    One broadcast join (customer nationkey map) + one aggregation whose
+    state is a single struct per group — constant memory, map-side
+    combinable, no window, no sort of the fact."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    top = F.max(
+        F.struct(
+            F.col("o_totalprice").cast("double").alias("p"),
+            F.col("o_orderkey").alias("k"),
+        )
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(top.alias("t"))
+        .select(
+            "c_nationkey",
+            F.col("t.p").alias("top_price"),
+            F.col("t.k").alias("top_orderkey"),
+        )
+        .orderBy("c_nationkey")
+    )

@@ -26,6 +26,9 @@ from . import queries_quality  # noqa: F401  (repetition/chunking/PII/contaminat
 from . import queries_cdc  # noqa: F401  (CDC compaction, scalar quantization)
 from . import queries_analytics  # noqa: F401  (sessionization/funnel/cohorts/triangles)
 from . import queries_tpch2  # noqa: F401  (deep multi-way joins: Q5/Q14/Q15 shapes)
+from . import queries_tpch3  # noqa: F401  (decorrelation/disjunction: Q7/Q8/Q10/Q13/Q17/Q18/Q19/Q22)
+from . import queries_corpus  # noqa: F401  (winnowing/bigram-vocab/SRP-LSH/length-deciles)
+from . import queries_warehouse  # noqa: F401  (SCD2, token entropy, struct-argmax)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a

@@ -1,0 +1,197 @@
+"""Signed-random-projection (SRP / random-hyperplane) LSH for embeddings.
+
+Charikar (STOC 2002): for a random hyperplane ``r``, ``P[sign(r·u) =
+sign(r·v)] = 1 − θ(u,v)/π`` — so a b-bit vector of projection signs is a
+locality-sensitive signature for cosine similarity, and equal signatures
+mark near-duplicate candidates without any all-pairs comparison.
+
+Determinism contract (the whole point of this implementation):
+
+* Hyperplane components are ±1 drawn from md5 in **Python at
+  plan-construction time** — the same literal sign matrix is embedded in
+  both the Spark expression and the oracle SQL, so there is no RNG at run
+  time and no cross-engine float divergence. ±1 (Rademacher) hyperplanes
+  satisfy the same LSH property as Gaussian ones (Achlioptas 2003 sparse
+  projections).
+* Embedding components are quantized to ``floor(x·10⁶)`` BIGINTs before
+  the dot product, so every projection is **exact integer arithmetic** —
+  bit-identical in any engine, any partitioning, any SIMD width. The
+  quantization error (≤1e-6 per component) only matters for vectors lying
+  within ~1e-6 of a hyperplane, which flips a candidate bit, never breaks
+  determinism.
+
+Scale shape: signatures are a pure per-row projection (zero shuffle);
+candidate generation is an equi self-join on the signature bucket — the
+same bucketed discipline as MinHash/SimHash banding (`dedup/`), so the
+all-pairs O(N²) never materializes. A hot-bucket cap bounds the worst case
+(e.g. the all-zero embedding bucket) exactly like `dedup/minhash.py`.
+
+The reference has no embedding surface; this is a north-star ANN/dedup
+operator alongside `similarity/cosine.py` (brute force) and
+`similarity/ivf.py` (IVF).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_QSCALE = 1_000_000
+
+
+def srp_signs(n_bits: int, dim: int, seed: str = "srp") -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix: sign(j,d) from md5(seed:j:d).
+
+    Pure Python, no RNG state: the matrix is a function of (seed, j, d)
+    alone, reproducible in any language — the oracle SQL embeds the same
+    literals.
+    """
+    signs = []
+    for j in range(n_bits):
+        row = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{j}:{d}".encode()).hexdigest()
+            row.append(1 if h[0] in "01234567" else -1)
+        signs.append(row)
+    return signs
+
+
+def quantize_embedding(emb: Column | str, scale: int = _QSCALE) -> Column:
+    """array<float> → array<bigint> via floor(double(x)·scale).
+
+    The float32 component is widened to DOUBLE **before** the scale multiply
+    (float→double is exact; a float32 multiply would round differently than
+    an engine that promotes first), so every engine computes the identical
+    quantized integer.
+    """
+    c = F.col(emb) if isinstance(emb, str) else emb
+    return F.transform(
+        c, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def srp_signature(emb: Column | str, signs: list[list[int]]) -> Column:
+    """b-bit SRP signature as an INT: bit j = (Σ_d q_d · sign(j,d) ≥ 0).
+
+    One ``zip_with`` + integer ``aggregate`` per bit — all JVM-side, all
+    exact. b is small (8–32), so the expression stays inside codegen.
+    """
+    q = quantize_embedding(emb)
+    sig = F.lit(0)
+    for j, row in enumerate(signs):
+        w = F.array(*[F.lit(s) for s in row])
+        dot = F.aggregate(
+            F.zip_with(q, w, lambda x, s: x * s.cast("long")),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return sig.cast("int")
+
+
+def oracle_srp_signature_sql(signs: list[list[int]], emb: str = "embedding") -> str:
+    """DuckDB expression computing the identical signature.
+
+    Integer list_sum over the same quantized values and literal signs —
+    exact, order-independent.
+    """
+    dim = len(signs[0])
+    terms = []
+    for j, row in enumerate(signs):
+        arr = "[" + ", ".join(str(s) for s in row) + "]"
+        dot = (
+            f"list_sum(list_transform(range(1, {dim + 1}), i -> "
+            f"CAST(FLOOR(CAST({emb}[i] AS DOUBLE) * {_QSCALE}.0) AS BIGINT)"
+            f" * ({arr})[i]))"
+        )
+        terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
+    return "CAST(" + " + ".join(terms) + " AS INT)"
+
+
+def srp_banded_pairs(
+    df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    signs: list[list[int]],
+    n_bands: int = 4,
+    min_cosine: float = 0.4,
+    bucket_cap: int = 100_000,
+) -> DataFrame:
+    """Near-neighbour pairs: SRP-banded candidates verified by exact cosine.
+
+    The b-bit signature splits into ``n_bands`` equal bands (MinHash-LSH
+    banding, `dedup/minhash.py` discipline): a pair is a CANDIDATE if any
+    band matches — P[candidate] = 1 − (1 − (1 − θ/π)^(b/n_bands))^n_bands,
+    steep in cosine — then the EXACT quantized cosine (int64 dot and norms,
+    double only for the final ratio) keeps pairs ≥ ``min_cosine``.
+
+    Scale shape: candidates come from equi self-joins on (band, value) —
+    never all-pairs; pairs dedupe across bands on the id pair (DISTINCT of
+    two bigints); the verify step re-attaches the two quantized vectors by
+    id join, so wide arrays never pass through the distinct. Buckets larger
+    than ``bucket_cap`` are dropped whole (degenerate mass, e.g. all-zero
+    embeddings) — inert below the cap.
+    """
+    n_bits = len(signs)
+    assert n_bits % n_bands == 0, "bands must tile the signature"
+    bw = n_bits // n_bands
+    mask = (1 << bw) - 1
+    sigs = df.select(
+        F.col(id_col),
+        quantize_embedding(emb_col).alias("q"),
+        srp_signature(emb_col, signs).alias("sig"),
+    )
+    bands = sigs.select(
+        id_col,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("sig", b * bw).bitwiseAND(F.lit(mask)).alias("bval"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
+    bucket_n = Window.partitionBy("band", "bval")
+    bands = bands.withColumn("_bn", F.count("*").over(bucket_n)).filter(
+        F.col("_bn") <= bucket_cap
+    ).drop("_bn")
+    a = bands.select(F.col(id_col).alias("a_id"), "band", "bval")
+    b = bands.select(F.col(id_col).alias("b_id"), "band", "bval")
+    cand = (
+        a.join(b, ["band", "bval"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id")
+        .distinct()
+    )
+    qa = sigs.select(F.col(id_col).alias("a_id"), F.col("q").alias("qa"))
+    qb = sigs.select(F.col(id_col).alias("b_id"), F.col("q").alias("qb"))
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    nrm = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(qa, "a_id")
+        .join(qb, "b_id")
+        .withColumn(
+            "cosine_q",
+            (
+                dot.cast("double")
+                / F.sqrt(nrm(F.col("qa")).cast("double"))
+                / F.sqrt(nrm(F.col("qb")).cast("double"))
+            ),
+        )
+        .filter(F.col("cosine_q") >= min_cosine)
+        .select("a_id", "b_id", "cosine_q")
+    )

@@ -52,3 +52,55 @@ def running_totals(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def running_totals_tws(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    output_mode: str = "Update",
+) -> DataFrame:
+    """Per-key running (count, sum) via ``transformWithStateInPandas`` —
+    the Spark 4 successor to ``applyInPandasWithState`` with TYPED state.
+
+    Same contract as :func:`running_totals`, different engine surface:
+    state is a named ``ValueState`` on a ``StatefulProcessorHandle`` (not a
+    positional tuple), lifecycle is explicit (``init``/``close``), and the
+    operator requires the RocksDB state store provider
+    (``spark.sql.streaming.stateStore.providerClass`` →
+    ``RocksDBStateStoreProvider``) — the provider you would run at 100 TB
+    anyway: state lives off-heap/on-disk with incremental checkpoint
+    upload, so per-executor state size is bounded by disk, not memory.
+    """
+    # Imported lazily: the module exists only on Spark ≥ 4.0, and the
+    # engine's batch surface must import cleanly on any supported Spark.
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    output_schema = f"{key_col} long, n_events long, total double"
+
+    class _RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", "n long, s double")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, s = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                s += float(pdf[value_col].fillna(0.0).sum())
+            self._totals.update((n, s))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "total": [s]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return df.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=_RunningTotals(),
+        outputStructType=output_schema,
+        outputMode=output_mode,
+        timeMode="None",
+    )

@@ -1,0 +1,98 @@
+"""Property tests for the round-4 corpus operators: winnowing fingerprints
+(shared-substring guarantee, density bound) and SRP embedding LSH
+(signature determinism, banding recall vs brute force)."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from bigdatafraude_ml_graphx_spark.functions.winnow import winnow_fingerprints
+from bigdatafraude_ml_graphx_spark.similarity.srp import (
+    srp_banded_pairs,
+    srp_signature,
+    srp_signs,
+)
+
+K, W = 4, 5
+
+
+def test_winnow_shared_passage_guarantee(spark):
+    """Any copied passage of ≥ k+w−1 tokens forces ≥1 shared fingerprint."""
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"  # 8 = k+w-1
+    docs = spark.createDataFrame(
+        [
+            (1, f"one two three {passage} four five six"),
+            (2, f"{passage} nine ten eleven twelve thirteen fourteen"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    fp = winnow_fingerprints(docs, "doc_id", "text", k=K, w=W)
+    a = {r.fingerprint for r in fp.filter("doc_id = 1").collect()}
+    b = {r.fingerprint for r in fp.filter("doc_id = 2").collect()}
+    c = {r.fingerprint for r in fp.filter("doc_id = 3").collect()}
+    assert a & b, "copied passage must share a fingerprint"
+    assert not (a & c) and not (b & c), "unrelated doc must not collide"
+
+
+def test_winnow_density_and_coverage(spark, sf_dir):
+    """Fingerprints per doc ≤ full-window count, ≥ 1 for any doc with a gram."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = winnow_fingerprints(d, "doc_id", "text", k=K, w=W)
+    per_doc = fp.groupBy("doc_id").count()
+    n_docs_with_grams = (
+        d.filter(F.size(F.split(F.col("text"), r"\s+")) >= K).count()
+    )
+    assert per_doc.count() == n_docs_with_grams
+    # winnowing can never select more fingerprints than windows
+    grams = d.select(
+        "doc_id", (F.size(F.split(F.col("text"), r"\s+")) - K + 1).alias("g")
+    )
+    joined = per_doc.join(grams, "doc_id").filter(F.col("count") > F.col("g"))
+    assert joined.count() == 0
+
+
+def test_srp_signature_deterministic_and_equal_for_identical(spark):
+    signs = srp_signs(16, 4)
+    df = spark.createDataFrame(
+        [(1, [0.5, -0.25, 0.125, 1.0]), (2, [0.5, -0.25, 0.125, 1.0]),
+         (3, [-0.5, 0.25, -0.125, -1.0])],
+        ["vec_id", "embedding"],
+    ).withColumn("embedding", F.col("embedding").cast("array<float>"))
+    sig = df.select("vec_id", srp_signature("embedding", signs).alias("s"))
+    rows = {r.vec_id: r.s for r in sig.collect()}
+    assert rows[1] == rows[2]
+    # a vector and its negation flip every nonzero projection
+    assert rows[1] != rows[3]
+    # re-running yields identical signatures (no runtime RNG)
+    rows2 = {r.vec_id: r.s for r in sig.collect()}
+    assert rows == rows2
+
+
+@pytest.mark.parametrize("tau", [0.4])
+def test_srp_banding_finds_top_bruteforce_pair(spark, sf_dir, tau):
+    """The banded candidate step must surface the single most-similar pair
+    (recall@top1 of the LSH stage) and never emit a pair below tau."""
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    signs = srp_signs(16, 64)
+    pairs = srp_banded_pairs(
+        e, "vec_id", "embedding", signs, n_bands=4, min_cosine=tau
+    ).collect()
+    assert all(p.cosine_q >= tau for p in pairs)
+    if pairs:
+        best_banded = max(p.cosine_q for p in pairs)
+        # brute-force the true top pair cosine (500 vectors — cheap locally)
+        import itertools
+
+        import numpy as np
+
+        vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+                for r in e.collect()}
+        best = max(
+            float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            for a, b in itertools.combinations(vecs.values(), 2)
+        )
+        # quantization shifts cosine by <1e-5; banding must catch the top pair
+        assert best_banded >= best - 1e-4

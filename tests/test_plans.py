@@ -273,3 +273,54 @@ def test_ivf_build_assignment_no_exchange(spark, sf_dir):
     ).collect()[0]
     assert stats["n"] == stats["n_ids"]
     assert 0 <= stats["mn"] and stats["mx"] <= 7
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Runtime bloom-filter injection (the AQE-era semi-join reduction): a
+    selective filter on the orders side of lineitem⋈orders plants a
+    bloom_filter_agg on the creation side and a might_contain probe above
+    the lineitem scan — at 100 TB this drops most fact rows BEFORE the
+    shuffle. Results must be identical with and without the filter."""
+    saved = {}
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in opt, opt
+        assert "might_contain" in opt, opt
+        with_bloom = {(r["o_orderpriority"], r["n"]) for r in j.collect()}
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    j2 = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+    )
+    assert {(r["o_orderpriority"], r["n"]) for r in j2.collect()} == with_bloom

@@ -148,3 +148,47 @@ def test_dedup_stream_exact_vs_fuzzy_ts(spark, tmp_path):
     run_available_now(q2)
     # fuzzy mode collapses the retransmission: one row per key
     assert spark.table("dedup_fuzzy_sink").count() == 2
+
+
+def test_transform_with_state_running_totals(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 typed-state API) matches the
+    applyInPandasWithState contract on the same input, under the RocksDB
+    state store provider it requires.
+
+    The runtime needs ``google.protobuf`` (the state-server wire format);
+    skip when the sandbox lacks it — same gating policy as PIL codecs.
+    """
+    pytest.importorskip("google.protobuf.descriptor")
+    from bigdatafraude_ml_graphx_spark.streaming.stateful import running_totals_tws
+
+    d = str(tmp_path / "events_tws")
+    _write_files(
+        spark, d,
+        [
+            ("f0", [(1, 10.0), (1, 5.0), (2, 1.0)], "user_id long, value double", 0),
+            ("f1", [(1, 2.0), (3, 7.0)], "user_id long, value double", 100),
+        ],
+    )
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = file_stream(
+            spark, d, "user_id long, value double", max_files_per_trigger=1
+        )
+        totals = running_totals_tws(stream)
+        q = memory_sink(totals, "tws_sink", output_mode="update", available_now=True)
+        run_available_now(q)
+        final = {}
+        for r in spark.table("tws_sink").collect():
+            final[r["user_id"]] = (r["n_events"], r["total"])
+        assert final[1] == (3, 17.0)
+        assert final[2] == (1, 1.0)
+        assert final[3] == (1, 7.0)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
