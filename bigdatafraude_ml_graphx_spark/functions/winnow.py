@@ -33,18 +33,28 @@ from pyspark.sql import functions as F
 from .text import tokens
 
 
-def kgram_hashes(text: Column | str, k: int) -> Column:
-    """Array of md5-hex hashes over all k-grams of the normalized tokens.
+def kgram_hashes_from_tokens(toks: Column, k: int) -> Column:
+    """Array of md5-hex hashes over all k-grams of an ALREADY-MATERIALIZED
+    token array column. Empty array when the document has fewer than ``k``
+    tokens.
 
-    Empty array when the document has fewer than ``k`` tokens.
+    Hot paths must stage the token array in its own projection (see
+    :func:`winnow_fingerprints`): inlining ``tokens(text)`` here makes
+    Catalyst re-evaluate the regex tokenization once per produced gram —
+    O(tokens²) regex work, observed 40 s vs ~3 s at sf0.1 (the same trap
+    documented at ``dedup/ngram.py::word_ngrams``).
     """
-    toks = tokens(text)
     n = F.size(toks)
     idx = F.sequence(F.lit(0), n - k)  # gram start offsets (0-based)
     gram = lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, k)))  # noqa: E731
     return F.when(n >= k, F.transform(idx, gram)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def kgram_hashes(text: Column | str, k: int) -> Column:
+    """One-off convenience over raw text — NOT for hot paths (see above)."""
+    return kgram_hashes_from_tokens(tokens(text), k)
 
 
 def winnow_fingerprints(
@@ -62,10 +72,16 @@ def winnow_fingerprints(
     is exactly the winnowing fingerprint set. Ties (identical hash values in
     one window) are irrelevant: MIN is value-based, both engines agree.
     """
-    grams = (
-        df.select(F.col(id_col), kgram_hashes(F.col(text_col), k).alias("ghs"))
-        .filter(F.size("ghs") > 0)
-        .select(id_col, F.posexplode("ghs").alias("pos", "gh"))
+    # Stage the token array in its own projection; the generator in the
+    # next select stops Catalyst's CollapseProject from re-inlining the
+    # tokenize regex into every gram (O(tokens²) — see kgram_hashes_from_tokens).
+    grams = df.select(
+        F.col(id_col), tokens(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        F.posexplode(kgram_hashes_from_tokens(F.col("_toks"), k)).alias(
+            "pos", "gh"
+        ),
     )
     part = Window.partitionBy(id_col)
     win = part.orderBy("pos").rowsBetween(0, w - 1)

@@ -92,3 +92,64 @@ def latest_by_key(
         .filter(F.col(_RN) <= keep)
         .drop(_RN)
     )
+
+
+def merge_upsert(
+    target: DataFrame,
+    source: DataFrame,
+    key_cols: Sequence[str],
+    delete_col: str | None = None,
+) -> DataFrame:
+    """Delta-style MERGE (upsert + optional delete) as one full-outer join.
+
+    Semantics (the standard CDC-apply contract):
+
+    * key matched, source not deleted → source row wins (UPDATE),
+    * key matched, source ``delete_col`` true → row dropped (DELETE),
+    * key only in source → source row appended (INSERT),
+    * key only in target → target row kept unchanged.
+
+    ``target`` and ``source`` must share the payload schema (``delete_col``,
+    if any, exists only on the source). Completes the CDC trio with
+    :func:`latest_by_key` (log → current source) and :func:`snapshot_diff`
+    (audit of the result): compact the change log, merge it into the
+    snapshot, diff to verify.
+
+    Scale shape: ONE full-outer shuffle join on the key — no window, no
+    union-then-dedup (which would shuffle the payload twice). At 100 TB the
+    source is typically <1% of the target, so AQE plans a skew-tolerant
+    shuffle join and the output preserves the target's key partitioning for
+    the next incremental merge. Deletes ride the same join instead of a
+    separate anti-join pass.
+    """
+    payload = [c for c in target.columns if c not in key_cols]
+    src_payload = [
+        c for c in source.columns if c not in key_cols and c != delete_col
+    ]
+    assert sorted(payload) == sorted(src_payload), (
+        f"schema mismatch: target {sorted(payload)} vs source {sorted(src_payload)}"
+    )
+    s = source.select(
+        *[F.col(k).alias(f"__s_{k}") for k in key_cols],
+        *[F.col(c).alias(f"__s_{c}") for c in src_payload],
+        (
+            F.col(delete_col) if delete_col is not None else F.lit(False)
+        ).alias("__s_del"),
+    )
+    cond = None
+    for k in key_cols:
+        c = target[k] == s[f"__s_{k}"]
+        cond = c if cond is None else (cond & c)
+    joined = target.join(s, cond, "full_outer")
+    matched_src = s[f"__s_{key_cols[0]}"].isNotNull()
+    # DELETE: matched AND flagged — drop the row entirely
+    joined = joined.filter(~(matched_src & F.coalesce(F.col("__s_del"), F.lit(False))))
+    out = [
+        F.coalesce(F.col(f"__s_{k}"), target[k]).alias(k) for k in key_cols
+    ] + [
+        F.when(matched_src | target[key_cols[0]].isNull(), F.col(f"__s_{c}"))
+        .otherwise(target[c])
+        .alias(c)
+        for c in payload
+    ]
+    return joined.select(*out)

@@ -162,3 +162,64 @@ def q107_top_order_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_nationkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# q108 — Delta-style MERGE (upsert + delete) applied to a snapshot
+# ---------------------------------------------------------------------------
+
+@query(
+    "q108_merge_upsert",
+    oracle="""
+    WITH tgt AS (
+      SELECT c_custkey, c_name, CAST(c_acctbal AS DOUBLE) AS c_acctbal
+      FROM customer),
+    src AS (
+      SELECT c_custkey, c_name, c_acctbal + 100.0 AS c_acctbal,
+             FALSE AS del
+      FROM tgt WHERE c_custkey % 5 = 0 AND c_custkey % 131 <> 0
+      UNION ALL
+      SELECT c_custkey + 1000000, 'NEW_' || CAST(c_custkey AS VARCHAR), 0.0,
+             FALSE
+      FROM tgt WHERE c_custkey % 97 = 0
+      UNION ALL
+      SELECT c_custkey, c_name, c_acctbal, TRUE
+      FROM tgt WHERE c_custkey % 131 = 0)
+    SELECT COALESCE(s.c_custkey, t.c_custkey) AS c_custkey,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_name
+                ELSE t.c_name END AS c_name,
+           CASE WHEN s.c_custkey IS NOT NULL THEN s.c_acctbal
+                ELSE t.c_acctbal END AS c_acctbal
+    FROM tgt t FULL OUTER JOIN src s ON t.c_custkey = s.c_custkey
+    WHERE NOT (s.c_custkey IS NOT NULL AND s.del)
+    """,
+)
+def q108_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-style MERGE: apply a CDC batch (updates, inserts, deletes) to
+    the customer snapshot in ONE full-outer join — the operator that closes
+    the CDC trio (q74 compacts the log, this applies it, q84 audits the
+    result). The source batch is derived deterministically from the target
+    (every 5th key updated +100, every 97th key re-inserted under a new id,
+    every 131st deleted) so both engines construct the identical merge
+    input. Source payload wins outright on match — including NULLs — which
+    is why the merge uses branch selection, not COALESCE, per column."""
+    from .operators.cdc import merge_upsert
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    k = F.col("c_custkey")
+    upd = (
+        c.filter((k % 5 == 0) & (k % 131 != 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+        .withColumn("_deleted", F.lit(False))
+    )
+    ins = c.filter(k % 97 == 0).select(
+        (k + 1000000).alias("c_custkey"),
+        F.concat(F.lit("NEW_"), k.cast("string")).alias("c_name"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit(False).alias("_deleted"),
+    )
+    dele = c.filter(k % 131 == 0).withColumn("_deleted", F.lit(True))
+    src = upd.unionByName(ins).unionByName(dele)
+    return merge_upsert(c, src, ["c_custkey"], delete_col="_deleted")

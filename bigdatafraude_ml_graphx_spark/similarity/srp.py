@@ -133,16 +133,43 @@ def srp_banded_pairs(
     id join, so wide arrays never pass through the distinct. Buckets larger
     than ``bucket_cap`` are dropped whole (degenerate mass, e.g. all-zero
     embeddings) — inert below the cap.
+
+    EAGER + NON-RECOVERABLE: the returned frame is ``localCheckpoint``-ed at
+    call time (materialization barrier; executor loss invalidates it) so the
+    internally persisted signature frame can be released — the same contract
+    as ``dedup.ngram_jaccard_pairs`` / ``dedup.lsh_candidate_pairs``.
+
+    Band width is a DATA-DEPENDENT knob: b/n_bands bits per band sets the
+    random-pair collision rate 2^(−b/n_bands) per band. The 4-bit demo bands
+    here suit the low-similarity testdata (τ=0.4); a production near-dup
+    sweep at τ≥0.9 wants 8–16-bit bands, where candidate volume stays
+    ~N²/2^bandwidth per band and the cap bounds the worst bucket.
     """
     n_bits = len(signs)
     assert n_bits % n_bands == 0, "bands must tile the signature"
     bw = n_bits // n_bands
     mask = (1 << bw) - 1
+    dim = len(signs[0])
     sigs = df.select(
         F.col(id_col),
         quantize_embedding(emb_col).alias("q"),
         srp_signature(emb_col, signs).alias("sig"),
+    ).withColumn(
+        # per-VECTOR norm: the higher-order fold runs once per row here
+        # (|vectors| rows), never per candidate pair
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("q", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        ),
     )
+    # The signature/quantize lineage feeds four consumers (both self-join
+    # sides of the band join + qa + qb); persist so the wide projection
+    # runs once — released via the eager checkpoint before returning.
+    sigs = sigs.persist()
     bands = sigs.select(
         id_col,
         F.explode(
@@ -169,29 +196,33 @@ def srp_banded_pairs(
         .select("a_id", "b_id")
         .distinct()
     )
-    qa = sigs.select(F.col(id_col).alias("a_id"), F.col("q").alias("qa"))
-    qb = sigs.select(F.col(id_col).alias("b_id"), F.col("q").alias("qb"))
+    qa = sigs.select(
+        F.col(id_col).alias("a_id"), F.col("q").alias("qa"), F.col("nrm").alias("na")
+    )
+    qb = sigs.select(
+        F.col(id_col).alias("b_id"), F.col("q").alias("qb"), F.col("nrm").alias("nb")
+    )
+    # Per-PAIR dot product: one zip_with/aggregate fold. (Measured: the
+    # "optimization" of unrolling into 2·dim element_at terms is 6× SLOWER
+    # at dim=64 — the fold traverses both arrays once, the unrolled form
+    # pays per-term array access; don't re-try it.) Norms are per-vector,
+    # computed above, never per pair.
     dot = F.aggregate(
         F.zip_with("qa", "qb", lambda x, y: x * y),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
-    nrm = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return (
+    out = (
         cand.join(qa, "a_id")
         .join(qb, "b_id")
-        .withColumn(
-            "cosine_q",
-            (
-                dot.cast("double")
-                / F.sqrt(nrm(F.col("qa")).cast("double"))
-                / F.sqrt(nrm(F.col("qb")).cast("double"))
-            ),
-        )
+        .withColumn("cosine_q", dot.cast("double") / F.col("na") / F.col("nb"))
         .filter(F.col("cosine_q") >= min_cosine)
         .select("a_id", "b_id", "cosine_q")
+        # EAGER + NON-RECOVERABLE (same contract as dedup's pair builders):
+        # materialize the small pair result so the persisted signature frame
+        # can be unpersisted before returning — a leaked persist() poisons
+        # later timings via the CacheManager.
+        .localCheckpoint(eager=True)
     )
+    sigs.unpersist()
+    return out

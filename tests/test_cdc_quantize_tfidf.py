@@ -143,3 +143,27 @@ def test_snapshot_diff_null_transition_is_change(spark):
     new = spark.createDataFrame([(1, 0.0)], "id long, v double")
     rows = snapshot_diff(old, new, ("id",), ("v",)).collect()
     assert [(r["id"], r["status"]) for r in rows] == [(1, "changed")]
+
+
+def test_merge_upsert_semantics(spark):
+    """Source wins on match (including NULL payloads), deletes drop, inserts
+    append, unmatched target survives."""
+    from bigdatafraude_ml_graphx_spark.operators.cdc import merge_upsert
+
+    tgt = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)],
+        "k long, name string, v double",
+    )
+    src = spark.createDataFrame(
+        [(2, None, 99.0, False),   # update with intended NULL name
+         (3, "c", 30.0, True),     # delete
+         (5, "e", 50.0, False)],   # insert
+        "k long, name string, v double, _deleted boolean",
+    )
+    out = {r.k: (r.name, r.v) for r in merge_upsert(tgt, src, ["k"], "_deleted").collect()}
+    assert out == {
+        1: ("a", 10.0),
+        2: (None, 99.0),   # NULL must NOT be coalesced back to 'b'
+        4: ("d", 40.0),
+        5: ("e", 50.0),
+    }
