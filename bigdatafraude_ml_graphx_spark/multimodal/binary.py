@@ -248,3 +248,153 @@ def sample_frames(
         .withColumn("frame_ts", F.col("frame_idx") * F.lit(every_s))
         .drop("_n")
     )
+
+
+# ---------------------------------------------------------------------------
+# RAWV: uncompressed "video" (12-byte header: width/height/n_frames as
+# little-endian uint32, then n_frames contiguous width*height grayscale
+# frames) and PCM8: uncompressed "audio" (4-byte little-endian uint32 sample
+# rate, then unsigned-8-bit mono samples centered at 128). Same policy as
+# RAW8: real, tested Arrow kernels whose only stubbed part is the codec —
+# swapping RAWV/PCM8 for MP4/WAV changes the np.frombuffer lines only.
+# ---------------------------------------------------------------------------
+
+RAWV_HEADER_BYTES = 12
+PCM8_HEADER_BYTES = 4
+
+
+def encode_rawv(width: int, height: int, frames) -> bytes:
+    """Build a RAWV buffer from an (n_frames, height, width) uint8 array."""
+    import numpy as np
+
+    arr = np.asarray(frames, dtype="uint8")
+    n = arr.shape[0]
+    arr = arr.reshape(n, height, width)
+    return (
+        int(width).to_bytes(4, "little")
+        + int(height).to_bytes(4, "little")
+        + int(n).to_bytes(4, "little")
+        + arr.tobytes()
+    )
+
+
+def extract_rawv_frames(
+    df: DataFrame,
+    id_col: str,
+    stride: int = 1,
+    content_col: str = "content",
+) -> DataFrame:
+    """Byte-level frame sampling: every ``stride``-th frame of each RAWV blob
+    → one row (id, frame_idx, width, height, mean_pixel, frame) with the
+    frame re-encoded as a standalone RAW8 image so downstream image kernels
+    (``resize_raw8``, ``decode_raw8``) compose directly.
+
+    This is the BYTE-plane complement of :func:`sample_frames` (which expands
+    timestamps from metadata): the kernel slices the contiguous frame region
+    with numpy strides — zero-copy views, one pass. Malformed buffers yield
+    zero frames (never a task failure). At 100 TB, videos are the largest
+    blobs in the lake: the select projects only (id, content), frames fan out
+    inside the Arrow batch (no JVM-side row explosion of megabyte blobs), and
+    the per-task memory bound is max_blob_size + one emitted batch.
+    """
+    import numpy as np
+
+    schema = (
+        f"{id_col} long, frame_idx int, width int, height int, "
+        "mean_pixel double, frame binary"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(buf)
+                if len(b) < RAWV_HEADER_BYTES:
+                    continue
+                w = int.from_bytes(b[0:4], "little")
+                h = int.from_bytes(b[4:8], "little")
+                n = int.from_bytes(b[8:12], "little")
+                if w == 0 or h == 0 or len(b) != RAWV_HEADER_BYTES + n * w * h:
+                    continue
+                arr = np.frombuffer(
+                    b, dtype=np.uint8, offset=RAWV_HEADER_BYTES
+                ).reshape(n, h, w)
+                for fi in range(0, n, max(stride, 1)):
+                    frame = arr[fi]
+                    rows.append(
+                        (
+                            i,
+                            fi,
+                            w,
+                            h,
+                            float(frame.mean()),
+                            encode_raw8(w, h, frame),
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "frame_idx", "width", "height", "mean_pixel", "frame",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
+def encode_pcm8(sample_rate: int, samples) -> bytes:
+    """Build a PCM8 buffer from a uint8 sample array (test/feed helper)."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="uint8")
+    return int(sample_rate).to_bytes(4, "little") + arr.tobytes()
+
+
+def pcm8_features(
+    df: DataFrame, id_col: str, content_col: str = "content"
+) -> DataFrame:
+    """Audio feature extraction: (sample_rate, duration_s, rms,
+    zero_crossing_rate) per PCM8 blob — the standard cheap audio-quality /
+    silence-detection features, all exact numpy integer math (samples are
+    centered at 128; a zero crossing is a sign change of sample−128).
+    Malformed buffers yield nulls. Same Arrow-batch shape as the image
+    kernels: swapping PCM8 for WAV/FLAC changes the frombuffer line only.
+    """
+    import numpy as np
+
+    schema = (
+        f"{id_col} long, sample_rate int, n_samples long, duration_s double, "
+        "rms double, zero_crossing_rate double"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(buf)
+                if len(b) <= PCM8_HEADER_BYTES:
+                    rows.append((i, None, None, None, None, None))
+                    continue
+                rate = int.from_bytes(b[0:4], "little")
+                if rate == 0:
+                    rows.append((i, None, None, None, None, None))
+                    continue
+                s = np.frombuffer(
+                    b, dtype=np.uint8, offset=PCM8_HEADER_BYTES
+                ).astype(np.int64) - 128
+                rms = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
+                signs = np.sign(s)
+                nz = signs[signs != 0]
+                crossings = int(np.count_nonzero(np.diff(nz) != 0))
+                zcr = crossings / max(len(s) - 1, 1)
+                rows.append(
+                    (i, rate, len(s), len(s) / rate, rms, float(zcr))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "sample_rate", "n_samples", "duration_s",
+                    "rms", "zero_crossing_rate",
+                ],
+            )
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)

@@ -123,3 +123,52 @@ def test_raw8_resize_composes_and_is_deterministic(spark):
     buf = bytes(small.collect()[0]["content"])
     pixels = np.frombuffer(buf, dtype=np.uint8, offset=8).reshape(2, 2)
     assert pixels.tolist() == [[0, 100], [200, 50]]
+
+
+def test_rawv_frame_extraction_stride_and_compose(spark):
+    """Every 2nd frame extracted with exact pixel means; sampled frames are
+    valid RAW8 (decode composes); malformed blobs yield zero frames."""
+    import numpy as np
+
+    from bigdatafraude_ml_graphx_spark.multimodal import (
+        decode_raw8,
+        encode_rawv,
+        extract_rawv_frames,
+    )
+
+    frames = np.stack([np.full((4, 4), v, dtype=np.uint8) for v in (10, 20, 30, 40, 50)])
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_rawv(4, 4, frames))), (2, bytearray(b"bogus"))],
+        "vid long, content binary",
+    )
+    out = extract_rawv_frames(df, "vid", stride=2).collect()
+    got = {(r.vid, r.frame_idx): r.mean_pixel for r in out}
+    assert got == {(1, 0): 10.0, (1, 2): 30.0, (1, 4): 50.0}
+    # frames are standalone RAW8: decoding them reproduces the means
+    frames_df = spark.createDataFrame(
+        [(r.frame_idx, bytearray(r.frame)) for r in out],
+        "fid long, content binary",
+    )
+    dec = {r.fid: r.mean_pixel for r in decode_raw8(frames_df, "fid").collect()}
+    assert dec == {0: 10.0, 2: 30.0, 4: 50.0}
+
+
+def test_pcm8_features_exact(spark):
+    """RMS and zero-crossing rate computed exactly on a known square wave."""
+    import numpy as np
+
+    from bigdatafraude_ml_graphx_spark.multimodal import encode_pcm8, pcm8_features
+
+    # square wave +/-50 around 128, period 4: zcr = crossings/(n-1)
+    samples = np.tile([178, 178, 78, 78], 25).astype(np.uint8)  # 100 samples
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_pcm8(8000, samples))), (2, bytearray(b"\x00\x00"))],
+        "clip long, content binary",
+    )
+    rows = {r.clip: r for r in pcm8_features(df, "clip").collect()}
+    r1 = rows[1]
+    assert r1.sample_rate == 8000 and r1.n_samples == 100
+    assert r1.duration_s == 100 / 8000
+    assert r1.rms == 50.0
+    assert abs(r1.zero_crossing_rate - 49 / 99) < 1e-12
+    assert rows[2].sample_rate is None
