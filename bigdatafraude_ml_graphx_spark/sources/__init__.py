@@ -7,3 +7,7 @@ from .io import (  # noqa: F401
     read_jdbc,
     range_source,
 )
+from .pydatasource import (  # noqa: F401
+    SynthDocsDataSource,
+    register_synth_docs,
+)

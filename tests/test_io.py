@@ -112,3 +112,65 @@ def test_jdbc_round_trip_embedded_derby(spark, tmp_path):
     )
     assert par.rdd.getNumPartitions() == 2
     assert sorted(map(tuple, par.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_python_datasource_synth_docs(spark):
+    """Spark 4 Python DataSource: planned partitions drive parallelism, and
+    rows are a pure function of (seed, doc_id) — identical across partition
+    counts and reruns."""
+    from bigdatafraude_ml_graphx_spark.sources.pydatasource import (
+        register_synth_docs,
+    )
+
+    register_synth_docs(spark)
+    df = (
+        spark.read.format("synth_docs")
+        .option("n", 100)
+        .option("seed", 7)
+        .option("partitions", 4)
+        .load()
+    )
+    assert df.count() == 100
+    assert df.rdd.getNumPartitions() == 4
+    assert df.columns == ["doc_id", "text", "lang"]
+    rows = {r.doc_id: (r.text, r.lang) for r in df.collect()}
+    assert len(rows) == 100  # ids unique, no overlap between slices
+    # repartitioned read yields byte-identical rows (placement-independent)
+    df2 = (
+        spark.read.format("synth_docs")
+        .option("n", 100)
+        .option("seed", 7)
+        .option("partitions", 9)
+        .load()
+    )
+    assert {r.doc_id: (r.text, r.lang) for r in df2.collect()} == rows
+    # different seed -> different corpus
+    df3 = (
+        spark.read.format("synth_docs")
+        .option("n", 100)
+        .option("seed", 8)
+        .option("partitions", 4)
+        .load()
+    )
+    assert {r.doc_id: (r.text, r.lang) for r in df3.collect()} != rows
+
+
+def test_observation_metrics_single_pass(spark, sf_dir):
+    """df.observe(): data-quality counters (row count, null count, sum)
+    collected as a side effect of the SAME job — no second scan. The 100 TB
+    pattern for ingest validation: metrics ride the write action."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    obs = Observation("ingest_qc")
+    observed = li.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("null_qty"),
+        F.max("l_shipdate").alias("max_shipdate"),
+    )
+    n = observed.count()  # one action drives both the count and the metrics
+    m = obs.get
+    assert m["n_rows"] == n
+    assert m["null_qty"] == 0
+    assert m["max_shipdate"] is not None
