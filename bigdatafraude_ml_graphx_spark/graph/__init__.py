@@ -1,3 +1,4 @@
+from .bfs import shortest_paths  # noqa: F401
 from .builders import cooccurrence_edges, symmetrize  # noqa: F401
 from .degrees import degrees, in_degrees, out_degrees  # noqa: F401
 from .components import connected_components, connected_components_star  # noqa: F401

@@ -166,3 +166,42 @@ def q23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("weight").cast("double") / total.cast("double")).alias("weight"),
     )
     return pagerank(e, alpha=0.15, max_iter=5)
+
+
+@query(
+    "q111_shortest_paths",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_CTE},
+    sym AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0),
+    n_nodes AS (SELECT COUNT(DISTINCT u) AS n FROM sym),
+    lms AS (SELECT DISTINCT user_id AS lm FROM events WHERE user_id % 50 = 0),
+    paths(lm, id, d) AS (
+        SELECT lm, lm, 0 FROM lms
+        UNION
+        SELECT p.lm, s.v, p.d + 1
+        FROM paths p JOIN sym s ON p.id = s.u
+        WHERE p.d + 1 < (SELECT n FROM n_nodes)
+    )
+    SELECT id, lm AS landmark, CAST(MIN(d) AS INT) AS distance
+    FROM paths GROUP BY id, lm
+    """,
+)
+def q111_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landmark shortest paths (GraphX ``ShortestPaths`` contract): hop
+    distance from every user to each landmark user (user_id % 50 = 0) on
+    the co-occurrence graph — the "distance to a known-bad account" fraud
+    measure. Iterative frontier relaxation with per-round lineage
+    truncation; oracle = recursive-CTE breadth-first closure with the
+    path-length bound < |V| (cycle cut), MIN per (vertex, landmark).
+    Unreachable pairs are absent on both sides."""
+    from .graph.bfs import shortest_paths
+
+    edges = _events_edges(spark, sf_dir)
+    lms = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select(F.col("user_id").alias("id"))
+        .distinct()
+    )
+    sp = shortest_paths(edges, lms)
+    return sp.select("id", "landmark", F.col("distance").cast("int").alias("distance"))

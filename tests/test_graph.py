@@ -101,3 +101,39 @@ def test_property_graph_facade(spark, crafted):
     assert pr[30] == max(pr.values())
     pr_u = {r["id"]: r["pagerank"] for r in g.page_rank(max_iter=3, weighted=False).collect()}
     assert pr_u[30] == max(pr_u.values())
+
+
+def test_shortest_paths_matches_python_bfs(spark):
+    """Hop distances equal a pure-Python BFS on a hand-checkable graph with
+    a cycle, a chain, and an unreachable island."""
+    from collections import deque
+
+    from bigdatafraude_ml_graphx_spark.graph.bfs import shortest_paths
+
+    edge_list = [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6), (7, 8)]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    landmarks = spark.createDataFrame([(1,), (7,)], "id long")
+    got = {
+        (r.id, r.landmark): r.distance
+        for r in shortest_paths(edges, landmarks).collect()
+    }
+
+    adj = {}
+    for a, b in edge_list:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    expect = {}
+    for lm in (1, 7):
+        seen = {lm: 0}
+        dq = deque([lm])
+        while dq:
+            u = dq.popleft()
+            for v in adj[u]:
+                if v not in seen:
+                    seen[v] = seen[u] + 1
+                    dq.append(v)
+        for v, d in seen.items():
+            expect[(v, lm)] = d
+    assert got == expect
+    assert (6, 1) in got and got[(6, 1)] == 3  # 1→4 (cycle edge) →5→6
+    assert (6, 7) not in got  # island stays unreachable
