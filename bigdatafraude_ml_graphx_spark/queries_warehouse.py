@@ -223,3 +223,109 @@ def q108_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     dele = c.filter(k % 131 == 0).withColumn("_deleted", F.lit(True))
     src = upd.unionByName(ins).unionByName(dele)
     return merge_upsert(c, src, ["c_custkey"], delete_col="_deleted")
+
+
+# ---------------------------------------------------------------------------
+# q112 — time-series gap filling with forward fill (LOCF)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q112_gap_fill_locf",
+    oracle="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE user_id % 83 = 0
+      GROUP BY 1, 2),
+    bounds AS (
+      SELECT user_id, MIN(day) AS lo, MAX(day) AS hi FROM daily GROUP BY 1),
+    spine AS (
+      SELECT b.user_id, CAST(u.d AS DATE) AS day
+      FROM bounds b, UNNEST(generate_series(b.lo, b.hi, INTERVAL 1 DAY)) AS u(d)),
+    joined AS (
+      SELECT s.user_id, s.day, d.n,
+             CASE WHEN d.n IS NULL THEN 0 ELSE 1 END AS observed
+      FROM spine s LEFT JOIN daily d
+        ON s.user_id = d.user_id AND s.day = d.day)
+    SELECT user_id, CAST(day AS VARCHAR) AS day,
+           LAST_VALUE(n IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY day
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_filled,
+           observed
+    FROM joined
+    ORDER BY user_id, day
+    """,
+)
+def q112_gap_fill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: build the complete per-user day spine
+    (sequence + explode between each user's first and last active day),
+    left-join the observed daily counts, and forward-fill gaps with
+    last-observation-carried-forward — the TimescaleDB ``locf``/gap-fill
+    contract. The spine generates inside each user's row (no cross join
+    against a global calendar — at 100 TB a global spine × users explodes;
+    per-user bounds keep it |active days| total), and the fill is one
+    ``last_value(ignoreNulls)`` window over the same user partitioning the
+    join already established."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 83 == 0)
+    daily = (
+        e.groupBy("user_id", F.to_date(F.date_trunc("day", "ts")).alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    spine = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day"),
+        )
+    )
+    joined = spine.join(daily, ["user_id", "day"], "left").withColumn(
+        "observed", F.when(F.col("n").isNull(), F.lit(0)).otherwise(F.lit(1))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        joined.select(
+            "user_id",
+            F.col("day").cast("string").alias("day"),  # DATE renders engine-
+            F.last("n", ignorenulls=True).over(w).alias("n_filled"),  # specific; compare as text
+            "observed",
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q113 — relative-rank windows (percent_rank / cume_dist)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q113_relative_ranks",
+    oracle="""
+    SELECT c_custkey,
+           ROUND(PERCENT_RANK() OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 9)
+             AS pr,
+           ROUND(CUME_DIST() OVER (
+             PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey), 9)
+             AS cd
+    FROM customer WHERE c_custkey % 11 = 0
+    """,
+)
+def q113_relative_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """percent_rank / cume_dist — the relative-standing windows completing
+    the ranking family (row_number q13, rank/dense_rank q35, ntile q61).
+    The order key includes c_custkey so ties are totally ordered and both
+    engines compute identical ranks; the division output rounds to 9
+    decimals (rank ratios are exact small-integer divisions, but a fixed
+    grid documents the comparison contract)."""
+    c = load_table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 11 == 0)
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        F.round(F.percent_rank().over(w), 9).alias("pr"),
+        F.round(F.cume_dist().over(w), 9).alias("cd"),
+    )
