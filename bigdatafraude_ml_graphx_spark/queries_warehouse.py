@@ -329,3 +329,109 @@ def q113_relative_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 9).alias("pr"),
         F.round(F.cume_dist().over(w), 9).alias("cd"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q114 — sweep-line interval concurrency
+# ---------------------------------------------------------------------------
+
+@query(
+    "q114_max_concurrency",
+    oracle="""
+    WITH deltas AS (
+      SELECT ts AS t, 1 AS delta FROM events WHERE user_id % 7 = 0
+      UNION ALL
+      SELECT ts + INTERVAL 5 MINUTE, -1 FROM events WHERE user_id % 7 = 0),
+    running AS (
+      SELECT SUM(delta) OVER (ORDER BY t, delta
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS live
+      FROM deltas)
+    SELECT CAST(MAX(live) AS BIGINT) AS max_concurrent,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM running
+    """,
+)
+def q114_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency: treat each event as a 5-minute
+    activity interval and find the peak number of simultaneously-live
+    intervals — the classic capacity/concurrency operator Spark has no
+    built-in for, expressed as ±1 boundary deltas + one running-sum window.
+    Ordering (t, delta) closes intervals before opening at the same instant
+    (half-open semantics), and the MAX over prefix sums is invariant to
+    tie permutation within equal (t, delta) runs, so the single-row answer
+    is engine-exact. The one unpartitioned window is the documented serial
+    point — the partitioned production variant (per tenant/user) shards
+    the same plan by key."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    starts = e.select(F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    ends = e.select(
+        (F.col("ts") + F.expr("interval 5 minutes")).alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = starts.unionByName(ends)
+    w = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    running = deltas.select(F.sum("delta").over(w).alias("live"))
+    return running.agg(
+        F.max("live").alias("max_concurrent"),
+        (F.count("*") / 2).cast("long").alias("n_intervals"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# q115 — exact weighted median (cumulative-weight crossing)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q115_weighted_median",
+    oracle="""
+    WITH ordered AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DOUBLE) AS price,
+             SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_extendedprice, l_orderkey, l_linenumber
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+             SUM(CAST(l_quantity AS DECIMAL(28,6))) OVER (
+               PARTITION BY l_returnflag) AS totw
+      FROM lineitem)
+    SELECT l_returnflag,
+           MIN(price) AS weighted_median,
+           CAST(MAX(totw) AS DOUBLE) AS total_weight
+    FROM ordered
+    WHERE 2 * cumw >= totw
+    GROUP BY l_returnflag
+    """,
+)
+def q115_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact weighted median: the smallest price whose cumulative quantity
+    weight reaches half the group's total — the weighted-percentile
+    operator (corpus rebalancing, fair-share cutoffs) Spark only ships in
+    approximate form. One windowed pass: cumulative DECIMAL weight over a
+    TOTALLY ordered frame (price, orderkey, linenumber) plus the partition
+    total, then the crossing row via `2·cumw ≥ totw` (exact decimal
+    compare — no division, no float). Same single shuffle as any grouped
+    window; the aggregation state after the filter is one row per group."""
+    li = load_table(spark, sf_dir, "lineitem")
+    wq = F.col("l_quantity").cast("decimal(28,6)")
+    ordw = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("l_extendedprice", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    allw = Window.partitionBy("l_returnflag")
+    ordered = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").cast("double").alias("price"),
+        F.sum(wq).over(ordw).alias("cumw"),
+        F.sum(wq).over(allw).alias("totw"),
+    )
+    return (
+        ordered.filter(2 * F.col("cumw") >= F.col("totw"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.min("price").alias("weighted_median"),
+            F.max("totw").cast("double").alias("total_weight"),
+        )
+    )
