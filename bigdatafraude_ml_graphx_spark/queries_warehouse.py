@@ -435,3 +435,47 @@ def q115_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("totw").cast("double").alias("total_weight"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# q116 — salted two-phase aggregation (skew mitigation, salt-invariant result)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q116_salted_event_totals",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS count_event_id,
+           CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS sum_value,
+           CAST(MAX(value) AS DOUBLE) AS max_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q116_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event totals through the SALTED two-phase aggregation
+    (`operators/skew.py::salted_agg`): phase 1 aggregates on (key, salt)
+    so a hot key splits across 16 reducers, phase 2 merges the per-salt
+    partials — the mitigation for key skew AQE can't fix (a single hot
+    GROUP BY key is one shuffle partition no matter how AQE splits files).
+    The oracle is the PLAIN group-by: re-aggregatable functions make the
+    result salt-assignment-invariant, which is exactly the correctness
+    contract the driver gate certifies here. The value sum rides DECIMAL
+    through both phases so associativity is exact, not approximate."""
+    from .operators.skew import salted_agg
+
+    e = load_table(spark, sf_dir, "events").withColumn(
+        "value_dec", F.col("value").cast("decimal(28,6)")
+    )
+    out = salted_agg(
+        e,
+        ["event_type"],
+        {"event_id": "count", "value_dec": "sum", "value": "max"},
+        salt_factor=16,
+    )
+    return out.select(
+        "event_type",
+        F.col("count_event_id"),
+        F.col("sum_value_dec").cast("double").alias("sum_value"),
+        F.col("max_value").cast("double").alias("max_value"),
+    )
