@@ -37,7 +37,14 @@ def shortest_paths(
 
     ``edges`` needs (src, dst); ``landmarks`` needs a single ``id`` column.
     """
-    sym = symmetrize(edges).select("src", "dst")
+    from .pagerank import _sized_keyed_persist
+
+    # Materialize + key-persist the symmetrized edges once: every BFS round
+    # joins against them, and without the persist each round re-executes the
+    # upstream edge lineage (often an expensive co-occurrence self-join) —
+    # measured 7.5 s → ~3 s at sf0.1. Keying on src co-locates the
+    # frontier-join build side across rounds.
+    sym = _sized_keyed_persist(symmetrize(edges).select("src", "dst"), key="src")
     dist = landmarks.select(
         F.col("id"), F.col("id").alias("landmark"), F.lit(0).alias("distance")
     ).localCheckpoint(eager=True)
@@ -62,4 +69,5 @@ def shortest_paths(
         if fp == prev_fp:
             break
         prev_fp = fp
+    sym.unpersist()
     return dist

@@ -110,7 +110,10 @@ def merge_upsert(
     * key only in target → target row kept unchanged.
 
     ``target`` and ``source`` must share the payload schema (``delete_col``,
-    if any, exists only on the source). Completes the CDC trio with
+    if any, exists only on the source). Merge keys are assumed NON-NULL on
+    both sides (the CDC primary-key contract): a NULL key never equi-matches,
+    so a null-keyed source row would insert and a null-keyed target row
+    would lose its payload to the insert-branch selection. Completes the CDC trio with
     :func:`latest_by_key` (log → current source) and :func:`snapshot_diff`
     (audit of the result): compact the change log, merge it into the
     snapshot, diff to verify.

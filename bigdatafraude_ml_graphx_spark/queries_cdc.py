@@ -153,3 +153,44 @@ def q75_scalar_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qvec_max").alias("qmax"),
         err.alias("max_abs_err"),
     )
+
+
+@query(
+    "q117_table_fingerprint",
+    oracle="""
+    SELECT
+      CAST(SUM(CAST('0x' || substr(md5(
+             hex(CAST(c_custkey AS VARCHAR)) || '-' ||
+             COALESCE(hex(c_name), 'Z') || '-' ||
+             COALESCE(hex(CAST(c_nationkey AS VARCHAR)), 'Z')
+           ), 1, 15) AS BIGINT)) % 9223372036854775807 AS BIGINT) AS digest,
+      CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM customer
+    """,
+)
+def q117_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-invariant table fingerprint — the anti-entropy checksum two
+    replicas/engines exchange to detect divergence WITHOUT shipping rows
+    (pairs with q84's snapshot_diff, which then localizes it). Per row:
+    md5 over the injective hex-encoded column encoding (the `hash_bucket`
+    NULL-sentinel scheme from `operators/sampling.py`); per table: SUM of
+    the 60-bit hash prefixes mod (2^63−1) — commutative and associative,
+    so ANY partitioning, engine, or row order yields the identical digest.
+    One scan, one scalar: at 100 TB the digest is a map-side partial sum
+    per task and 8 bytes per exchange."""
+    c = load_table(spark, sf_dir, "customer")
+    parts = [
+        F.coalesce(F.hex(F.col(col).cast("string")), F.lit("Z"))
+        for col in ("c_custkey", "c_name", "c_nationkey")
+    ]
+    row_hash = F.conv(
+        F.substring(F.md5(F.concat_ws("-", *parts)), 1, 15), 16, 10
+    ).cast("long")
+    # Sum in DECIMAL(38,0): 10^12 rows × 2^60 ≈ 10^30 stays exact (DuckDB's
+    # SUM(BIGINT) widens to HUGEINT the same way); mod brings it back to i64.
+    return c.agg(
+        (F.sum(row_hash.cast("decimal(38,0)")) % F.lit(9223372036854775807))
+        .cast("long")
+        .alias("digest"),
+        F.count("*").alias("n_rows"),
+    )
