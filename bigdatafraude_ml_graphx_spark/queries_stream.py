@@ -58,3 +58,55 @@ def q33_stream_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "window_start", "event_type", "n_events", "total_value"
     )
+
+
+@query(
+    "q118_stream_sessions",
+    oracle=f"""
+    WITH e AS (
+      SELECT event_id, user_id, ts, value FROM events WHERE user_id % 13 = 0),
+    m AS (
+      SELECT *, CASE WHEN LAG(ts) OVER w IS NULL
+                       OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                     THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           {oracle_dsum('value')} AS total_value
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q118_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming SESSION windows (``F.session_window``, 30-minute
+    gap), drained with ``availableNow`` and hash-checked against the batch
+    islands formulation (lag-gap breaks + running session ids — q77's
+    logic): the session-window stream/batch equivalence proof. Session
+    state is Spark's native merging window store — at 100 TB the state is
+    per-(user, open-session) and a watermark bounds it; here the replay
+    drains complete-mode for oracle comparability."""
+    stream = events_stream(spark, sf_dir).filter(F.col("user_id") % 13 == 0)
+    agg = (
+        stream.groupBy(
+            F.session_window("ts", "30 minutes").alias("sw"), "user_id"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            dsum("value", "total_value"),
+        )
+    )
+    name = f"q118_sink_{uuid.uuid4().hex[:8]}"
+    q = memory_sink(agg, name, output_mode="complete", available_now=True)
+    run_available_now(q)
+    return spark.table(name).select(
+        "user_id",
+        F.col("sw.start").alias("session_start"),
+        F.col("sw.end").alias("session_end"),
+        "n_events",
+        "total_value",
+    )
