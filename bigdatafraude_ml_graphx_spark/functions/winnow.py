@@ -120,3 +120,72 @@ def oracle_winnow_sql(k: int, w: int, source: str = "documents") -> str:
     FROM winmin
     WHERE pos <= n_grams - {w} OR pos = 0
     """
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+    w: int = 5,
+    min_shared: int = 2,
+) -> DataFrame:
+    """MOSS-style overlap detection: document pairs sharing ≥ ``min_shared``
+    winnowing fingerprints, scored by containment
+    ``shared / min(|A|, |B|)`` — the end use of :func:`winnow_fingerprints`.
+
+    Inverted-index shape (same discipline as ``dedup.ngram_jaccard_pairs``):
+    self-join on the FINGERPRINT (equi, AQE-skew-splittable), never the
+    O(N²) document cross product; only pairs sharing a fingerprint ever
+    materialize, and winnowing has already thinned fingerprints to ~2/w of
+    the gram count, so the index is ~w/2× smaller than raw-shingle joins.
+
+    EAGER + NON-RECOVERABLE: the small pair result is ``localCheckpoint``-ed
+    so the shared fingerprint frame can be unpersisted before returning.
+    """
+    fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).persist()
+    sizes = fp.groupBy(id_col).agg(F.count("*").alias("n_fp"))
+    a = fp.select(F.col(id_col).alias("doc_a"), "fingerprint")
+    b = fp.select(F.col(id_col).alias("doc_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= min_shared)
+    )
+    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_fp").alias("na"))
+    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_fp").alias("nb"))
+    pairs = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "containment",
+            F.col("shared").cast("double") / F.least("na", "nb").cast("double"),
+        )
+        .select("doc_a", "doc_b", "shared", "containment")
+        .localCheckpoint(eager=True)
+    )
+    fp.unpersist()
+    return pairs
+
+
+def oracle_winnow_overlap_sql(k: int, w: int, min_shared: int) -> str:
+    """DuckDB mirror of :func:`winnow_overlap_pairs`."""
+    inner = oracle_winnow_sql(k, w)
+    return f"""
+    WITH fp AS ({inner}),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
+    shared AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
+      FROM fp a JOIN fp b
+        ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {min_shared})
+    SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+           CAST(shared AS DOUBLE) / CAST(LEAST(sa.n_fp, sb.n_fp) AS DOUBLE)
+             AS containment
+    FROM shared
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    """

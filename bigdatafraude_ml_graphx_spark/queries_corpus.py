@@ -20,7 +20,12 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .functions.text import tokens
-from .functions.winnow import oracle_winnow_sql, winnow_fingerprints
+from .functions.winnow import (
+    oracle_winnow_overlap_sql,
+    oracle_winnow_sql,
+    winnow_fingerprints,
+    winnow_overlap_pairs,
+)
 from .queries import query
 from .similarity.srp import (
     oracle_srp_signature_sql,
@@ -221,3 +226,23 @@ def q104_length_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q119 — winnowing overlap pairs (MOSS)
+# ---------------------------------------------------------------------------
+
+_WSH = 2
+
+
+@query(
+    "q119_winnow_overlap_pairs",
+    oracle=oracle_winnow_overlap_sql(_WK, _WW, _WSH),
+)
+def q119_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document pairs sharing ≥ 2 winnowing fingerprints with containment
+    score — the MOSS overlap detector over q100's fingerprint sets. The
+    candidate step is an inverted-index equi join on the fingerprint (never
+    all-pairs); winnowing density (~2/w of grams) keeps the index small."""
+    d = load_table(spark, sf_dir, "documents")
+    return winnow_overlap_pairs(d, "doc_id", "text", k=_WK, w=_WW, min_shared=_WSH)
