@@ -479,3 +479,43 @@ def q116_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_value_dec").cast("double").alias("sum_value"),
         F.col("max_value").cast("double").alias("max_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q120 — multiset set operations (EXCEPT ALL / INTERSECT ALL)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q120_multiset_ops",
+    oracle="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_linestatus = 'F'),
+    ex AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+    ix AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ex) AS n_except_all,
+      (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM ex) AS d_except_all,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM ix) AS n_intersect_all,
+      (SELECT CAST(COUNT(DISTINCT k) AS BIGINT) FROM ix) AS d_intersect_all
+    """,
+)
+def q120_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL / INTERSECT ALL — MULTISET semantics (per-value
+    multiplicity arithmetic: max(m_a − m_b, 0) and min(m_a, m_b)), the
+    bag-algebra completion of q15's distinct set ops. Spark plans both as
+    hash aggregations of signed counts, not joins — one shuffle each, no
+    row explosion. Emitted as multiplicity-sensitive counts so the oracle
+    certifies the bag semantics, not just the distinct support."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("k"))
+    ex = a.exceptAll(b)
+    ix = a.intersectAll(b)
+    stats = lambda df, p: df.agg(  # noqa: E731
+        F.count("*").alias(f"n_{p}"), F.countDistinct("k").alias(f"d_{p}")
+    )
+    return (
+        stats(ex, "except_all")
+        .crossJoin(stats(ix, "intersect_all"))
+        .select("n_except_all", "d_except_all", "n_intersect_all", "d_intersect_all")
+    )
