@@ -96,3 +96,31 @@ def test_srp_banding_finds_top_bruteforce_pair(spark, sf_dir, tau):
         )
         # quantization shifts cosine by <1e-5; banding must catch the top pair
         assert best_banded >= best - 1e-4
+
+
+def test_winnow_overlap_detects_copied_passage(spark):
+    """A pair sharing a long copied passage surfaces with high containment;
+    unrelated docs never pair."""
+    from bigdatafraude_ml_graphx_spark.functions.winnow import winnow_overlap_pairs
+
+    passage = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, f"{passage} one two three four five six seven eight"),
+            (2, f"zero nine ten {passage} eleven twelve thirteen"),
+            (3, "entirely different content with no shared grams whatsoever "
+                "lorem ipsum dolor sit amet consectetur adipiscing"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): (r.shared, r.containment)
+        for r in winnow_overlap_pairs(docs, "doc_id", "text", min_shared=2).collect()
+    }
+    assert (1, 2) in pairs
+    shared, containment = pairs[(1, 2)]
+    assert shared >= 2 and containment > 0.3
+    assert not any(3 in p for p in pairs)
