@@ -29,6 +29,7 @@ from .functions.winnow import (
 from .queries import query
 from .similarity.srp import (
     oracle_srp_signature_sql,
+    quantize_embedding,
     srp_banded_pairs,
     srp_signature,
     srp_signs,
@@ -246,3 +247,101 @@ def q119_winnow_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     all-pairs); winnowing density (~2/w of grams) keeps the index small."""
     d = load_table(spark, sf_dir, "documents")
     return winnow_overlap_pairs(d, "doc_id", "text", k=_WK, w=_WW, min_shared=_WSH)
+
+
+# ---------------------------------------------------------------------------
+# q121 — ANN top-k with an EXACT oracle (SRP-cell partitioned search)
+# ---------------------------------------------------------------------------
+
+_ANN_K = 3
+_ANN_CELL_BITS = 4  # low 4 signature bits partition the corpus into 16 cells
+
+
+def _oracle_ann_topk() -> str:
+    dim = _SRP_DIM
+    mask = (1 << _ANN_CELL_BITS) - 1
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> sq.q[i] * sc.q[i]))"
+    nq = f"list_sum(list_transform(range(1, {dim + 1}), i -> sq.q[i] * sq.q[i]))"
+    nc = f"list_sum(list_transform(range(1, {dim + 1}), i -> sc.q[i] * sc.q[i]))"
+    return f"""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(range(1, {dim + 1}),
+                 i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                           AS BIGINT)) AS q,
+             ({oracle_srp_signature_sql(_SRP_SIGNS)}) & {mask} AS cell
+      FROM embeddings
+    ), scored AS (
+      SELECT sq.vec_id AS query_id, sc.vec_id AS neighbor_id,
+             CAST({dot} AS DOUBLE)
+               / sqrt(CAST({nq} AS DOUBLE))
+               / sqrt(CAST({nc} AS DOUBLE)) AS cosine_q
+      FROM s sq JOIN s sc
+        ON sq.cell = sc.cell AND sq.vec_id <> sc.vec_id
+      WHERE sq.vec_id % 100 = 0
+    )
+    SELECT query_id, neighbor_id, cosine_q, CAST(rk AS INT) AS rk FROM (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY query_id ORDER BY cosine_q DESC, neighbor_id) AS rk
+      FROM scored)
+    WHERE rk <= {_ANN_K}
+    """
+
+
+@query("q121_ann_topk_exact", oracle=_oracle_ann_topk())
+def q121_ann_topk_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k with an EXACT cross-engine oracle — the deterministic
+    counterpart to q49's IVF path (rows-only because k-means centroids are
+    float/engine-specific). Here the coarse partition is the low
+    {4} bits of the SRP signature (pure integer arithmetic, engine-exact),
+    candidates are same-cell vectors only (the IVF probe shape: the query
+    never scans the corpus, just its cell), and reranking is the exact
+    quantized cosine with (score DESC, id) total order. Every stage —
+    assignment, candidate join, rerank — is bit-reproducible, so the driver
+    gate certifies the full ANN pipeline, not just its row count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    mask = (1 << _ANN_CELL_BITS) - 1
+    sigs = e.select(
+        "vec_id",
+        quantize_embedding("embedding").alias("q"),
+        srp_signature("embedding", _SRP_SIGNS).bitwiseAND(F.lit(mask)).alias("cell"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                F.transform("q", lambda x: x * x),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+        ),
+    )
+    qs = sigs.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("q").alias("qq"),
+        F.col("nrm").alias("nq"),
+        "cell",
+    )
+    corpus = sigs.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("q").alias("qc"),
+        F.col("nrm").alias("nc"),
+        "cell",
+    )
+    dot = F.aggregate(
+        F.zip_with("qq", "qc", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        qs.join(corpus, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine_q", dot.cast("double") / F.col("nq") / F.col("nc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_q").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ANN_K)
+        .select("query_id", "neighbor_id", "cosine_q", "rk")
+    )
