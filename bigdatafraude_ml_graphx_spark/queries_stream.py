@@ -110,3 +110,40 @@ def q118_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
+
+
+@query(
+    "q122_stream_static_enrich",
+    oracle=f"""
+    SELECT c.c_mktsegment,
+           COUNT(*) AS n_events,
+           {oracle_dsum('e.value')} AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    WHERE e.event_type = 'purchase'
+    GROUP BY c.c_mktsegment
+    """,
+)
+def q122_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment, oracle-checked: purchase events replayed
+    as a stream, broadcast-joined per micro-batch against the STATIC
+    customer dimension (stateless — no state store), aggregated by market
+    segment, drained with availableNow. The streamed result hash-matches
+    the batch join SQL — the stream/batch equivalence proof for the
+    enrichment pattern the reference approximates with a re-read loop
+    (`streaming/spark_streaming.py`)."""
+    from .catalog import load_table
+    from .streaming.joins import stream_static_enrich
+
+    stream = events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    enriched = stream_static_enrich(stream, dim, on="user_id", how="inner")
+    agg = enriched.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n_events"),
+        dsum("value", "total_value"),
+    )
+    name = f"q122_sink_{uuid.uuid4().hex[:8]}"
+    q = memory_sink(agg, name, output_mode="complete", available_now=True)
+    run_available_now(q)
+    return spark.table(name).select("c_mktsegment", "n_events", "total_value")

@@ -167,3 +167,40 @@ def test_merge_upsert_semantics(spark):
         4: ("d", 40.0),
         5: ("e", 50.0),
     }
+
+
+def test_merge_then_diff_roundtrip(spark, sf_dir):
+    """CDC closure property: applying a change batch via merge_upsert then
+    snapshot-diffing the result against an independently-constructed
+    expected table reports ZERO differences — merge, compact, and diff
+    agree on what the post-change world looks like."""
+    from pyspark.sql import functions as F
+
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+    from bigdatafraude_ml_graphx_spark.operators.cdc import merge_upsert, snapshot_diff
+
+    c = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    )
+    k = F.col("c_custkey")
+    upd = (
+        c.filter((k % 3 == 0) & (k % 17 != 0))
+        .withColumn("c_acctbal", F.col("c_acctbal") * 2)
+        .withColumn("_deleted", F.lit(False))
+    )
+    dele = c.filter(k % 17 == 0).withColumn("_deleted", F.lit(True))
+    src = upd.unionByName(dele)
+    merged = merge_upsert(c, src, ["c_custkey"], delete_col="_deleted")
+
+    # expected world, constructed independently of the merge operator
+    expected = (
+        c.filter(~(k % 17 == 0))
+        .withColumn(
+            "c_acctbal",
+            F.when((k % 3 == 0), F.col("c_acctbal") * 2).otherwise(F.col("c_acctbal")),
+        )
+    )
+    diff = snapshot_diff(
+        merged, expected, ["c_custkey"], ["c_name", "c_acctbal"]
+    )
+    assert diff.count() == 0
