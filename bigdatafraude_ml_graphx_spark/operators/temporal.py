@@ -46,9 +46,16 @@ def asof_join(
     build_ts: str,
     attach: dict[str, str],
     tie_break: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: attach the latest build row with
-    ``build_ts <= probe_ts`` per ``key`` to every probe row.
+    """As-of join: attach one build row per probe row by temporal proximity.
+
+    ``direction='backward'`` (default) attaches the LATEST build row with
+    ``build_ts <= probe_ts``; ``direction='forward'`` the EARLIEST build row
+    with ``build_ts >= probe_ts`` (the "next quote/reading after the event"
+    lookup). Both directions share one plan shape — only the window ordering
+    flips; forward ties on ``build_ts`` resolve to the SMALLEST
+    ``tie_break`` (the mirror of backward's largest).
 
     ``attach`` maps output alias -> build column. Probe rows with no prior
     build row get nulls. Ties on ``build_ts`` are broken by the largest
@@ -91,10 +98,22 @@ def asof_join(
         *probe_payload,
     )
 
-    order = [F.col("__asof_ts").asc(), F.col(_PROBE_TAG).asc()]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    ts_ord = (
+        F.col("__asof_ts").asc()
+        if direction == "backward"
+        else F.col("__asof_ts").desc()
+    )
+    # build rows (tag 0) sort before the probe row at equal ts in BOTH
+    # directions, so an equal-timestamp build row is always visible
+    order = [ts_ord, F.col(_PROBE_TAG).asc()]
     if tie_break:
+        tb = F.col("__asof_payload").getField(tie_break)
+        # backward keeps the LARGEST tie (last seen ascending); forward the
+        # SMALLEST (last seen in the descending scan)
         order.append(
-            F.col("__asof_payload").getField(tie_break).asc_nulls_first()
+            tb.asc_nulls_first() if direction == "backward" else tb.desc_nulls_first()
         )
     w = (
         Window.partitionBy(key)

@@ -161,3 +161,42 @@ def q53_token_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
     ).filter(F.col("token") != "")
     return tokens.groupBy("token").agg(F.count("*").alias("n"))
+
+
+@query(
+    "q123_asof_forward",
+    oracle="""
+    SELECT p.event_id, p.ts, p.user_id, p.value,
+           v.next_event_id, v.next_value, v.next_ts
+    FROM events p
+    LEFT JOIN LATERAL (
+      SELECT e.event_id AS next_event_id, e.value AS next_value, e.ts AS next_ts
+      FROM events e
+      WHERE e.user_id = p.user_id AND e.event_type = 'view' AND e.ts >= p.ts
+      ORDER BY e.ts ASC, e.event_id ASC LIMIT 1
+    ) v ON TRUE
+    WHERE p.event_type = 'purchase'
+    """,
+)
+def q123_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: each purchase gets the earliest at-or-after view
+    by the same user (ties broken by min event_id) — the "next reading
+    after the event" lookup that mirrors q50's backward direction. Same
+    single-shuffle union+window plan; only the window ordering flips."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    return asof_join(
+        purchases,
+        views,
+        key="user_id",
+        probe_ts="ts",
+        build_ts="ts",
+        attach={"next_event_id": "event_id", "next_value": "value", "next_ts": "ts"},
+        tie_break="event_id",
+        direction="forward",
+    )
