@@ -259,3 +259,50 @@ def weighted_sample_ares(
         .filter(F.col("sample_rank") <= k)
         .drop("__ares")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    key_col: str,
+    group_col: str,
+    salt: str = "mix",
+) -> DataFrame:
+    """Uniform-mixture downsampling: deterministically sample each group so
+    every group contributes ~equally — the corpus-mixture op of an LLM data
+    pipeline (balance sources/languages before training). The general
+    target-weights case is the same construction with per-group shares in
+    the threshold numerator.
+
+    Per-group keep rate = min_group_count / n_group, realized as a pure
+    per-row hash filter: keep iff the row's 60-bit md5 < rate·2⁶⁰. The
+    threshold is one double expression computed identically in any engine
+    (same IEEE op order), so membership is reproducible per key across
+    runs, engines, partitionings, and backfills — the property random
+    sampling can't give an incremental pipeline. Plan: one tiny counts
+    aggregate broadcast back onto the scan; the corpus itself never
+    shuffles.
+    """
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    min_c = counts.agg(F.min("__n").alias("__m"))
+    thr = counts.join(F.broadcast(min_c)).select(
+        group_col,
+        F.floor(
+            F.col("__m").cast("double")
+            * F.lit(float(1 << 60))
+            / F.col("__n").cast("double")
+        )
+        .cast("long")
+        .alias("__thr"),
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(f"{salt}:"), F.col(key_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        df.join(F.broadcast(thr), group_col)
+        .filter(h < F.col("__thr"))
+        .drop("__thr")
+    )

@@ -160,3 +160,46 @@ def q87_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "l_returnflag", "l_orderkey", "l_linenumber", "w", "sample_rank"
     )
+
+
+@query(
+    "q124_corpus_mixture",
+    oracle="""
+    WITH counts AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+    mc AS (SELECT MIN(n) AS m FROM counts),
+    thr AS (
+      SELECT source,
+             CAST(FLOOR(CAST((SELECT m FROM mc) AS DOUBLE)
+                        * 1152921504606846976.0
+                        / CAST(n AS DOUBLE)) AS BIGINT) AS t
+      FROM counts)
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(d.doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(d.doc_id) AS BIGINT) AS max_doc
+    FROM documents d JOIN thr ON d.source = thr.source
+    WHERE CAST('0x' || substr(md5('mix:' || CAST(d.doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) < thr.t
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def q124_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform corpus-mixture downsampling (`operators/sampling.py::
+    mixture_sample`): every source contributes ~min-source-count documents,
+    selected by a deterministic per-key hash threshold — the source/language
+    balancing step before LLM training. The oracle recomputes the identical
+    thresholds and membership; outputs per-source kept counts + id bounds
+    so the gate certifies the exact membership, not just sizes."""
+    from .operators.sampling import mixture_sample
+
+    d = load_table(spark, sf_dir, "documents")
+    kept = mixture_sample(d, key_col="doc_id", group_col="source")
+    return (
+        kept.groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("source")
+    )
