@@ -519,3 +519,69 @@ def q120_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(stats(ix, "intersect_all"))
         .select("n_except_all", "d_except_all", "n_intersect_all", "d_intersect_all")
     )
+
+
+# ---------------------------------------------------------------------------
+# q125 — exact higher moments (skewness / kurtosis)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q125_higher_moments",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(COUNT(value) AS DOUBLE) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,6))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value*value AS DECIMAL(28,6))) AS DOUBLE) AS s2,
+             CAST(SUM(CAST(value*value*value AS DECIMAL(28,6))) AS DOUBLE) AS s3,
+             CAST(SUM(CAST(value*value*value*value AS DECIMAL(28,6))) AS DOUBLE) AS s4
+      FROM events GROUP BY event_type)
+    SELECT event_type,
+           ROUND((s3/n - 3*(s1/n)*(s2/n) + 2*((s1/n)*(s1/n)*(s1/n)))
+             / ((s2/n - (s1/n)*(s1/n)) * sqrt(s2/n - (s1/n)*(s1/n))), 9)
+             AS skewness,
+           ROUND((s4/n - 4*(s1/n)*(s3/n) + 6*(s1/n)*(s1/n)*(s2/n)
+              - 3*((s1/n)*(s1/n)*(s1/n)*(s1/n)))
+             / ((s2/n - (s1/n)*(s1/n)) * (s2/n - (s1/n)*(s1/n))) - 3.0, 9)
+             AS excess_kurtosis
+    FROM s ORDER BY event_type
+    """,
+)
+def q125_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population skewness and excess kurtosis per event type via EXACT
+    decimal raw-moment sums (S1..S4) — completing the deterministic moment
+    family (mean/stddev q07, correlation q85, z-scores q86). Per-row powers
+    are left-associated double products (identical in both engines), the
+    four sums are exact decimals, and the final combination uses only
+    IEEE-correctly-rounded ops (+,−,×,÷,sqrt; no pow, whose libm rounding
+    is engine-specific) in mirrored association order; outputs round
+    to 9 decimals because engines may fuse multiply-adds differently
+    (observed 2-ulp kurtosis drift), the same grid policy as q106's ln. One aggregation, four
+    extra decimal sums of state per group."""
+    e = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    dec = "decimal(28,6)"
+    agg = e.groupBy("event_type").agg(
+        F.count("value").cast("double").alias("n"),
+        F.sum(v.cast(dec)).cast("double").alias("s1"),
+        F.sum((v * v).cast(dec)).cast("double").alias("s2"),
+        F.sum((v * v * v).cast(dec)).cast("double").alias("s3"),
+        F.sum((v * v * v * v).cast(dec)).cast("double").alias("s4"),
+    )
+    n, s1, s2, s3, s4 = (F.col(c) for c in ("n", "s1", "s2", "s3", "s4"))
+    mean = s1 / n
+    m2 = s2 / n - mean * mean
+    skew = (s3 / n - F.lit(3.0) * mean * (s2 / n) + F.lit(2.0) * (mean * mean * mean)) / (
+        m2 * F.sqrt(m2)
+    )
+    kurt = (
+        s4 / n
+        - F.lit(4.0) * mean * (s3 / n)
+        + F.lit(6.0) * mean * mean * (s2 / n)
+        - F.lit(3.0) * (mean * mean * mean * mean)
+    ) / (m2 * m2) - F.lit(3.0)
+    return agg.select(
+        "event_type",
+        F.round(skew, 9).alias("skewness"),
+        F.round(kurt, 9).alias("excess_kurtosis"),
+    ).orderBy("event_type")
