@@ -210,7 +210,11 @@ def q79_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SKETCH_RSD = 0.02  # HLL++ relative standard deviation
-_RANK_EPS = 0.01  # GK rank-error budget (accuracy 10k guarantees 1e-4)
+_RANK_EPS = 0.01  # GK rank-error budget
+_GK_ACCURACY = 1_000  # guarantees 1e-3 rank error — 10× inside the budget.
+# (accuracy 10k guaranteed 1e-4 but cost 4.1 s of the 4.9 s query at sf0.1;
+# GK state manipulation scales with accuracy, not rows — don't raise it
+# without re-profiling.)
 
 
 @query(
@@ -246,7 +250,7 @@ def q81_sketch_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.approx_count_distinct("user_id", rsd=_SKETCH_RSD).alias("approx_users"),
             F.countDistinct("user_id").alias("exact_users"),
-            F.percentile_approx("value", [0.5, 0.95], 10_000).alias("ps"),
+            F.percentile_approx("value", [0.5, 0.95], _GK_ACCURACY).alias("ps"),
             F.count("*").alias("n_events"),
         )
         .select(
