@@ -324,3 +324,36 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
         .agg(F.count("*").alias("n"))
     )
     assert {(r["o_orderpriority"], r["n"]) for r in j2.collect()} == with_bloom
+
+
+def test_q92_single_fact_shuffle_all_dims_broadcast(spark, sf_dir):
+    """The Q7-shape nation-pair join plans every dimension as a broadcast:
+    the only hash Exchange is the final aggregation — the fact side never
+    shuffles for a join at this scale."""
+    import re
+
+    df = q.QUERIES["q92_nation_pair_volume"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    hash_exchanges = re.findall(r"Exchange hashpartitioning", plan)
+    assert len(hash_exchanges) == 1, plan
+    assert plan.count("BroadcastExchange") >= 3, plan
+
+
+def test_topk_new_queries_avoid_full_sort(spark, sf_dir):
+    """q94 (top-20 customers) and q101 (top-50 bigrams) compile their
+    ORDER BY + LIMIT to TakeOrderedAndProject — no global sort of the
+    aggregate output."""
+    for name in ("q94_returned_item_customers", "q101_bigram_vocab"):
+        df = q.QUERIES[name](spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "TakeOrderedAndProject" in plan, (name, plan)
+
+
+def test_winnow_single_exchange(spark, sf_dir):
+    """Winnowing fingerprints: gram hashing is a pure projection; the plan
+    holds exactly one hash Exchange (the per-document window/distinct key)."""
+    import re
+
+    df = q.QUERIES["q100_winnow_fingerprints"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
