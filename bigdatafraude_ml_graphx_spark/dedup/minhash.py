@@ -72,10 +72,11 @@ def lsh_candidate_pairs(
     are. Buckets larger than ``max_bucket`` are dropped before the join —
     a bucket that popular has no discriminating power anyway (its members
     collide with everything; true near-dup pairs inside it still share
-    their OTHER, selective bands). The count-filter is a window over the
-    same (band, band_key) the join shuffles on, so AQE/Catalyst reuse the
-    exchange. Below the cap the output is IDENTICAL to the uncapped
-    operator (equivalence + adversarial bound tested in tests/test_dedup_cap.py).
+    their OTHER, selective bands). The cap is ``skew.drop_hot_buckets``
+    (groupBy partial-agg + broadcast anti join — the count-window
+    formulation sorted every partition and cost +1.3 s at sf0.1). Below
+    the cap the output is IDENTICAL to the uncapped operator
+    (equivalence + adversarial bound tested in tests/test_dedup_cap.py).
 
     EAGER + NON-RECOVERABLE: the returned frame is ``localCheckpoint``-ed —
     calling this function runs the full job NOW, and the result lives in
@@ -102,19 +103,17 @@ def lsh_candidate_pairs(
                 ),
             )
         )
-    from pyspark.sql import Window
+    from ..operators.skew import drop_hot_buckets
 
+    # Persist the BANDED frame (pre-cap): the cap's count pass and both
+    # self-join sides all read it, and its lineage reaches back through
+    # the full shingle→minhash shuffle.
     exploded = (
         signatures.select("doc", F.explode(F.array(*band_structs)).alias("bk"))
         .select("doc", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
-    )
-    bucket_n = F.count("*").over(Window.partitionBy("band", "band_key"))
-    buckets = (
-        exploded.withColumn("__bn", bucket_n)
-        .filter(F.col("__bn") <= max_bucket)
-        .drop("__bn")
         .persist()
     )
+    buckets = drop_hot_buckets(exploded, ["band", "band_key"], max_bucket)
 
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -129,5 +128,5 @@ def lsh_candidate_pairs(
         .agg(F.count("*").alias("n_shared_bands"))
         .localCheckpoint(eager=True)
     )
-    buckets.unpersist()
+    exploded.unpersist()
     return pairs

@@ -112,8 +112,11 @@ def simhash_near_pairs(
         )
         for i in range(bands)
     ]
-    from pyspark.sql import Window
+    from ..operators.skew import drop_hot_buckets
 
+    # Persist the banded frame pre-cap: the cap's count pass and both
+    # self-join sides read it (groupBy + broadcast anti join — see
+    # lsh_candidate_pairs for why not a count-window).
     exploded = (
         sig.select("doc", "simhash", F.explode(F.array(*band_structs)).alias("bk"))
         .select(
@@ -122,15 +125,9 @@ def simhash_near_pairs(
             F.col("bk.band").alias("band"),
             F.col("bk.band_bits").alias("band_bits"),
         )
-    )
-    banded = (
-        exploded.withColumn(
-            "__bn", F.count("*").over(Window.partitionBy("band", "band_bits"))
-        )
-        .filter(F.col("__bn") <= max_bucket)
-        .drop("__bn")
         .persist()
     )
+    banded = drop_hot_buckets(exploded, ["band", "band_bits"], max_bucket)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -160,5 +157,5 @@ def simhash_near_pairs(
         .select("doc_a", "doc_b", "hamming")
         .localCheckpoint(eager=True)
     )
-    banded.unpersist()
+    exploded.unpersist()
     return pairs

@@ -129,6 +129,7 @@ def winnow_overlap_pairs(
     k: int = 4,
     w: int = 5,
     min_shared: int = 2,
+    max_df: int = 100_000,
 ) -> DataFrame:
     """MOSS-style overlap detection: document pairs sharing ≥ ``min_shared``
     winnowing fingerprints, scored by containment
@@ -140,13 +141,28 @@ def winnow_overlap_pairs(
     materialize, and winnowing has already thinned fingerprints to ~2/w of
     the gram count, so the index is ~w/2× smaller than raw-shingle joins.
 
+    HOT-FINGERPRINT CAP: fingerprints present in more than ``max_df``
+    documents are dropped from the JOIN INPUT (``skew.drop_hot_buckets``,
+    the guard every other banded family carries) — a fingerprint shared
+    by B docs emits B·(B−1)/2 pairs, and a fingerprint every document
+    contains (license boilerplate) has no discriminating power: MOSS
+    itself culls high-document-frequency fingerprints for exactly this
+    reason. Per-doc fingerprint SIZES (the containment denominator) are
+    computed from the UNCAPPED set, so containment keeps its definition;
+    pairs whose shared count includes a dropped fingerprint report fewer
+    shared prints — below the cap the output is identical to the
+    uncapped operator (tests/test_corpus_round4.py).
+
     EAGER + NON-RECOVERABLE: the small pair result is ``localCheckpoint``-ed
     so the shared fingerprint frame can be unpersisted before returning.
     """
+    from ..operators.skew import drop_hot_buckets
+
     fp = winnow_fingerprints(df, id_col, text_col, k=k, w=w).persist()
     sizes = fp.groupBy(id_col).agg(F.count("*").alias("n_fp"))
-    a = fp.select(F.col(id_col).alias("doc_a"), "fingerprint")
-    b = fp.select(F.col(id_col).alias("doc_b"), "fingerprint")
+    capped = drop_hot_buckets(fp, ["fingerprint"], max_df)
+    a = capped.select(F.col(id_col).alias("doc_a"), "fingerprint")
+    b = capped.select(F.col(id_col).alias("doc_b"), "fingerprint")
     shared = (
         a.join(b, "fingerprint")
         .filter(F.col("doc_a") < F.col("doc_b"))

@@ -30,13 +30,23 @@ def shortest_paths(
     edges: DataFrame,
     landmarks: DataFrame,
     max_iterations: int = 30,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Hop distances ``(id, landmark, distance)`` for every vertex that can
     reach a landmark (unreachable pairs are absent, matching GraphX's
     sparse landmark maps).
 
     ``edges`` needs (src, dst); ``landmarks`` needs a single ``id`` column.
+
+    A graph whose hop diameter exceeds ``max_iterations`` would silently
+    return TRUNCATED distances (an exact-closure oracle like q111's
+    recursive CTE would diverge with no hint why), so exhausting the
+    round budget without fingerprint convergence is an error by default;
+    pass ``on_nonconverged='return'`` to accept the partial frontier
+    (bounded-hop semantics, e.g. "within 5 hops of a bad account").
     """
+    if on_nonconverged not in ("raise", "return"):
+        raise ValueError(f"on_nonconverged must be raise|return, got {on_nonconverged!r}")
     from .pagerank import _sized_keyed_persist
 
     # Materialize + key-persist the symmetrized edges once: every BFS round
@@ -49,6 +59,7 @@ def shortest_paths(
         F.col("id"), F.col("id").alias("landmark"), F.lit(0).alias("distance")
     ).localCheckpoint(eager=True)
     prev_fp = None
+    converged = False
     for _ in range(max_iterations):
         cand = dist.join(sym, dist.id == sym.src).select(
             F.col("dst").alias("id"),
@@ -67,7 +78,16 @@ def shortest_paths(
         fp = (row["n"], row["s"])
         dist = new
         if fp == prev_fp:
+            converged = True
             break
         prev_fp = fp
     sym.unpersist()
+    if not converged and on_nonconverged == "raise":
+        raise RuntimeError(
+            f"shortest_paths: fingerprint did not stabilize within "
+            f"max_iterations={max_iterations} rounds — the graph's hop "
+            f"diameter exceeds the budget and distances are truncated. "
+            f"Raise max_iterations, or pass on_nonconverged='return' for "
+            f"bounded-hop semantics."
+        )
     return dist

@@ -99,6 +99,7 @@ def merge_upsert(
     source: DataFrame,
     key_cols: Sequence[str],
     delete_col: str | None = None,
+    assert_unique_source: bool = True,
 ) -> DataFrame:
     """Delta-style MERGE (upsert + optional delete) as one full-outer join.
 
@@ -113,7 +114,19 @@ def merge_upsert(
     if any, exists only on the source). Merge keys are assumed NON-NULL on
     both sides (the CDC primary-key contract): a NULL key never equi-matches,
     so a null-keyed source row would insert and a null-keyed target row
-    would lose its payload to the insert-branch selection. Completes the CDC trio with
+    would lose its payload to the insert-branch selection.
+
+    Source keys must also be UNIQUE (the SQL MERGE contract — multiple
+    source matches for one target key is an error, not a fan-out):
+    duplicate source rows would multiply the full-outer join's output
+    cardinality silently. With ``assert_unique_source`` (default) a
+    duplicate key fails the job executor-side (``raise_error`` inside the
+    always-consumed delete flag — lazy, no driver round-trip) at the cost
+    of one count-window shuffle over the SOURCE only (the <1% side).
+    Pre-compact a raw change log with :func:`latest_by_key`, then pass
+    ``assert_unique_source=False`` to skip the re-check.
+
+    Completes the CDC trio with
     :func:`latest_by_key` (log → current source) and :func:`snapshot_diff`
     (audit of the result): compact the change log, merge it into the
     snapshot, diff to verify.
@@ -139,6 +152,35 @@ def merge_upsert(
             F.col(delete_col) if delete_col is not None else F.lit(False)
         ).alias("__s_del"),
     )
+    if assert_unique_source:
+        # The guard lives inside __s_del, which the DELETE filter always
+        # consumes — Catalyst cannot prune it away (the trick
+        # sampling.weighted_sample_topk uses for its weight bound).
+        w = Window.partitionBy(*[F.col(f"__s_{k}") for k in key_cols])
+        s = s.withColumn(
+            "__s_del",
+            F.when(
+                F.count("*").over(w) > 1,
+                F.raise_error(
+                    F.concat(
+                        F.lit(
+                            "merge_upsert: duplicate source rows for key ("
+                        ),
+                        F.concat_ws(
+                            "|",
+                            *[
+                                F.col(f"__s_{k}").cast("string")
+                                for k in key_cols
+                            ],
+                        ),
+                        F.lit(
+                            ") — SQL MERGE raises on multiple matches; "
+                            "pre-compact the source with latest_by_key"
+                        ),
+                    )
+                ).cast("boolean"),
+            ).otherwise(F.col("__s_del")),
+        )
     cond = None
     for k in key_cols:
         c = target[k] == s[f"__s_{k}"]

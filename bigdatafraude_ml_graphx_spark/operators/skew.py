@@ -52,6 +52,37 @@ def salted_agg(
     )
 
 
+def drop_hot_buckets(
+    df: DataFrame, key_cols: Sequence[str], max_bucket: int
+) -> DataFrame:
+    """Drop every row whose key appears more than ``max_bucket`` times —
+    the quadratic-blowup guard shared by all the banded self-joins
+    (MinHash/SimHash/SRP banding, winnowing inverted index): a bucket of
+    B rows emits B·(B−1)/2 pairs, so one degenerate bucket (all-empty
+    docs, a boilerplate passage) dominates the join at scale while
+    carrying no discriminating power.
+
+    groupBy + left-anti formulation, NOT a count-window: the per-key
+    counts aggregate with map-side partial combine and the hot-key list
+    is tiny by construction (≤ |rows|/max_bucket keys), so AQE turns the
+    anti join into a broadcast at runtime — no per-partition sort of the
+    full frame. (The count-window variant sorts every partition on the
+    key; measured +1.3 s on q29 at sf0.1 — see VERDICT r4 item 4.)
+
+    Keys must be non-null: an anti join never matches NULL keys, so
+    NULL-keyed rows would survive the cap. Every call site hashes into
+    the key (md5 / integer bands), which cannot produce NULL.
+    """
+    keys = list(key_cols)
+    hot = (
+        df.groupBy(*keys)
+        .agg(F.count("*").alias("_bn"))
+        .filter(F.col("_bn") > max_bucket)
+        .select(*keys)
+    )
+    return df.join(hot, keys, "left_anti")
+
+
 def salted_join(
     large: DataFrame,
     small: DataFrame,

@@ -90,10 +90,17 @@ def q101_bigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the bigram string keeps the cut deterministic."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(tokens("text").alias("tk"))
+    # Guard <2-token docs: F.sequence defaults to step -1 when start > stop,
+    # so an unguarded sequence(1, size-1) on a 0/1-token doc yields [1, 0]
+    # and element_at(tk, 0) throws INVALID_INDEX_OF_ZERO — same n≥k guard
+    # as winnow.kgram_hashes_from_tokens.
+    gram_idx = F.when(
+        F.size("tk") >= 2, F.sequence(F.lit(1), F.size("tk") - 1)
+    ).otherwise(F.array().cast("array<int>"))
     bigrams = toks.select(
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), F.size("tk") - 1),
+                gram_idx,
                 lambda i: F.concat(
                     F.element_at(F.col("tk"), i), F.lit(" "),
                     F.element_at(F.col("tk"), i + 1),

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .functions.deterministic import dsum
+from .plans.hints import broadcast_if_small
 from .queries import query
 
 _Q5_REGION = "ASIA"
@@ -50,9 +51,12 @@ _Q5_LO, _Q5_HI = "1996-01-01 00:00:00", "1997-01-01 00:00:00"
 def q89_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q5 shape: 6-way join, revenue by supplier nation for LOCAL
     trade (customer and supplier share a nation) within one region and
-    year. Join order matters at 100 TB: region→nation→supplier collapses
-    to a broadcast chain (a few thousand rows even at full scale), customer
-    broadcasts its (custkey, nationkey) projection, so the ONLY shuffle is
+    year. Join order matters at 100 TB: nation/region force-broadcast
+    (constant 25/5 rows at any SF); the supplier chain and the customer
+    (custkey, nationkey) projection grow linearly with SF, so their hints
+    are SIZE-GUARDED (broadcast_if_small: hinted while under the session
+    threshold, otherwise unhinted and AQE picks the strategy from real
+    runtime sizes). Locally everything broadcasts and the ONLY shuffle is
     lineitem⋈orders on the fact key — the join that must shuffle no matter
     what. The local-trade predicate (c_nationkey = s_nationkey) is a
     residual filter on the broadcast-joined row, not an extra join."""
@@ -64,14 +68,17 @@ def q89_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_orderdate") >= _Q5_LO) & (F.col("o_orderdate") < _Q5_HI)
     )
     li = load_table(spark, sf_dir, "lineitem")
-    sup = F.broadcast(
+    # nation/region are CONSTANT-size (25/5 rows at any SF) → forced
+    # broadcast; supplier and customer grow linearly with SF → size-guarded
+    # hint (broadcast locally, AQE decides at scale).
+    sup = broadcast_if_small(
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey).join(
             F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey")
-        )
-    ).select("s_suppkey", "s_nationkey", "n_name")
+        ).select("s_suppkey", "s_nationkey", "n_name")
+    )
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(broadcast_if_small(c), F.col("o_custkey") == F.col("c_custkey"))
         .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
@@ -115,7 +122,7 @@ def q90_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     rev = (F.col("l_extendedprice") * (1 - F.col("l_discount")))
     promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
     agg = (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(broadcast_if_small(p), li.l_partkey == p.p_partkey)
         .agg(
             dsum(promo, "promo_rev"),
             dsum(rev, "total_rev"),
@@ -167,6 +174,6 @@ def q91_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         "_mx", F.max("total_revenue").over(Window.partitionBy(F.lit(1)))
     ).filter(F.col("total_revenue") == F.col("_mx"))
     s = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    return top.join(F.broadcast(s), "s_suppkey").select(
+    return top.join(broadcast_if_small(s), "s_suppkey").select(
         "s_suppkey", "s_name", "total_revenue"
     )

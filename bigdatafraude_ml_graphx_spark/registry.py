@@ -43,7 +43,7 @@ from . import queries_warehouse  # noqa: F401  (SCD2, token entropy, struct-argm
 # ---------------------------------------------------------------------------
 
 _DRIVER_CERTIFIED = frozenset({
-    # every name with a driver row in CORRECTNESS_r01/r02/r03.json ...
+    # every name with a driver row in CORRECTNESS_r01..r04.json ...
     "q01_pricing_summary", "q02_top10_orders", "q03_price_histogram",
     "q04_revenue_filter", "q05_null_census", "q06_distinct_segments",
     "q07_global_stats", "q08_segment_revenue", "q09_customer_order_counts",
@@ -76,21 +76,47 @@ _DRIVER_CERTIFIED = frozenset({
     "q82_connected_components_star", "q83_sequence_packing",
     "q84_snapshot_diff", "q85_correlation_matrix", "q86_value_outliers",
     "q87_weighted_sample",
+    # ... round-4 driver rows (CORRECTNESS_r04.json — 47 exact + 3 no_oracle):
+    "q88_packed_hashed", "q89_regional_supplier_volume",
+    "q90_promo_revenue_share", "q91_top_supplier", "q92_nation_pair_volume",
+    "q93_market_share", "q94_returned_item_customers",
+    "q95_order_count_distribution", "q96_small_quantity_revenue",
+    "q97_large_volume_orders", "q98_disjunctive_revenue",
+    "q99_lapsed_high_balance", "q100_winnow_fingerprints",
+    "q101_bigram_vocab", "q102_srp_signatures", "q103_srp_near_pairs",
+    "q104_length_deciles", "q105_scd2_intervals", "q106_token_entropy",
+    "q107_top_order_per_nation", "q108_merge_upsert",
+    "q109_video_frame_sampling", "q110_audio_features",
+    "q111_shortest_paths", "q112_gap_fill_locf", "q113_relative_ranks",
+    "q114_max_concurrency", "q115_weighted_median",
+    "q116_salted_event_totals", "q117_table_fingerprint",
+    "q118_stream_sessions", "q119_winnow_overlap_pairs",
+    "q120_multiset_ops", "q121_ann_topk_exact",
+    "q122_stream_static_enrich", "q123_asof_forward",
+    "q124_corpus_mixture", "q125_higher_moments",
 }) - frozenset({
     # ... MINUS queries whose lineage changed since their last driver row —
-    # these must re-enter the 50-entry prefix so round 4 certifies the code
-    # that actually ships (VERDICT r3 "Next round" #1 + this round's edits):
-    "q22_connected_components",   # r3 CC state-cleanup rewrite
-    "q27_ngram_jaccard_pairs",    # r3 staged-token rewrite lineage
-    "q28_minhash_signatures",     # r3 distinct-skip rewrite
-    "q29_lsh_candidates",         # downstream of q28 rewrite + r4 band cap
-    "q30_simhash",                # r3 32→64-bit widening
-    "q33_stream_hourly",          # r3 nanos-timestamp branch
-    "q64_near_dup_groups",        # r3 MinHash/CC lineage change
-    "q80_triangle_count",         # r4 compact-forward rewrite
-    "q81_sketch_aggregates",      # r4 graduates rows-only → exact oracle
-    "q87_weighted_sample",        # r4 weight-bound enforcement
-    "q49_ivf_topk",               # r4 broadcast-centroid assignment
+    # these must re-enter the 50-entry prefix so round 5 certifies the code
+    # that actually ships (VERDICT r4 "Next round" #1 + this round's edits):
+    "q50_asof_join",              # r4 direction refactor; backward path holds only an r3 row
+    "q71_simhash_near_pairs",     # r4 hot-bucket cap + r5 cap→anti-join refactor
+    "q76_simhash_dup_groups",     # same simhash cap lineage
+    "q29_lsh_candidates",         # r5 cap→anti-join refactor (minhash)
+    "q64_near_dup_groups",        # downstream of the minhash cap refactor
+    "q103_srp_near_pairs",        # r5 cap→anti-join refactor (srp)
+    "q119_winnow_overlap_pairs",  # r5 hot-fingerprint cap added
+    "q101_bigram_vocab",          # r5 short-doc sequence guard
+    "q108_merge_upsert",          # r5 unique-source-key runtime guard
+    "q111_shortest_paths",        # r5 non-convergence raise
+    "q89_regional_supplier_volume",  # r5 size-guarded broadcasts ↓
+    "q90_promo_revenue_share",
+    "q91_top_supplier",
+    "q92_nation_pair_volume",
+    "q93_market_share",
+    "q94_returned_item_customers",   # r5 broadcast-direction fix
+    "q96_small_quantity_revenue",    # r5 brand semi-join before per-part agg
+    "q97_large_volume_orders",
+    "q98_disjunctive_revenue",
 })
 
 

@@ -35,8 +35,10 @@ from __future__ import annotations
 
 import hashlib
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+from ..operators.skew import drop_hot_buckets
 
 _QSCALE = 1_000_000
 
@@ -184,10 +186,11 @@ def srp_banded_pairs(
             )
         ).alias("bb"),
     ).select(id_col, F.col("bb.band").alias("band"), F.col("bb.bval").alias("bval"))
-    bucket_n = Window.partitionBy("band", "bval")
-    bands = bands.withColumn("_bn", F.count("*").over(bucket_n)).filter(
-        F.col("_bn") <= bucket_cap
-    ).drop("_bn")
+    # Cap via groupBy + broadcast anti join (drop_hot_buckets), not a
+    # count-window — the window sorts every partition of the banded frame
+    # (see dedup.minhash.lsh_candidate_pairs). The banded frame re-derives
+    # cheaply from the persisted `sigs` for each reader.
+    bands = drop_hot_buckets(bands, ["band", "bval"], bucket_cap)
     a = bands.select(F.col(id_col).alias("a_id"), "band", "bval")
     b = bands.select(F.col(id_col).alias("b_id"), "band", "bval")
     cand = (

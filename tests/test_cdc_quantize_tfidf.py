@@ -204,3 +204,32 @@ def test_merge_then_diff_roundtrip(spark, sf_dir):
         merged, expected, ["c_custkey"], ["c_name", "c_acctbal"]
     )
     assert diff.count() == 0
+
+
+def test_merge_upsert_rejects_duplicate_source_keys(spark):
+    """SQL MERGE raises on multiple source matches per key; so does the
+    operator (executor-side raise_error riding the delete flag). A
+    pre-compacted source, or assert_unique_source=False, skips the check."""
+    import pytest as _pytest
+    from pyspark.errors.exceptions.captured import SparkRuntimeException
+
+    from bigdatafraude_ml_graphx_spark.operators.cdc import (
+        latest_by_key,
+        merge_upsert,
+    )
+
+    tgt = spark.createDataFrame([(1, "a")], ["k", "v"])
+    dup_src = spark.createDataFrame(
+        [(1, "new1", 10), (1, "new2", 20), (2, "ins", 30)], ["k", "v", "ts"]
+    )
+    with _pytest.raises(SparkRuntimeException, match="duplicate source rows"):
+        merge_upsert(tgt, dup_src.drop("ts"), ["k"]).collect()
+    # the documented remedy: compact the change log first
+    compacted = latest_by_key(dup_src, ["k"], ["ts"]).drop("ts")
+    out = {r.k: r.v for r in merge_upsert(tgt, compacted, ["k"]).collect()}
+    assert out == {1: "new2", 2: "ins"}
+    # opt-out keeps the raw (fan-out) behavior for callers that want it
+    n = merge_upsert(
+        tgt, dup_src.drop("ts"), ["k"], assert_unique_source=False
+    ).count()
+    assert n == 3

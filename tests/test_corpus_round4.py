@@ -124,3 +124,61 @@ def test_winnow_overlap_detects_copied_passage(spark):
     shared, containment = pairs[(1, 2)]
     assert shared >= 2 and containment > 0.3
     assert not any(3 in p for p in pairs)
+
+
+def test_winnow_overlap_cap_equivalence_and_bound(spark):
+    """Hot-fingerprint cap: inert on clean data (identical output), bounds
+    the candidate explosion when one boilerplate passage is in every doc."""
+    from bigdatafraude_ml_graphx_spark.functions.winnow import (
+        winnow_overlap_pairs,
+    )
+
+    passage = "alpha bravo charlie delta echo foxtrot golf hotel"
+    clean = spark.createDataFrame(
+        [
+            (1, f"one two three {passage} four five six"),
+            (2, f"{passage} nine ten eleven twelve thirteen fourteen"),
+            (3, "completely different words with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    uncapped = winnow_overlap_pairs(clean, "doc_id", "text", k=K, w=W, min_shared=1)
+    capped = winnow_overlap_pairs(
+        clean, "doc_id", "text", k=K, w=W, min_shared=1, max_df=2
+    )
+    assert {tuple(r) for r in uncapped.collect()} == {
+        tuple(r) for r in capped.collect()
+    }
+    # adversarial: the same boilerplate in all 40 docs -> every shared
+    # fingerprint is hot -> capped join emits nothing (a fingerprint in
+    # everything has no discriminating power), uncapped goes quadratic
+    adv = spark.createDataFrame(
+        [(i, f"{passage} unique{i} word{i} tail{i} suffix{i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    blown = winnow_overlap_pairs(adv, "doc_id", "text", k=K, w=W, min_shared=1)
+    bounded = winnow_overlap_pairs(
+        adv, "doc_id", "text", k=K, w=W, min_shared=1, max_df=10
+    )
+    assert blown.count() == 40 * 39 // 2
+    assert bounded.count() == 0
+
+
+def test_bigram_vocab_survives_short_docs(spark, monkeypatch):
+    """q101 must not throw INVALID_INDEX_OF_ZERO on 0/1-token documents
+    (F.sequence counts DOWN when start > stop)."""
+    from bigdatafraude_ml_graphx_spark import queries_corpus as qc
+    from bigdatafraude_ml_graphx_spark.registry import QUERIES
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "single"), (3, "two tokens"), (4, "a b a b")],
+        ["doc_id", "text"],
+    )
+    monkeypatch.setattr(
+        qc, "load_table", lambda _spark, _sf, _name: docs
+    )
+    rows = {
+        (r.bigram, r.n)
+        for r in QUERIES["q101_bigram_vocab"](spark, "ignored").collect()
+    }
+    assert ("a b", 2) in rows and ("two tokens", 1) in rows

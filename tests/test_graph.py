@@ -137,3 +137,28 @@ def test_shortest_paths_matches_python_bfs(spark):
     assert got == expect
     assert (6, 1) in got and got[(6, 1)] == 3  # 1→4 (cycle edge) →5→6
     assert (6, 7) not in got  # island stays unreachable
+
+
+def test_shortest_paths_raises_when_diameter_exceeds_budget(spark):
+    """A path graph with hop diameter > max_iterations must fail loudly
+    (truncated distances would silently diverge from an exact-closure
+    oracle), and on_nonconverged='return' opts into bounded-hop output."""
+    import pytest as _pytest
+
+    from bigdatafraude_ml_graphx_spark.graph.bfs import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    landmarks = spark.createDataFrame([(0,)], ["id"])
+    with _pytest.raises(RuntimeError, match="did not stabilize"):
+        shortest_paths(edges, landmarks, max_iterations=3)
+    partial = shortest_paths(
+        edges, landmarks, max_iterations=3, on_nonconverged="return"
+    )
+    got = {r.id: r.distance for r in partial.collect()}
+    assert got[0] == 0 and max(got.values()) <= 3
+    full = shortest_paths(edges, landmarks, max_iterations=12)
+    assert {r.id: r.distance for r in full.collect()} == {
+        i: i for i in range(9)
+    }

@@ -357,3 +357,70 @@ def test_winnow_single_exchange(spark, sf_dir):
     df = q.QUERIES["q100_winnow_fingerprints"](spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert len(re.findall(r"Exchange hashpartitioning", plan)) == 1, plan
+
+
+def test_broadcast_if_small_applies_and_withholds_hint(spark, sf_dir):
+    """Size-guarded hint: hinted under the byte budget, unhinted above it
+    (where the static planner falls back and AQE decides at runtime)."""
+    from bigdatafraude_ml_graphx_spark.plans.hints import (
+        broadcast_if_small,
+        parse_byte_conf,
+        plan_size_bytes,
+    )
+
+    assert parse_byte_conf("10485760b") == 10 << 20
+    assert parse_byte_conf("10MB") == 10 << 20
+    assert parse_byte_conf("-1") == -1
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    assert plan_size_bytes(n) > 0
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        hinted = c.join(
+            broadcast_if_small(n, max_bytes=10 << 20),
+            c.c_nationkey == n.n_nationkey,
+        )
+        plan = hinted._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastExchange" in plan, plan
+        # over-budget (or broadcast disabled): no hint, no broadcast
+        for guarded in (
+            broadcast_if_small(n, max_bytes=16),
+            broadcast_if_small(n),  # session threshold -1 -> never hint
+        ):
+            unhinted = c.join(guarded, c.c_nationkey == n.n_nationkey)
+            plan = unhinted._jdf.queryExecution().executedPlan().toString()
+            assert "BroadcastExchange" not in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Text of each BroadcastExchange subtree in a physical-plan treeString
+    (children = subsequent lines with strictly deeper indentation)."""
+    lines = plan.splitlines()
+    subtrees = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        depth = len(line) - len(line.lstrip(" :+-*"))
+        body = [line]
+        for nxt in lines[i + 1:]:
+            nd = len(nxt) - len(nxt.lstrip(" :+-*"))
+            if nxt.strip() and nd <= depth:
+                break
+            body.append(nxt)
+        subtrees.append("\n".join(body))
+    return subtrees
+
+
+def test_q94_broadcasts_topk_not_customer(spark, sf_dir):
+    """q94 re-attaches customer attributes by broadcasting the 20-row
+    top-k side; the linearly-growing customer scan must never sit under a
+    BroadcastExchange (VERDICT r4 item 2)."""
+    df = q.QUERIES["q94_returned_item_customers"](spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    subtrees = _broadcast_subtrees(plan)
+    assert subtrees, plan  # nation + top-k side broadcast
+    offenders = [s for s in subtrees if "customer" in s]
+    assert not offenders, offenders

@@ -3,7 +3,8 @@ against its oracle_sql() in DuckDB at sf0.01 — plain SparkSession (the
 driver owns the session; none of the engine's configs), row count + sorted
 column names + order-insensitive value compare, the same contract as the
 real correctness gate. Usage: python tools/driver_sim.py
-(see .claude/skills/verify/SKILL.md)."""
+(see .claude/skills/verify/SKILL.md). Optional argv: query names to
+restrict the run (targeted re-verify after an edit)."""
 import math
 import sys
 import time
@@ -52,6 +53,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 queries = E.queries()
 oracles = E.oracle_sql()
+only = set(sys.argv[1:])
+if only:
+    missing = only - set(queries)
+    assert not missing, f"unknown query names: {sorted(missing)}"
+    queries = {k: v for k, v in queries.items() if k in only}
 npass = nfail = nweak = 0
 for name, fn in queries.items():
     t0 = time.time()
