@@ -162,13 +162,23 @@ def encode_raw8(width: int, height: int, pixels) -> bytes:
 
 
 def decode_raw8(df: DataFrame, id_col: str, content_col: str = "content") -> DataFrame:
-    """Decode RAW8 bytes → (width, height, mean_pixel). Real kernel: header
-    parse + mean are numpy over the Arrow batch; malformed buffers yield
-    nulls (never a task failure — at 100 TB some corrupt blobs are a
-    certainty and one bad row must not kill a 10k-task stage)."""
+    """Decode RAW8 bytes → (width, height, sum_pixels, n_pixels,
+    mean_pixel). Real kernel: header parse + sums are numpy over the Arrow
+    batch; malformed buffers yield nulls (never a task failure — at 100 TB
+    some corrupt blobs are a certainty and one bad row must not kill a
+    10k-task stage).
+
+    ``sum_pixels``/``n_pixels`` are EXACT INTEGER features (the mean is
+    their ratio): integer features replay bit-identically in any engine,
+    which is what lets the RAWV pipeline (q109) carry a cross-engine SQL
+    oracle instead of a rows-only check.
+    """
     import numpy as np
 
-    schema = f"{id_col} long, width int, height int, mean_pixel double"
+    schema = (
+        f"{id_col} long, width int, height int, "
+        "sum_pixels long, n_pixels long, mean_pixel double"
+    )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -176,16 +186,26 @@ def decode_raw8(df: DataFrame, id_col: str, content_col: str = "content") -> Dat
             for i, buf in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(buf)
                 if len(b) < RAW8_HEADER_BYTES:
-                    rows.append((i, None, None, None))
+                    rows.append((i, None, None, None, None, None))
                     continue
                 w = int.from_bytes(b[0:4], "little")
                 h = int.from_bytes(b[4:8], "little")
                 if len(b) != RAW8_HEADER_BYTES + w * h:
-                    rows.append((i, None, None, None))
+                    rows.append((i, None, None, None, None, None))
                     continue
                 arr = np.frombuffer(b, dtype=np.uint8, offset=RAW8_HEADER_BYTES)
-                rows.append((i, w, h, float(arr.mean()) if arr.size else None))
-            yield pd.DataFrame(rows, columns=[id_col, "width", "height", "mean_pixel"])
+                if not arr.size:
+                    rows.append((i, w, h, None, None, None))
+                    continue
+                s = int(arr.sum(dtype=np.int64))
+                rows.append((i, w, h, s, arr.size, s / arr.size))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    id_col, "width", "height",
+                    "sum_pixels", "n_pixels", "mean_pixel",
+                ],
+            )
 
     return df.select(id_col, content_col).mapInPandas(kernel, schema)
 
@@ -363,7 +383,7 @@ def pcm8_features(
 
     schema = (
         f"{id_col} long, sample_rate int, n_samples long, duration_s double, "
-        "rms double, zero_crossing_rate double"
+        "sum_sq long, crossings long, rms double, zero_crossing_rate double"
     )
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -372,28 +392,35 @@ def pcm8_features(
             for i, buf in zip(pdf[id_col], pdf[content_col]):
                 b = bytes(buf)
                 if len(b) <= PCM8_HEADER_BYTES:
-                    rows.append((i, None, None, None, None, None))
+                    rows.append((i, None, None, None, None, None, None, None))
                     continue
                 rate = int.from_bytes(b[0:4], "little")
                 if rate == 0:
-                    rows.append((i, None, None, None, None, None))
+                    rows.append((i, None, None, None, None, None, None, None))
                     continue
                 s = np.frombuffer(
                     b, dtype=np.uint8, offset=PCM8_HEADER_BYTES
                 ).astype(np.int64) - 128
-                rms = float(np.sqrt(np.mean(s.astype(np.float64) ** 2)))
+                # Integer cores (sum of squares, crossing count) are kept
+                # as BIGINT outputs: the float rms/zcr are single
+                # correctly-rounded IEEE ops over them (sqrt, divide), so
+                # every column replays bit-identically cross-engine — the
+                # basis of q110's exact oracle.
+                sum_sq = int((s * s).sum(dtype=np.int64))
+                rms = float(np.sqrt(sum_sq / len(s)))
                 signs = np.sign(s)
                 nz = signs[signs != 0]
                 crossings = int(np.count_nonzero(np.diff(nz) != 0))
                 zcr = crossings / max(len(s) - 1, 1)
                 rows.append(
-                    (i, rate, len(s), len(s) / rate, rms, float(zcr))
+                    (i, rate, len(s), len(s) / rate,
+                     sum_sq, crossings, rms, float(zcr))
                 )
             yield pd.DataFrame(
                 rows,
                 columns=[
                     id_col, "sample_rate", "n_samples", "duration_s",
-                    "rms", "zero_crossing_rate",
+                    "sum_sq", "crossings", "rms", "zero_crossing_rate",
                 ],
             )
 

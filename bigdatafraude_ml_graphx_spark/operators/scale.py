@@ -1,0 +1,129 @@
+"""Distributed replacements for the two documented serial windows
+(VERDICT r4 item 7): global NTILE and global sweep-line concurrency.
+
+Both q104 (equi-depth deciles) and q114 (max interval concurrency) are
+exact-semantics queries whose straightforward formulation uses ONE
+unpartitioned window — correct, oracle-checkable, and a serial point at
+100 TB. These operators compute the IDENTICAL answers with the global
+window replaced by (a) per-key parallel windows over a small partition
+map, plus (b) a second tiny window over per-key summaries — the classic
+two-phase distributed prefix computation. Equivalence to the windowed
+formulation is property-tested (tests/test_scale_ops.py) and both ship as
+oracle-checked queries (q126/q128) whose oracles are the SAME SQL as the
+serial originals — same answer, scalable plan.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def distributed_ntile(
+    df: DataFrame,
+    key_col: str,
+    tie_cols: Sequence[str],
+    n_buckets: int,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Exact global ``NTILE(n) OVER (ORDER BY key, *ties)`` without a
+    global window.
+
+    Phase 1: per-value counts of ``key_col`` (map-side combined — the
+    shuffle carries |distinct keys| rows). Phase 2: a window over THOSE
+    counts (|distinct| rows, trivially small for bucketing columns like
+    lengths/scores) yields each value's global starting rank. Phase 3:
+    rows get a row_number window PARTITIONED by key value (parallel across
+    values) ordered by the tie columns; global rank = start + local rank,
+    and the bucket comes from NTILE's exact fill rule: with n rows and b
+    buckets the first ``n mod b`` buckets take ``n div b + 1`` rows.
+
+    Requirements: ``key_col`` should have bounded distinct cardinality
+    (the phase-2 window is |distinct| rows); ``(key_col, *tie_cols)``
+    must totally order the rows for a deterministic result — the same
+    requirement the serial NTILE formulation has.
+    """
+    counts = df.groupBy(key_col).agg(F.count("*").alias("_cnt"))
+    wk = Window.orderBy(key_col)
+    ranked_keys = counts.select(
+        key_col,
+        (F.sum("_cnt").over(wk) - F.col("_cnt")).alias("_start"),
+        F.sum("_cnt").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("_n"),
+    )
+    per_key = Window.partitionBy(key_col).orderBy(*tie_cols)
+    ranked = df.withColumn("_rn", F.row_number().over(per_key)).join(
+        F.broadcast(ranked_keys), key_col
+    )
+    rank = F.col("_start") + F.col("_rn")  # 1-based global rank
+    q = F.floor(F.col("_n") / n_buckets)
+    r = F.col("_n") % n_buckets
+    big = q + 1  # size of the first r buckets
+    bucket = F.when(
+        rank <= r * big, F.floor((rank - 1) / big)
+    ).otherwise(
+        r + F.floor((rank - 1 - r * big) / F.greatest(q, F.lit(1)))
+    ) + 1
+    return ranked.withColumn(out_col, bucket.cast("int")).drop(
+        "_rn", "_start", "_n"
+    )
+
+
+def distributed_max_concurrency(
+    df: DataFrame,
+    start_col: str,
+    end_col: str,
+    bucket: Column | None = None,
+) -> DataFrame:
+    """Peak number of simultaneously-live ``[start, end)`` intervals —
+    the q114 sweep-line — with the global running-sum window replaced by
+    a two-phase distributed prefix sum.
+
+    Phase 1: ±1 boundary deltas bucketed by a monotone function of the
+    boundary time (default: calendar day). Each bucket computes its own
+    running sum (window PARTITIONED by bucket — parallel) and reduces to
+    (bucket, total delta, max prefix) — three numbers. Phase 2: a window
+    over the per-bucket summaries (|buckets| rows) accumulates offsets;
+    the global peak is ``max(offset_before_bucket + bucket_max_prefix)``
+    — exactly the serial sweep's answer, because prefix maxima decompose
+    over any ordered partition of the sequence.
+
+    Ordering inside and across buckets is (t, delta) — intervals close
+    before they open at the same instant (half-open semantics), identical
+    to the serial formulation; equal timestamps always land in the same
+    bucket because the bucket is a function of t.
+
+    Returns a 1-row frame ``(max_concurrent, n_intervals)``.
+    """
+    starts = df.select(F.col(start_col).alias("t"), F.lit(1).alias("delta"))
+    ends = df.select(F.col(end_col).alias("t"), F.lit(-1).alias("delta"))
+    deltas = starts.unionByName(ends)
+    b = bucket if bucket is not None else F.date_trunc("day", F.col("t"))
+    deltas = deltas.withColumn("_b", b)
+    run = Window.partitionBy("_b").orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    per_bucket = (
+        deltas.withColumn("_live", F.sum("delta").over(run))
+        .groupBy("_b")
+        .agg(
+            F.sum("delta").alias("_dsum"),
+            F.max("_live").alias("_mprefix"),
+            F.count("*").alias("_nb"),
+        )
+    )
+    wb = Window.orderBy("_b")
+    summarized = per_bucket.select(
+        (F.sum("_dsum").over(wb) - F.col("_dsum")).alias("_offset"),
+        "_mprefix",
+        "_nb",
+    )
+    return summarized.agg(
+        F.max(F.col("_offset") + F.col("_mprefix")).alias("max_concurrent"),
+        (F.sum("_nb") / 2).cast("long").alias("n_intervals"),
+    )

@@ -29,6 +29,9 @@ from . import queries_tpch2  # noqa: F401  (deep multi-way joins: Q5/Q14/Q15 sha
 from . import queries_tpch3  # noqa: F401  (decorrelation/disjunction: Q7/Q8/Q10/Q13/Q17/Q18/Q19/Q22)
 from . import queries_corpus  # noqa: F401  (winnowing/bigram-vocab/SRP-LSH/length-deciles)
 from . import queries_warehouse  # noqa: F401  (SCD2, token entropy, struct-argmax)
+from . import queries_scale  # noqa: F401  (distributed serial-window variants)
+from . import queries_tpch4  # noqa: F401  (Q12/Q9/Q21 shapes on the slim schema)
+from . import queries_llm2  # noqa: F401  (fuzzy dedup, PMI, splits, KN counts)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a
@@ -117,6 +120,9 @@ _DRIVER_CERTIFIED = frozenset({
     "q96_small_quantity_revenue",    # r5 brand semi-join before per-part agg
     "q97_large_volume_orders",
     "q98_disjunctive_revenue",
+    "q59_multimodal_decode",       # r5 graduated rows-only → exact oracle
+    "q109_video_frame_sampling",   # r5 graduated rows-only → exact oracle
+    "q110_audio_features",         # r5 graduated rows-only → exact oracle
 })
 
 

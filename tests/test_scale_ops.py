@@ -1,0 +1,63 @@
+"""Equivalence tests for the distributed serial-window replacements
+(operators/scale.py): the two-phase formulations must match the
+single-window formulations EXACTLY on arbitrary data, including ties and
+bucket boundaries."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdatafraude_ml_graphx_spark.operators.scale import (
+    distributed_max_concurrency,
+    distributed_ntile,
+)
+
+
+def test_distributed_ntile_matches_window_ntile(spark):
+    rng = random.Random(7)
+    rows = [
+        (i, rng.randint(0, 19)) for i in range(457)  # heavy key ties
+    ]
+    df = spark.createDataFrame(rows, ["rid", "key"])
+    for b in (1, 3, 10, 500):  # incl. b > n rows
+        w = Window.orderBy("key", "rid")
+        serial = df.select("rid", F.ntile(b).over(w).alias("bucket"))
+        dist = distributed_ntile(df, "key", ["rid"], b)
+        s = {(r.rid, r.bucket) for r in serial.collect()}
+        d = {(r.rid, r.bucket) for r in dist.select("rid", "bucket").collect()}
+        assert s == d, f"b={b}"
+
+
+def test_distributed_sweep_matches_serial_sweep(spark):
+    rng = random.Random(13)
+    # intervals spanning several 'days', with exact-tie boundaries
+    rows = []
+    for _ in range(400):
+        start = rng.randint(0, 5_000_00)
+        rows.append((start, start + rng.choice([1, 60, 86_400, 172_800])))
+    iv = spark.createDataFrame(rows, ["s", "e"]).select(
+        F.timestamp_seconds(F.col("s")).alias("start_ts"),
+        F.timestamp_seconds(F.col("e")).alias("end_ts"),
+    )
+    starts = iv.select(F.col("start_ts").alias("t"), F.lit(1).alias("delta"))
+    ends = iv.select(F.col("end_ts").alias("t"), F.lit(-1).alias("delta"))
+    w = Window.orderBy("t", "delta").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    serial = (
+        starts.unionByName(ends)
+        .select(F.sum("delta").over(w).alias("live"))
+        .agg(F.max("live").alias("mx"))
+        .collect()[0]["mx"]
+    )
+    got = distributed_max_concurrency(iv, "start_ts", "end_ts").collect()[0]
+    assert got["max_concurrent"] == serial
+    assert got["n_intervals"] == 400
+    # degenerate bucketing (everything in one bucket) must also agree
+    one = distributed_max_concurrency(
+        iv, "start_ts", "end_ts", bucket=F.lit(0)
+    ).collect()[0]
+    assert one["max_concurrent"] == serial
