@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .graph import connected_components, cooccurrence_edges, degrees, pagerank, symmetrize
+from .graph.lpa import label_propagation, oracle_lpa_sql
 from .queries import query
 
 # Shared SQL building blocks (DuckDB side).
@@ -205,3 +206,17 @@ def q111_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sp = shortest_paths(edges, lms)
     return sp.select("id", "landmark", F.col("distance").cast("int").alias("distance"))
+
+
+@query(
+    "q137_label_propagation",
+    oracle=oracle_lpa_sql(_EDGES_CTE.strip(), num_iterations=3),
+)
+def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphX ``lib.LabelPropagation`` parity (community detection) over
+    the co-occurrence graph: 3 synchronous min-tie rounds, certified
+    against the identical rounds unrolled in SQL — the q23 PageRank
+    discipline applied to the last GraphX lib algorithm the engine
+    lacked. Ties pinned to the smallest label make the notoriously
+    order-dependent algorithm bit-deterministic in both engines."""
+    return label_propagation(_events_edges(spark, sf_dir), num_iterations=3)

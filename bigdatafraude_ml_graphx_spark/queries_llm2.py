@@ -378,3 +378,81 @@ def q136_continuation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("continuation_count").desc(), "w")
         .limit(_KN_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# q139 — train/test split decontamination (cross-split 8-gram overlap)
+# ---------------------------------------------------------------------------
+
+_CTM_N = 8
+
+_NORM_SQL = (
+    "regexp_replace(regexp_replace(lower(trim(text)), '[^a-z0-9 ]', '', 'g'),"
+    " ' +', ' ', 'g')"
+)
+_TOKS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x != '')"
+
+
+@query(
+    "q139_split_contamination",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                  AS INTEGER) % 10 AS h,
+             {_TOKS_SQL} AS tk
+      FROM documents),
+    sh AS (
+      SELECT DISTINCT doc_id, h,
+             array_to_string(tk[i : i + {_CTM_N} - 1], ' ') AS shingle
+      FROM s, UNNEST(range(1, len(tk) - {_CTM_N} + 2)) AS u(i)
+      WHERE len(tk) >= {_CTM_N})
+    SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
+           CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM sh tr JOIN sh te
+      ON tr.shingle = te.shingle AND tr.h < 8 AND te.h = 9
+    GROUP BY 1, 2
+    """,
+)
+def q139_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→test decontamination sweep: (train doc, test doc) pairs
+    sharing an 8-token shingle ACROSS the q135 hash split — the overlap
+    audit every pretraining/eval pipeline must run before reporting
+    benchmark numbers. Inverted-index shape on the shingle (never
+    train×test cross product) with the standard hot-shingle cap; the
+    distinct (doc, shingle) set is built once and split by the same md5
+    bucket as q135, so this composes with the split it audits. At 100 TB
+    the test side is tiny and the index join prunes to shingles that
+    appear on BOTH sides."""
+    from .functions.text import tokens as _tokens
+    from .dedup.ngram import ngrams_from_tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int")
+        % 10
+    )
+    sh = (
+        d.select("doc_id", h.alias("h"), _tokens("text").alias("_toks"))
+        .select(
+            "doc_id",
+            "h",
+            F.explode(ngrams_from_tokens(F.col("_toks"), _CTM_N)).alias(
+                "shingle"
+            ),
+        )
+        .distinct()
+    )
+    sh = drop_hot_buckets(sh, ["shingle"], 100_000)
+    train = sh.filter(F.col("h") < 8).select(
+        F.col("doc_id").alias("train_doc"), "shingle"
+    )
+    test = sh.filter(F.col("h") == 9).select(
+        F.col("doc_id").alias("test_doc"), "shingle"
+    )
+    return (
+        train.join(test, "shingle")
+        .groupBy("train_doc", "test_doc")
+        .agg(F.count("*").alias("n_shared"))
+    )

@@ -147,3 +147,37 @@ def q122_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = memory_sink(agg, name, output_mode="complete", available_now=True)
     run_available_now(q)
     return spark.table(name).select("c_mktsegment", "n_events", "total_value")
+
+
+@query(
+    "q138_stream_dedup",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q138_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT dedup: ``dropDuplicates`` on (user_id, event_type)
+    inside a real Structured Streaming replay, then a per-type count of
+    the deduped stream — hash-equal to batch COUNT(DISTINCT): the
+    stream/batch equivalence proof for the stateful dedup operator a
+    streaming ingestion pipeline puts in front of every sink. State here
+    is one entry per distinct key (exact, unbounded — the contract
+    COUNT DISTINCT requires); the BOUNDED-state production variant is
+    ``dropDuplicatesWithinWatermark`` (state evicted past the watermark,
+    exact only for duplicates arriving within it) — exercised with a
+    watermarked replay in tests/test_streaming_advanced.py, and kept out
+    of this query because its output depends on arrival order, which no
+    batch oracle can replay."""
+    stream = events_stream(spark, sf_dir).select("user_id", "event_type")
+    deduped = stream.dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    name = f"q138_sink_{uuid.uuid4().hex[:8]}"
+    q = memory_sink(agg, name, output_mode="complete", available_now=True)
+    run_available_now(q)
+    return spark.table(name).select("event_type", "n_users").orderBy(
+        "event_type"
+    )

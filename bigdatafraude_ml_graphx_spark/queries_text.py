@@ -389,3 +389,66 @@ def q64_near_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("component").alias("dup_group"),
         (F.col("id") == F.col("component")).alias("is_canonical"),
     )
+
+
+def _canonical_dedup_oracle() -> str:
+    """q64's group closure + per-group quality argmax (longest doc wins,
+    doc id breaks ties) — built from the same fragments so the two
+    queries certify one pipeline."""
+    base = _dedup_groups_oracle()
+    core = base[: base.rindex("SELECT a AS doc")]  # keep the CTE chain
+    return f"""{core}
+    -- (continuing the CTE chain; `core` ends after the reach() definition)
+    , groups AS (SELECT a AS doc, MIN(bnode) AS dup_group FROM reach GROUP BY a),
+    ranked AS (
+      SELECT g.dup_group, g.doc, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY g.dup_group
+                                ORDER BY d.n_chars DESC, g.doc DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY g.dup_group) AS n_docs
+      FROM groups g JOIN documents d ON d.doc_id = g.doc)
+    SELECT dup_group, doc AS kept_doc, n_chars AS kept_chars,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_docs - 1 AS BIGINT) AS n_removed
+    FROM ranked WHERE rn = 1
+    """
+
+
+@query("q141_canonical_dedup", oracle=_canonical_dedup_oracle())
+def q141_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-priority dedup policy: q64's near-dup groups, but the kept
+    document is the LONGEST in its group (doc id breaks ties) instead of
+    the smallest id — the policy real corpus dedup uses ('keep the best
+    copy'), composed from the same MinHash→LSH→CC pipeline plus one
+    per-group argmax window (bounded by group size, parallel across
+    groups). Returns one row per group with the keep decision and removal
+    count — the dedup audit a data card reports."""
+    from .graph.components import connected_components
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=_K_MINHASH)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=_K_MINHASH, bands=4)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    cc = connected_components(
+        edges,
+        vertices=docs.select(F.col("doc_id").alias("id")),
+        dedup_edges=False,
+    )
+    g = cc.select(F.col("id").alias("doc"), F.col("component").alias("dup_group")).join(
+        docs.select(F.col("doc_id").alias("doc"), "n_chars"), "doc"
+    )
+    w = Window.partitionBy("dup_group").orderBy(
+        F.col("n_chars").desc(), F.col("doc").desc()
+    )
+    return (
+        g.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_docs", F.count("*").over(Window.partitionBy("dup_group")))
+        .filter(F.col("rn") == 1)
+        .select(
+            "dup_group",
+            F.col("doc").alias("kept_doc"),
+            F.col("n_chars").alias("kept_chars"),
+            F.col("n_docs"),
+            (F.col("n_docs") - 1).alias("n_removed"),
+        )
+    )

@@ -162,3 +162,30 @@ def test_shortest_paths_raises_when_diameter_exceeds_budget(spark):
     assert {r.id: r.distance for r in full.collect()} == {
         i: i for i in range(9)
     }
+
+
+def test_label_propagation_separates_disjoint_cliques(spark):
+    """Min-tie synchronous LPA: two disjoint triangles each converge to
+    the min vertex id; communities never mix across components."""
+    from bigdatafraude_ml_graphx_spark.graph.lpa import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        ["src", "dst"],
+    )
+    got = {r.id: r.label for r in label_propagation(edges, 4).collect()}
+    assert set(got) == {1, 2, 3, 10, 11, 12}
+    assert {got[1], got[2], got[3]} == {1}
+    assert {got[10], got[11], got[12]} == {10}
+
+
+def test_label_propagation_matches_reference_rounds(spark):
+    """One round on a star matches the hand-computed synchronous update
+    (every leaf adopts the hub's label; the hub adopts the min leaf)."""
+    from bigdatafraude_ml_graphx_spark.graph.lpa import label_propagation
+
+    star = spark.createDataFrame(
+        [(5, 1), (5, 2), (5, 3)], ["src", "dst"]
+    )
+    got = {r.id: r.label for r in label_propagation(star, 1).collect()}
+    assert got == {5: 1, 1: 5, 2: 5, 3: 5}

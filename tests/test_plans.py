@@ -424,3 +424,54 @@ def test_q94_broadcasts_topk_not_customer(spark, sf_dir):
     assert subtrees, plan  # nation + top-k side broadcast
     offenders = [s for s in subtrees if "customer" in s]
     assert not offenders, offenders
+
+
+def test_distributed_variants_globalize_only_aggregates(spark, sf_dir):
+    """q126/q128 replace the serial global row window: any SinglePartition
+    exchange in their plans sits above an aggregate summary (counts /
+    per-bucket rollup), never above raw scanned rows. The serial q104
+    deliberately violates this (its NTILE globalizes the row stream) —
+    asserted too, so this test keeps discriminating."""
+
+    def single_partition_subtrees(plan):
+        lines = plan.splitlines()
+        out = []
+        for i, line in enumerate(lines):
+            if "Exchange SinglePartition" not in line:
+                continue
+            depth = len(line) - len(line.lstrip(" :+-*"))
+            body = [line]
+            for nxt in lines[i + 1:]:
+                nd = len(nxt) - len(nxt.lstrip(" :+-*"))
+                if nxt.strip() and nd <= depth:
+                    break
+                body.append(nxt)
+            out.append("\n".join(body))
+        return out
+
+    for name in ("q126_max_concurrency_scaled", "q128_length_deciles_scaled"):
+        plan = q.QUERIES[name](spark, sf_dir)._jdf.queryExecution(
+        ).executedPlan().toString()
+        subs = single_partition_subtrees(plan)
+        assert subs, plan  # the tiny summary window still globalizes
+        for s in subs:
+            assert "HashAggregate" in s, (name, s)
+    serial = q.QUERIES["q104_length_deciles"](spark, sf_dir)._jdf.queryExecution(
+    ).executedPlan().toString()
+    raw_global = [
+        s for s in single_partition_subtrees(serial)
+        if "HashAggregate" not in s
+    ]
+    assert raw_global, serial  # q104's global row window is the contrast
+
+
+def test_round5_new_query_plan_shapes(spark, sf_dir):
+    """q129's ship-year filter reaches the lineitem scan; q131's top-k
+    compiles to TakeOrderedAndProject (no global sort)."""
+    from bigdatafraude_ml_graphx_spark.plans.inspect import (
+        has_pushed_filters,
+        uses_take_ordered,
+    )
+
+    assert has_pushed_filters(q.QUERIES["q129_priority_by_linestatus"](spark, sf_dir))
+    assert uses_take_ordered(q.QUERIES["q131_waiting_orders"](spark, sf_dir))
