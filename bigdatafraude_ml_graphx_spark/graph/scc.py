@@ -1,0 +1,146 @@
+"""Strongly connected components (directed) — the GraphX
+``graphx.lib.StronglyConnectedComponents`` contract as iterative
+DataFrame phases.
+
+Algorithm: the distributed coloring scheme (Orzan's coloring / FW-BW
+without pivot sampling, made deterministic with MIN labels):
+
+  repeat until every vertex is assigned:
+    1. trim: vertices with no in- or out-edge in the REMAINING graph are
+       their own singleton SCCs (removes the long tail in O(1) rounds);
+    2. color: propagate ``color(v) = min id that can reach v`` forward to
+       fixpoint (rounds = remaining diameter);
+    3. mark: the root r of each color class (color(r) = r) definitely
+       belongs to its SCC; propagate membership BACKWARD from the roots
+       along edges that stay inside the same color class — every reached
+       vertex v has r → v (same color ⇒ r reaches v) and v → r (the
+       backward walk), so SCC(v) = r exactly;
+    4. remove assigned vertices and iterate on the remainder.
+
+  Every phase is joins + aggregates with per-round ``localCheckpoint``
+  lineage truncation (the components/pagerank/bfs discipline); per-phase
+  state is one (id, color) row per remaining vertex. Worst case is
+  O(#SCC-levels) phases (a path of SCCs), the known bound for
+  pivot/coloring SCC — the same worst case GraphX's implementation has.
+
+Determinism: colors and SCC ids are MIN vertex ids, ties impossible; the
+result is the canonical "scc = min member id" labeling, which is what the
+recursive-CTE oracle (mutual reachability closure) computes directly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_label_fixpoint(edges: DataFrame, labels: DataFrame, max_rounds: int) -> DataFrame:
+    """Propagate MIN ``label`` along directed ``edges`` (src → dst) to
+    fixpoint: returns (id, label) with label = min over {label(u): u
+    reaches id} ∪ {label(id)}."""
+    prev = None
+    for _ in range(max_rounds):
+        cand = (
+            labels.join(edges, labels.id == edges.src)
+            .select(F.col("dst").alias("id"), "label")
+        )
+        labels = (
+            labels.unionByName(cand)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        row = labels.agg(
+            F.count("*").alias("n"), F.sum("label").alias("s")
+        ).collect()[0]
+        fp = (row["n"], row["s"])
+        if fp == prev:
+            return labels
+        prev = fp
+    raise RuntimeError(
+        f"scc: min-label propagation did not reach fixpoint within "
+        f"max_rounds={max_rounds} — the remaining diameter exceeds the "
+        f"budget; raise max_rounds."
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    max_phases: int = 10,
+    max_rounds: int = 30,
+) -> DataFrame:
+    """SCC labels ``(id, scc)`` (scc = min member id) for every vertex of
+    the directed graph ``edges`` (src, dst). Raises if ``max_phases``
+    outer phases don't assign every vertex (the bfs non-convergence
+    contract — a truncated answer would silently diverge from the
+    mutual-reachability oracle)."""
+    remaining_edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    remaining = (
+        remaining_edges.select(F.col("src").alias("id"))
+        .unionByName(remaining_edges.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    assigned = None
+    for _ in range(max_phases):
+        if remaining.isEmpty():
+            break
+        # 1. trim singletons: no in-edge or no out-edge ⇒ own SCC.
+        srcs = remaining_edges.select(F.col("src").alias("id")).distinct()
+        dsts = remaining_edges.select(F.col("dst").alias("id")).distinct()
+        core = remaining.join(srcs, "id", "left_semi").join(dsts, "id", "left_semi")
+        trimmed = remaining.join(core, "id", "left_anti").select(
+            "id", F.col("id").alias("scc")
+        )
+        assigned = (
+            trimmed if assigned is None else assigned.unionByName(trimmed)
+        ).localCheckpoint(eager=True)
+        remaining = core.localCheckpoint(eager=True)
+        if remaining.isEmpty():
+            break
+        remaining_edges = (
+            remaining_edges.join(remaining, remaining_edges.src == remaining.id, "left_semi")
+            .join(remaining, remaining_edges.dst == remaining.id, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+        # 2. forward MIN coloring to fixpoint.
+        init = remaining.select("id", F.col("id").alias("label"))
+        colors = _min_label_fixpoint(remaining_edges, init, max_rounds)
+        # 3. backward walk from roots inside same-color edges.
+        ec = (
+            remaining_edges.join(
+                colors.select(F.col("id").alias("src"), F.col("label").alias("c_src")),
+                "src",
+            )
+            .join(
+                colors.select(F.col("id").alias("dst"), F.col("label").alias("c_dst")),
+                "dst",
+            )
+            .filter(F.col("c_src") == F.col("c_dst"))
+            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))  # reversed
+        ).localCheckpoint(eager=True)
+        roots = colors.filter(F.col("id") == F.col("label")).select("id")
+        member = roots.select("id", F.col("id").alias("label"))
+        # backward min-label propagation restricted to same-color edges:
+        # a vertex reached from root r gets label r (labels are colors —
+        # within one color class only its root propagates).
+        reached = _min_label_fixpoint(ec, member, max_rounds)
+        scc_now = reached.select("id", F.col("label").alias("scc"))
+        assigned = assigned.unionByName(scc_now).localCheckpoint(eager=True)
+        # 4. remove assigned, iterate.
+        remaining = remaining.join(scc_now, "id", "left_anti").localCheckpoint(
+            eager=True
+        )
+        remaining_edges = (
+            remaining_edges.join(remaining, remaining_edges.src == remaining.id, "left_semi")
+            .join(remaining, remaining_edges.dst == remaining.id, "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    if not remaining.isEmpty():
+        raise RuntimeError(
+            f"strongly_connected_components: {remaining.count()} vertices "
+            f"unassigned after max_phases={max_phases} — raise the budget."
+        )
+    if assigned is None:  # empty edge list → empty labeling, typed
+        return edges.sparkSession.createDataFrame([], "id long, scc long")
+    return assigned

@@ -220,3 +220,62 @@ def q137_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     lacked. Ties pinned to the smallest label make the notoriously
     order-dependent algorithm bit-deterministic in both engines."""
     return label_propagation(_events_edges(spark, sf_dir), num_iterations=3)
+
+
+@query(
+    "q142_strongly_connected",
+    oracle="""
+    WITH RECURSIVE
+    b AS (SELECT DISTINCT date_trunc('hour', ts) AS bucket, event_type,
+                 user_id
+          FROM events),
+    ring AS (
+      SELECT user_id AS src,
+             COALESCE(LEAD(user_id) OVER w,
+                      MIN(user_id) OVER (PARTITION BY bucket, event_type))
+               AS dst
+      FROM b WINDOW w AS (PARTITION BY bucket, event_type ORDER BY user_id)),
+    e AS (SELECT DISTINCT src, dst FROM ring WHERE src <> dst),
+    verts AS (SELECT DISTINCT src AS id FROM e
+              UNION SELECT DISTINCT dst FROM e),
+    fwd(a, bnode) AS (
+      SELECT src, dst FROM e
+      UNION
+      SELECT f.a, e.dst FROM fwd f JOIN e ON f.bnode = e.src),
+    mutual AS (
+      SELECT f1.a AS x, f1.bnode AS y
+      FROM fwd f1 JOIN fwd f2 ON f1.a = f2.bnode AND f1.bnode = f2.a),
+    pairs AS (SELECT id AS x, id AS y FROM verts
+              UNION SELECT x, y FROM mutual)
+    SELECT x AS id, MIN(y) AS scc FROM pairs GROUP BY x
+    """,
+)
+def q142_strongly_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GraphX ``lib.StronglyConnectedComponents`` parity on a DIRECTED
+    graph: users in each (hour, event_type) bucket form a ring (each →
+    next by id, last → first), rings overlap across buckets, and the SCC
+    labeling (scc = min member id) comes from the distributed coloring
+    algorithm in ``graph/scc.py`` — trim singletons, forward MIN
+    coloring to fixpoint, backward walk from color roots, repeat.
+    Certified against the mutual-reachability recursive-CTE closure.
+    With LPA (q137) this completes the GraphX lib surface the engine
+    replaces (degrees/PR/CC/triangles/ShortestPaths/LPA/SCC)."""
+    from pyspark.sql import Window
+
+    from .graph.scc import strongly_connected_components
+
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.date_trunc("hour", "ts").alias("bucket"), "event_type", "user_id"
+    ).distinct()
+    w = Window.partitionBy("bucket", "event_type").orderBy("user_id")
+    ring = b.select(
+        F.col("user_id").alias("src"),
+        F.coalesce(
+            F.lead("user_id").over(w),
+            F.min("user_id").over(
+                Window.partitionBy("bucket", "event_type")
+            ),
+        ).alias("dst"),
+    ).filter(F.col("src") != F.col("dst"))
+    return strongly_connected_components(ring)

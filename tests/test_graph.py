@@ -189,3 +189,98 @@ def test_label_propagation_matches_reference_rounds(spark):
     )
     got = {r.id: r.label for r in label_propagation(star, 1).collect()}
     assert got == {5: 1, 1: 5, 2: 5, 3: 5}
+
+
+def _scc_reference(edges):
+    """Iterative Tarjan on plain Python — test oracle."""
+    from collections import defaultdict
+
+    adj = defaultdict(list)
+    verts = set()
+    for s, d in edges:
+        adj[s].append(d)
+        verts.add(s)
+        verts.add(d)
+    index = {}
+    low = {}
+    on_stack = set()
+    stack = []
+    comp = {}
+    counter = [0]
+
+    def strongconnect(root):
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                members = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    members.append(w)
+                    if w == v:
+                        break
+                m = min(members)
+                for w in members:
+                    comp[w] = m
+            work.pop()
+            if work:
+                u, _ = work[-1]
+                low[u] = min(low[u], low[v])
+
+    for v in sorted(verts):
+        if v not in index:
+            strongconnect(v)
+    return comp
+
+
+def test_scc_matches_tarjan_on_random_digraphs(spark):
+    import random
+
+    from bigdatafraude_ml_graphx_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    rng = random.Random(99)
+    for trial in range(3):
+        n = 40
+        edges = list({
+            (rng.randint(0, n - 1), rng.randint(0, n - 1))
+            for _ in range(90)
+        })
+        edges = [(s, d) for s, d in edges if s != d]
+        ref = _scc_reference(edges)
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {r.id: r.scc for r in strongly_connected_components(df).collect()}
+        assert got == ref, f"trial {trial}"
+
+
+def test_scc_known_shapes(spark):
+    from bigdatafraude_ml_graphx_spark.graph.scc import (
+        strongly_connected_components,
+    )
+
+    # two cycles bridged by a DAG edge + a tail
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (4, 5), (5, 4), (3, 4), (5, 6), (7, 1)],
+        ["src", "dst"],
+    )
+    got = sorted((r.id, r.scc) for r in strongly_connected_components(edges).collect())
+    assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 7)]
