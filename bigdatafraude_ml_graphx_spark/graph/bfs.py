@@ -60,7 +60,12 @@ def shortest_paths(
     ).localCheckpoint(eager=True)
     prev_fp = None
     converged = False
-    for _ in range(max_iterations):
+    # ``max_iterations`` budgets EFFECTIVE rounds (rounds that change the
+    # table — the hop diameter); the final no-change round that CONFIRMS
+    # convergence is free, so a budget equal to the exact diameter
+    # succeeds rather than spuriously raising.
+    changes = 0
+    while True:
         cand = dist.join(sym, dist.id == sym.src).select(
             F.col("dst").alias("id"),
             "landmark",
@@ -76,10 +81,16 @@ def shortest_paths(
             F.count("*").alias("n"), F.sum("distance").alias("s")
         ).collect()[0]
         fp = (row["n"], row["s"])
-        dist = new
         if fp == prev_fp:
             converged = True
+            dist = new
             break
+        changes += 1
+        if changes > max_iterations:
+            # over budget: discard the extra round so 'return' callers get
+            # exactly max_iterations-hop distances
+            break
+        dist = new
         prev_fp = fp
     sym.unpersist()
     if not converged and on_nonconverged == "raise":

@@ -15,7 +15,7 @@ Scale shape per round: one join of the label table against the keyed-
 persisted symmetrized edges (shuffle on the frontier key), one map-side
 combined count aggregate, one per-vertex window over that vertex's
 candidate labels only (bounded by its degree), then ``localCheckpoint``
-to truncate lineage. Fixed rounds = fixed cost; LPA famously oscillates
+every 5th round and at the end to truncate lineage. Fixed rounds = fixed cost; LPA famously oscillates
 rather than converges, which is why the GraphX API itself takes
 ``maxSteps`` instead of a convergence test.
 """
@@ -40,7 +40,7 @@ def label_propagation(edges: DataFrame, num_iterations: int = 3) -> DataFrame:
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(num_iterations):
+    for i in range(num_iterations):
         cnt = (
             sym.join(labels, sym.dst == labels.id)
             .groupBy(F.col("src").alias("vid"), "label")
@@ -51,8 +51,15 @@ def label_propagation(edges: DataFrame, num_iterations: int = 3) -> DataFrame:
             cnt.withColumn("_rn", F.row_number().over(w))
             .filter(F.col("_rn") == 1)
             .select(F.col("vid").alias("id"), "label")
-            .localCheckpoint(eager=True)  # truncate per-round lineage
         )
+        # Checkpoint on the last round (materialize + release sym) and
+        # every 5th round (bound lineage for large budgets). For the
+        # typical 3-round run the whole propagation compiles into ONE
+        # job instead of one per round — measured ~5% at sf0.1; lineage
+        # of a few chained rounds is safely below the plan-bloat zone
+        # the per-round discipline in bfs/pagerank exists for.
+        if i == num_iterations - 1 or (i + 1) % 5 == 0:
+            labels = labels.localCheckpoint(eager=True)
     sym.unpersist()
     return labels
 

@@ -38,8 +38,12 @@ def _min_label_fixpoint(edges: DataFrame, labels: DataFrame, max_rounds: int) ->
     """Propagate MIN ``label`` along directed ``edges`` (src → dst) to
     fixpoint: returns (id, label) with label = min over {label(u): u
     reaches id} ∪ {label(id)}."""
+    # ``max_rounds`` budgets EFFECTIVE rounds (rounds that change the
+    # labeling); the no-change round confirming the fixpoint is free, so
+    # a budget equal to the exact propagation depth succeeds.
     prev = None
-    for _ in range(max_rounds):
+    changes = 0
+    while True:
         cand = (
             labels.join(edges, labels.id == edges.src)
             .select(F.col("dst").alias("id"), "label")
@@ -56,12 +60,14 @@ def _min_label_fixpoint(edges: DataFrame, labels: DataFrame, max_rounds: int) ->
         fp = (row["n"], row["s"])
         if fp == prev:
             return labels
+        changes += 1
+        if changes > max_rounds:
+            raise RuntimeError(
+                f"scc: min-label propagation did not reach fixpoint within "
+                f"max_rounds={max_rounds} — the remaining diameter exceeds "
+                f"the budget; raise max_rounds."
+            )
         prev = fp
-    raise RuntimeError(
-        f"scc: min-label propagation did not reach fixpoint within "
-        f"max_rounds={max_rounds} — the remaining diameter exceeds the "
-        f"budget; raise max_rounds."
-    )
 
 
 def strongly_connected_components(
@@ -81,7 +87,10 @@ def strongly_connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    assigned = None
+    # Per-phase increments are collected and unioned ONCE at return —
+    # re-checkpointing the accumulated frame every phase would
+    # re-materialize all previously assigned vertices O(phases) times.
+    increments = []
     for _ in range(max_phases):
         if remaining.isEmpty():
             break
@@ -91,10 +100,8 @@ def strongly_connected_components(
         core = remaining.join(srcs, "id", "left_semi").join(dsts, "id", "left_semi")
         trimmed = remaining.join(core, "id", "left_anti").select(
             "id", F.col("id").alias("scc")
-        )
-        assigned = (
-            trimmed if assigned is None else assigned.unionByName(trimmed)
         ).localCheckpoint(eager=True)
+        increments.append(trimmed)
         remaining = core.localCheckpoint(eager=True)
         if remaining.isEmpty():
             break
@@ -125,8 +132,10 @@ def strongly_connected_components(
         # a vertex reached from root r gets label r (labels are colors —
         # within one color class only its root propagates).
         reached = _min_label_fixpoint(ec, member, max_rounds)
-        scc_now = reached.select("id", F.col("label").alias("scc"))
-        assigned = assigned.unionByName(scc_now).localCheckpoint(eager=True)
+        scc_now = reached.select("id", F.col("label").alias("scc")).localCheckpoint(
+            eager=True
+        )
+        increments.append(scc_now)
         # 4. remove assigned, iterate.
         remaining = remaining.join(scc_now, "id", "left_anti").localCheckpoint(
             eager=True
@@ -141,6 +150,9 @@ def strongly_connected_components(
             f"strongly_connected_components: {remaining.count()} vertices "
             f"unassigned after max_phases={max_phases} — raise the budget."
         )
-    if assigned is None:  # empty edge list → empty labeling, typed
+    if not increments:  # empty edge list → empty labeling, typed
         return edges.sparkSession.createDataFrame([], "id long, scc long")
-    return assigned
+    out = increments[0]
+    for inc in increments[1:]:
+        out = out.unionByName(inc)
+    return out

@@ -125,5 +125,9 @@ def distributed_max_concurrency(
     )
     return summarized.agg(
         F.max(F.col("_offset") + F.col("_mprefix")).alias("max_concurrent"),
-        (F.sum("_nb") / 2).cast("long").alias("n_intervals"),
+        # empty input: COUNT-based serial formulations report 0 intervals
+        # (and a NULL max), so coalesce the SUM-based count to match
+        F.coalesce(
+            (F.sum("_nb") / 2).cast("long"), F.lit(0).cast("long")
+        ).alias("n_intervals"),
     )

@@ -69,9 +69,13 @@ def drop_hot_buckets(
     full frame. (The count-window variant sorts every partition on the
     key; measured +1.3 s on q29 at sf0.1 — see VERDICT r4 item 4.)
 
-    Keys must be non-null: an anti join never matches NULL keys, so
-    NULL-keyed rows would survive the cap. Every call site hashes into
-    the key (md5 / integer bands), which cannot produce NULL.
+    NULL-keyed rows BYPASS the cap (an anti join never matches NULL
+    keys). That is sound for the banded-join call sites whether the key
+    is hashed (md5 / integer bands — never NULL) or raw text
+    (q132/q139): a NULL key cannot equi-join downstream either, so an
+    uncapped NULL bucket produces zero pairs. Callers feeding the capped
+    frame into a NON-join consumer (e.g. a groupBy that counts NULL as a
+    group) must pre-filter NULL keys themselves.
     """
     keys = list(key_cols)
     hot = (

@@ -284,3 +284,19 @@ def test_scc_known_shapes(spark):
     )
     got = sorted((r.id, r.scc) for r in strongly_connected_components(edges).collect())
     assert got == [(1, 1), (2, 1), (3, 1), (4, 4), (5, 4), (6, 6), (7, 7)]
+
+
+def test_shortest_paths_budget_equal_to_diameter_succeeds(spark):
+    """A budget of exactly the hop diameter must return complete
+    distances, not a spurious truncation error — the confirmation round
+    is free (code-review regression, round 5)."""
+    from bigdatafraude_ml_graphx_spark.graph.bfs import shortest_paths
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    landmarks = spark.createDataFrame([(0,)], ["id"])
+    full = shortest_paths(edges, landmarks, max_iterations=8)
+    assert {r.id: r.distance for r in full.collect()} == {
+        i: i for i in range(9)
+    }

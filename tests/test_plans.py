@@ -395,13 +395,14 @@ def test_broadcast_if_small_applies_and_withholds_hint(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
 
 
-def _broadcast_subtrees(plan: str) -> list[str]:
-    """Text of each BroadcastExchange subtree in a physical-plan treeString
-    (children = subsequent lines with strictly deeper indentation)."""
+def _plan_subtrees(plan: str, needle: str) -> list[str]:
+    """Text of each subtree rooted at a node matching ``needle`` in a
+    physical-plan treeString (children = subsequent lines with strictly
+    deeper indentation)."""
     lines = plan.splitlines()
     subtrees = []
     for i, line in enumerate(lines):
-        if "BroadcastExchange" not in line:
+        if needle not in line:
             continue
         depth = len(line) - len(line.lstrip(" :+-*"))
         body = [line]
@@ -412,6 +413,10 @@ def _broadcast_subtrees(plan: str) -> list[str]:
             body.append(nxt)
         subtrees.append("\n".join(body))
     return subtrees
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    return _plan_subtrees(plan, "BroadcastExchange")
 
 
 def test_q94_broadcasts_topk_not_customer(spark, sf_dir):
@@ -434,20 +439,7 @@ def test_distributed_variants_globalize_only_aggregates(spark, sf_dir):
     asserted too, so this test keeps discriminating."""
 
     def single_partition_subtrees(plan):
-        lines = plan.splitlines()
-        out = []
-        for i, line in enumerate(lines):
-            if "Exchange SinglePartition" not in line:
-                continue
-            depth = len(line) - len(line.lstrip(" :+-*"))
-            body = [line]
-            for nxt in lines[i + 1:]:
-                nd = len(nxt) - len(nxt.lstrip(" :+-*"))
-                if nxt.strip() and nd <= depth:
-                    break
-                body.append(nxt)
-            out.append("\n".join(body))
-        return out
+        return _plan_subtrees(plan, "Exchange SinglePartition")
 
     for name in ("q126_max_concurrency_scaled", "q128_length_deciles_scaled"):
         plan = q.QUERIES[name](spark, sf_dir)._jdf.queryExecution(

@@ -61,3 +61,12 @@ def test_distributed_sweep_matches_serial_sweep(spark):
         iv, "start_ts", "end_ts", bucket=F.lit(0)
     ).collect()[0]
     assert one["max_concurrent"] == serial
+
+
+def test_distributed_sweep_empty_input(spark):
+    """Empty interval frame: n_intervals must be 0 (matching the serial
+    COUNT-based oracle), max is NULL on both sides."""
+    iv = spark.createDataFrame([], "start_ts timestamp, end_ts timestamp")
+    got = distributed_max_concurrency(iv, "start_ts", "end_ts").collect()[0]
+    assert got["n_intervals"] == 0
+    assert got["max_concurrent"] is None
