@@ -131,3 +131,70 @@ def distributed_max_concurrency(
             (F.sum("_nb") / 2).cast("long"), F.lit(0).cast("long")
         ).alias("n_intervals"),
     )
+
+
+def skyline_2d(
+    df: DataFrame,
+    minimize_col: str,
+    maximize_col: str,
+    n_buckets: int = 64,
+) -> DataFrame:
+    """2-D Pareto frontier (skyline): points not dominated by any other —
+    dominator has ``minimize_col`` ≤ AND ``maximize_col`` ≥ with one
+    strict. Returns the distinct frontier points
+    ``(minimize_col, maximize_col)``.
+
+    Partition-merge shape (the standard distributed skyline):
+
+    1. reduce to one candidate per minimize-value (its max of
+       ``maximize_col`` — anything less at the same cost is dominated) —
+       a parallel map-side-combined aggregate;
+    2. LOCAL skylines inside equal-width value-range buckets of the
+       minimize axis (running max over each bucket's window — parallel
+       across buckets); a point dominated within its bucket is dominated
+       globally, so this only discards true losers;
+    3. one GLOBAL pass over the surviving candidates (frontier size is
+       typically ≪ n — the serial window touches survivors only, the
+       two-phase discipline of :func:`distributed_ntile`).
+
+    Bucket boundaries come from a two-scalar min/max read (the
+    documented driver-scalar contract `similarity/ivf.py` uses) — ANY
+    monotone bucketing yields the identical skyline, so boundary choice
+    affects balance, never the result.
+    """
+    pts = df.groupBy(minimize_col).agg(
+        F.max(maximize_col).alias(maximize_col)
+    ).localCheckpoint(eager=True)  # read twice: min/max scalars + main pass
+    stats = pts.agg(
+        F.min(minimize_col).alias("lo"), F.max(minimize_col).alias("hi")
+    ).collect()[0]
+    if stats["lo"] is None:
+        return pts.select(minimize_col, maximize_col)  # empty input
+    lo, hi = float(stats["lo"]), float(stats["hi"])
+    width = (hi - lo) / n_buckets or 1.0
+    bucketed = pts.withColumn(
+        "_bk",
+        F.least(
+            F.floor((F.col(minimize_col).cast("double") - lo) / width),
+            F.lit(n_buckets - 1),
+        ),
+    )
+    run_local = (
+        Window.partitionBy("_bk")
+        .orderBy(minimize_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = bucketed.withColumn(
+        "_pm", F.max(maximize_col).over(run_local)
+    ).filter(
+        F.col("_pm").isNull() | (F.col(maximize_col) > F.col("_pm"))
+    )
+    run_global = (
+        Window.orderBy(minimize_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        local.withColumn("_gm", F.max(maximize_col).over(run_global))
+        .filter(F.col("_gm").isNull() | (F.col(maximize_col) > F.col("_gm")))
+        .select(minimize_col, maximize_col)
+    )

@@ -279,3 +279,64 @@ def q142_strongly_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dst"),
     ).filter(F.col("src") != F.col("dst"))
     return strongly_connected_components(ring)
+
+
+@query(
+    "q143_clustering_coefficient",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id AS entity,
+                      date_trunc('hour', ts) AS bucket, event_type
+               FROM events),
+    e0 AS (SELECT DISTINCT a.entity AS src, b2.entity AS dst
+           FROM b a JOIN b b2
+             ON a.bucket = b2.bucket AND a.event_type = b2.event_type
+            AND a.entity < b2.entity),
+    sym AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0),
+    deg AS (SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u),
+    tri AS (
+      SELECT x.src AS a, x.dst AS b, y.dst AS c
+      FROM e0 x JOIN e0 y ON x.src = y.src AND x.dst < y.dst
+      JOIN e0 z ON z.src = x.dst AND z.dst = y.dst),
+    pv AS (
+      SELECT id, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      FROM (SELECT a AS id FROM tri UNION ALL SELECT b FROM tri
+            UNION ALL SELECT c FROM tri)
+      GROUP BY id)
+    SELECT d.id, COALESCE(pv.n_triangles, 0) AS n_triangles,
+           CAST(d.degree AS BIGINT) AS degree,
+           CAST(2 * COALESCE(pv.n_triangles, 0) AS DOUBLE)
+             / CAST(d.degree * (d.degree - 1) AS DOUBLE) AS clustering_coeff
+    FROM deg d LEFT JOIN pv ON pv.id = d.id
+    WHERE d.degree >= 2
+    """,
+)
+def q143_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per vertex — 2·T(v) / (deg·(deg−1)),
+    the fraud-ring density signal (a colluding clique has coefficient ~1;
+    an innocent hub ~0). Per-vertex triangle counts reuse the
+    compact-forward orientation (wedge fan-out bounded O(√E) per vertex
+    regardless of skew, `graph/triangles.py`), degrees are one
+    aggregation, and the coefficient is a single IEEE division over exact
+    integers — bit-identical cross-engine. Vertices of degree < 2 are
+    excluded (coefficient undefined)."""
+    from .graph.triangles import per_vertex_triangle_counts
+
+    edges = _events_edges(spark, sf_dir).select("src", "dst").localCheckpoint(
+        eager=True
+    )
+    tri = per_vertex_triangle_counts(edges)
+    deg = degrees(edges)
+    return (
+        deg.join(tri, "id", "left_outer")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .filter(F.col("degree") >= 2)
+        .select(
+            "id",
+            "n_triangles",
+            "degree",
+            (
+                (2 * F.col("n_triangles")).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)).cast("double")
+            ).alias("clustering_coeff"),
+        )
+    )

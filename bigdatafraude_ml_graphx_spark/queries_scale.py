@@ -142,3 +142,42 @@ def q128_length_deciles_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# q145 — 2-D Pareto frontier (skyline) of the part catalog
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q145_skyline_pareto",
+    oracle="""
+    WITH points AS (
+      SELECT p_retailprice AS price, MAX(p_size) AS size
+      FROM part GROUP BY p_retailprice)
+    SELECT CAST(price AS DOUBLE) AS price, CAST(size AS INT) AS size
+    FROM points p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM points q
+      WHERE q.price <= p.price AND q.size >= p.size
+        AND (q.price < p.price OR q.size > p.size))
+    """,
+)
+def q145_skyline_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier of parts: cheapest price for every achievable size
+    (no other part is both ≤ price and ≥ size with one strict) — the
+    skyline operator (best-tradeoff search: cheapest acceptable supplier,
+    risk-vs-return frontiers). The oracle states the O(n²) NOT-EXISTS
+    definition; the engine runs ``operators.scale.skyline_2d`` —
+    per-price reduction, bucket-local running-max skylines in parallel,
+    then one global pass over the few survivors."""
+    from .operators.scale import skyline_2d
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_retailprice").alias("price"), F.col("p_size").alias("size")
+    )
+    sky = skyline_2d(p, "price", "size", n_buckets=64)
+    return sky.select(
+        F.col("price").cast("double").alias("price"),
+        F.col("size").cast("int").alias("size"),
+    )

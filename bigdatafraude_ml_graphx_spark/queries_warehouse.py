@@ -585,3 +585,81 @@ def q125_higher_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(skew, 9).alias("skewness"),
         F.round(kurt, 9).alias("excess_kurtosis"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# q144 — median absolute deviation (robust spread, two-level exact median)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q144_mad_robust_stats",
+    oracle="""
+    WITH base AS (
+      SELECT l_returnflag, CAST(l_extendedprice AS DOUBLE) AS x
+      FROM lineitem),
+    m1 AS (
+      SELECT l_returnflag, x,
+             COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY x
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM base),
+    med AS (
+      SELECT l_returnflag, MIN(x) AS median_price
+      FROM m1 WHERE 2 * cum >= n GROUP BY l_returnflag),
+    dev AS (
+      SELECT b.l_returnflag, ABS(b.x - med.median_price) AS d
+      FROM base b JOIN med USING (l_returnflag)),
+    m2 AS (
+      SELECT l_returnflag, d,
+             COUNT(*) OVER (PARTITION BY l_returnflag ORDER BY d
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+      FROM dev)
+    SELECT m2.l_returnflag,
+           med.median_price,
+           MIN(m2.d) AS mad
+    FROM m2 JOIN med USING (l_returnflag)
+    WHERE 2 * m2.cum >= m2.n
+    GROUP BY m2.l_returnflag, med.median_price
+    ORDER BY m2.l_returnflag
+    """,
+)
+def q144_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median absolute deviation per return flag — the robust spread
+    statistic (outlier-immune, unlike stddev) a fraud/quality screen
+    prefers. Exact LOWER median via the cumulative-count crossing (the
+    q115 weighted-median discipline with unit weights: min value where
+    2·cum ≥ n — tie-proof, no interpolation), applied twice: once to the
+    prices, once to |x − median|. Each level is one grouped window pass;
+    the per-group medians re-attach by broadcast (|groups| rows). All
+    arithmetic is single IEEE ops over the raw doubles — deterministic
+    in any engine and partitioning."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
+    )
+
+    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        wc = Window.partitionBy("l_returnflag").orderBy(col).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        wn = Window.partitionBy("l_returnflag")
+        return (
+            df.withColumn("_cum", F.count("*").over(wc))
+            .withColumn("_n", F.count("*").over(wn))
+            .filter(2 * F.col("_cum") >= F.col("_n"))
+            .groupBy("l_returnflag")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = lower_median(li, "x", "median_price")
+    dev = li.join(F.broadcast(med), "l_returnflag").select(
+        "l_returnflag",
+        "median_price",
+        F.abs(F.col("x") - F.col("median_price")).alias("d"),
+    )
+    mad = lower_median(dev, "d", "mad")
+    return (
+        med.join(mad, "l_returnflag")
+        .select("l_returnflag", "median_price", "mad")
+        .orderBy("l_returnflag")
+    )

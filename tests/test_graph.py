@@ -300,3 +300,28 @@ def test_shortest_paths_budget_equal_to_diameter_succeeds(spark):
     assert {r.id: r.distance for r in full.collect()} == {
         i: i for i in range(9)
     }
+
+
+def test_per_vertex_triangles_match_bruteforce(spark):
+    import itertools
+    import random
+
+    from bigdatafraude_ml_graphx_spark.graph.triangles import (
+        per_vertex_triangle_counts,
+    )
+
+    rng = random.Random(5)
+    edges = sorted({
+        tuple(sorted((rng.randint(0, 14), rng.randint(0, 14))))
+        for _ in range(40)
+    })
+    edges = [e for e in edges if e[0] != e[1]]
+    eset = set(edges)
+    expect = {}
+    for a, b, c in itertools.combinations(range(15), 3):
+        if (a, b) in eset and (b, c) in eset and (a, c) in eset:
+            for v in (a, b, c):
+                expect[v] = expect.get(v, 0) + 1
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.id: r.n_triangles for r in per_vertex_triangle_counts(df).collect()}
+    assert got == expect

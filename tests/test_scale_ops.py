@@ -70,3 +70,38 @@ def test_distributed_sweep_empty_input(spark):
     got = distributed_max_concurrency(iv, "start_ts", "end_ts").collect()[0]
     assert got["n_intervals"] == 0
     assert got["max_concurrent"] is None
+
+
+def test_skyline_matches_bruteforce(spark):
+    import random
+
+    from bigdatafraude_ml_graphx_spark.operators.scale import skyline_2d
+
+    rng = random.Random(21)
+    rows = [(rng.randint(0, 50), rng.randint(0, 50)) for _ in range(300)]
+    # brute force over per-price-max reduced points
+    best = {}
+    for p_, s_ in rows:
+        best[p_] = max(best.get(p_, -1), s_)
+    pts = sorted(best.items())
+    expect = set()
+    for p_, s_ in pts:
+        dominated = any(
+            (q <= p_ and t >= s_ and (q < p_ or t > s_)) for q, t in pts
+        )
+        if not dominated:
+            expect.add((p_, s_))
+    df = spark.createDataFrame(rows, ["price", "size"])
+    for b in (1, 4, 64):
+        got = {
+            (r.price, r.size)
+            for r in skyline_2d(df, "price", "size", n_buckets=b).collect()
+        }
+        assert got == expect, f"buckets={b}"
+
+
+def test_skyline_empty_input(spark):
+    from bigdatafraude_ml_graphx_spark.operators.scale import skyline_2d
+
+    df = spark.createDataFrame([], "price double, size int")
+    assert skyline_2d(df, "price", "size").count() == 0
