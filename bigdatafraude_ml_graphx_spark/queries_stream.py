@@ -181,3 +181,85 @@ def q138_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select("event_type", "n_users").orderBy(
         "event_type"
     )
+
+
+@query(
+    "q146_stream_stream_join",
+    oracle=f"""
+    SELECT c.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_attributed,
+           {oracle_dsum('p.value')} AS attributed_value
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 5 MINUTE
+     AND c.ts <= p.ts + INTERVAL 5 MINUTE
+    GROUP BY c.user_id
+    """,
+)
+def q146_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM inner join (purchase ⋈ click within ±5 minutes per
+    user — the attribution join), drained with availableNow and
+    hash-checked against the batch time-range join: the stream/batch
+    equivalence proof for the double-buffered stateful join, the one
+    streaming operator the reference never attempts (SURVEY §2.9 'not
+    present'). Watermarks on both sides + the symmetric time bound give
+    Spark eviction guarantees on both state buffers; the single-batch
+    replay makes the inner join drop-free, so the batch oracle replays it
+    exactly."""
+    from .streaming.joins import stream_stream_join
+
+    # Watermarks require TIMESTAMP (LTZ): cast the NTZ event time on BOTH
+    # sides — the session-timezone shift is identical left and right, so
+    # the ±5-minute bound is invariant, and no timestamp reaches the
+    # output (the q33 NTZ discipline only matters for emitted windows).
+    purchases = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = events_stream(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    joined = stream_stream_join(
+        purchases,
+        clicks,
+        on=F.col("p_user") == F.col("c_user"),
+        left_ts="p_ts",
+        right_ts="c_ts",
+        watermark="10 minutes",
+        max_lag="5 minutes",
+    )
+    # Stream-stream joins emit in APPEND mode only (no agg downstream in
+    # the same streaming query): sink the joined rows, aggregate the
+    # drained table batch-side — same split a production pipeline uses
+    # (join in the stream, rollup in the serving layer).
+    # A stateful stream pins one state store PER shuffle partition for
+    # the life of the query — the partition count is a real streaming
+    # tuning knob (state store count), not a throughput one. Bound it for
+    # the join's micro-batch; restore afterwards so batch queries keep
+    # the session's setting.
+    name = f"q146_sink_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = memory_sink(
+            joined.select("c_user", "p_value"), name,
+            output_mode="append", available_now=True,
+        )
+        run_available_now(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.table(name)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_attributed"),
+            dsum("p_value", "attributed_value"),
+        )
+    )

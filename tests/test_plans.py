@@ -467,3 +467,29 @@ def test_round5_new_query_plan_shapes(spark, sf_dir):
 
     assert has_pushed_filters(q.QUERIES["q129_priority_by_linestatus"](spark, sf_dir))
     assert uses_take_ordered(q.QUERIES["q131_waiting_orders"](spark, sf_dir))
+
+
+def test_guarded_queries_correct_without_any_broadcast(spark, sf_dir):
+    """With broadcasting disabled session-wide, every size-guarded query
+    must plan shuffle joins (no hint escapes the guard) and produce
+    value-identical results — the 'plans differ, answers don't' contract
+    behind broadcast_if_small."""
+    names = (
+        "q89_regional_supplier_volume",
+        "q94_returned_item_customers",
+        "q96_small_quantity_revenue",
+        "q97_large_volume_orders",
+    )
+    baseline = {
+        n: sorted(map(tuple, q.QUERIES[n](spark, sf_dir).collect()))
+        for n in names
+    }
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for n in names:
+            df = q.QUERIES[n](spark, sf_dir)
+            rows = sorted(map(tuple, df.collect()))
+            assert rows == baseline[n], n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
