@@ -287,10 +287,12 @@ def q142_strongly_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH b AS (SELECT DISTINCT user_id AS entity,
                       date_trunc('hour', ts) AS bucket, event_type
                FROM events),
-    e0 AS (SELECT DISTINCT a.entity AS src, b2.entity AS dst
+    ew AS (SELECT a.entity AS src, b2.entity AS dst, COUNT(*) AS weight
            FROM b a JOIN b b2
              ON a.bucket = b2.bucket AND a.event_type = b2.event_type
-            AND a.entity < b2.entity),
+            AND a.entity < b2.entity
+           GROUP BY 1, 2),
+    e0 AS (SELECT src, dst FROM ew WHERE weight >= 5),
     sym AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0),
     deg AS (SELECT u AS id, COUNT(*) AS degree FROM sym GROUP BY u),
     tri AS (
@@ -313,7 +315,11 @@ def q142_strongly_connected(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q143_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient per vertex — 2·T(v) / (deg·(deg−1)),
     the fraud-ring density signal (a colluding clique has coefficient ~1;
-    an innocent hub ~0). Per-vertex triangle counts reuse the
+    an innocent hub ~0), over the STRONG-TIE graph (weight ≥ 5 — the q80
+    sparsification: the raw co-occurrence graph is near-complete and its
+    triangle set grows as C(bucket,3); at sf0.1 the raw graph holds 197M
+    triangles vs thousands of strong-tie ones, and clustering on weak
+    one-off ties is noise anyway). Per-vertex triangle counts reuse the
     compact-forward orientation (wedge fan-out bounded O(√E) per vertex
     regardless of skew, `graph/triangles.py`), degrees are one
     aggregation, and the coefficient is a single IEEE division over exact
@@ -321,8 +327,11 @@ def q143_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded (coefficient undefined)."""
     from .graph.triangles import per_vertex_triangle_counts
 
-    edges = _events_edges(spark, sf_dir).select("src", "dst").localCheckpoint(
-        eager=True
+    edges = (
+        _events_edges(spark, sf_dir)
+        .filter(F.col("weight") >= 5)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
     )
     tri = per_vertex_triangle_counts(edges)
     deg = degrees(edges)

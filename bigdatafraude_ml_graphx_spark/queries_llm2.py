@@ -62,6 +62,10 @@ def q132_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split(F.col("text"), " ").getItem(0).alias("w1"),
         F.substring("text", 1, _FZ_PRE).alias("pre"),
     )
+    # Materialize the (tiny) projection once: the cap's count pass and
+    # both join sides would otherwise each re-scan documents (the
+    # eager/non-recoverable contract of the dedup pair builders).
+    p = p.localCheckpoint(eager=True)
     p = drop_hot_buckets(p, ["lang", "w1"], 100_000)
     a = p.select(
         F.col("doc_id").alias("doc_a"), "lang", "w1", F.col("pre").alias("pa")
@@ -443,6 +447,10 @@ def q139_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
+        # one materialization: the cap's doc-frequency pass and the
+        # train/test join sides all read this — unmaterialized, the
+        # shingle explode + distinct would run once per reader
+        .localCheckpoint(eager=True)
     )
     sh = drop_hot_buckets(sh, ["shingle"], 100_000)
     train = sh.filter(F.col("h") < 8).select(
