@@ -464,3 +464,128 @@ def q139_split_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("train_doc", "test_doc")
         .agg(F.count("*").alias("n_shared"))
     )
+
+
+# ---------------------------------------------------------------------------
+# q147 — deterministic ordered string aggregation (listagg)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q147_ordered_string_agg",
+    oracle="""
+    WITH top3 AS (
+      SELECT c_mktsegment, c_name, c_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer)
+    SELECT c_mktsegment,
+           string_agg(c_name, '|' ORDER BY rn) AS top_names,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM top3 WHERE rn <= 3
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def q147_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): the 3 highest-balance
+    customer names per market segment concatenated in rank order.
+    ``collect_list`` is famously NON-deterministic in Spark (partition
+    arrival order); the deterministic discipline is collect structs of
+    (rank, value), ``array_sort`` (rank leads the struct, so struct
+    ordering = rank ordering), then project + ``concat_ws`` — turning the
+    one aggregate people most often get wrong distributed into a
+    bit-stable one. Rank itself is tie-broken on the key."""
+    from pyspark.sql import Window
+
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").desc(), "c_custkey"
+    )
+    top3 = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    return (
+        top3.groupBy("c_mktsegment")
+        .agg(
+            F.concat_ws(
+                "|",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rn", "c_name"))
+                    ),
+                    lambda s: s["c_name"],
+                ),
+            ).alias("top_names"),
+            F.count("*").alias("n"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q148 — time-weighted average value per user (TWAP)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q148_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, value, ts,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS nxt
+      FROM events WHERE user_id % 11 = 0),
+    seg AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(28,6))
+               * date_diff('microsecond', ts, nxt) AS wv,
+             date_diff('microsecond', ts, nxt) AS w
+      FROM seq WHERE nxt IS NOT NULL)
+    SELECT user_id,
+           ROUND(CAST(SUM(wv) AS DOUBLE) / CAST(SUM(w) AS DOUBLE), 9)
+             AS twap,
+           CAST(SUM(w) AS BIGINT) AS covered_micros,
+           CAST(COUNT(*) AS BIGINT) AS n_segments
+    FROM seg
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q148_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of each user's reading — each value holds
+    until the next event, so its weight is the gap in seconds (the
+    TWAP/monitoring aggregation a last-observation time series needs;
+    plain AVG over-weights bursts). Gaps come from one lead window per
+    user (parallel); weights are INTEGER microseconds (timestampdiff on
+    the NTZ timestamps — no timezone in play; MICROSECOND granularity
+    because coarser units disagree across engines: Spark floors the
+    elapsed time, DuckDB counts calendar-boundary crossings, and at the
+    timestamps' native micro resolution the two definitions coincide)
+    and the weighted sum
+    accumulates in DECIMAL. The final ratio lands on the 9-dp grid:
+    wide-DECIMAL→double conversion is the one step engines implement
+    differently (one correctly-rounded conversion vs int128-then-scale —
+    a last-ulp hazard), and the grid absorbs it, the q125 discipline."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(F.col("user_id") % 11 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id", "value", "ts", F.lead("ts").over(w).alias("nxt")
+    ).filter(F.col("nxt").isNotNull())
+    mics = F.expr("timestampdiff(MICROSECOND, ts, nxt)")
+    seg = seq.select(
+        "user_id",
+        (F.col("value").cast("decimal(28,6)") * mics).alias("wv"),
+        mics.alias("w"),
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum("wv").cast("double") / F.sum("w").cast("double"), 9
+            ).alias("twap"),
+            F.sum("w").cast("long").alias("covered_micros"),
+            F.count("*").alias("n_segments"),
+        )
+        .orderBy("user_id")
+    )
