@@ -34,3 +34,55 @@ def in_degrees(edges: DataFrame, dst: str = "dst") -> DataFrame:
     return edges.groupBy(F.col(dst).alias("id")).agg(
         F.count("*").alias("in_degree")
     )
+
+
+def k_core(edges, k: int, max_rounds: int = 50):
+    """Vertices of the k-core: the maximal subgraph where every vertex has
+    degree ≥ ``k`` — computed by iterative peeling (delete under-degree
+    vertices, recompute, repeat to fixpoint), the standard cohesion /
+    collusion-ring filter (a k-clique survives the (k−1)-core; hangers-on
+    peel away). Returns ``(id, core_degree)`` — each survivor's degree
+    WITHIN the core.
+
+    Per round: one degree aggregate + two semi joins on the (shrinking)
+    edge list, ``localCheckpoint`` lineage truncation, two-scalar
+    convergence fingerprint — the components/bfs discipline. Rounds =
+    peeling depth (≤ graph degeneracy ordering length), usually far
+    below the vertex count; a round that removes nothing is the
+    fixpoint. Budgets EFFECTIVE rounds (the confirming no-change round
+    is free); raises if the budget is exhausted mid-peel.
+    """
+    from pyspark.sql import functions as F
+
+    from .builders import symmetrize
+
+    sym = symmetrize(edges).select("src", "dst").localCheckpoint(eager=True)
+    prev = None
+    changes = 0
+    while True:
+        deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        new = (
+            sym.join(keep, "src", "left_semi")
+            .join(
+                keep.select(F.col("src").alias("dst")), "dst", "left_semi"
+            )
+            .localCheckpoint(eager=True)
+        )
+        row = new.agg(
+            F.count("*").alias("n"), F.sum(F.col("src") + F.col("dst")).alias("s")
+        ).collect()[0]
+        fp = (row["n"], row["s"])
+        sym = new
+        if fp == prev:
+            break
+        changes += 1
+        if changes > max_rounds:
+            raise RuntimeError(
+                f"k_core: peeling did not stabilize within "
+                f"max_rounds={max_rounds}; raise the budget."
+            )
+        prev = fp
+    return sym.groupBy(F.col("src").alias("id")).agg(
+        F.count("*").alias("core_degree")
+    )

@@ -349,3 +349,128 @@ def q143_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("clustering_coeff"),
         )
     )
+
+
+_KCORE_K = 2
+_KCORE_UNROLL = 10  # ≥ actual peel depth; extra rounds are no-ops
+
+
+def _oracle_kcore(k: int, rounds: int) -> str:
+    """Peeling unrolled: deleting under-degree vertices is idempotent at
+    the fixpoint, so any unroll depth ≥ the true peel depth is exact."""
+    parts = ["""b AS (SELECT DISTINCT user_id AS entity,
+                      date_trunc('hour', ts) AS bucket, event_type
+               FROM events),
+    ew AS (SELECT a.entity AS src, b2.entity AS dst, COUNT(*) AS weight
+           FROM b a JOIN b b2
+             ON a.bucket = b2.bucket AND a.event_type = b2.event_type
+            AND a.entity < b2.entity
+           GROUP BY 1, 2),
+    e0 AS (SELECT src, dst FROM ew WHERE weight >= 5),
+    sym0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM e0
+             UNION SELECT dst, src FROM e0)"""]
+    for i in range(rounds):
+        parts.append(f"""
+    keep{i + 1} AS MATERIALIZED (
+      SELECT u FROM sym{i} GROUP BY u HAVING COUNT(*) >= {k}),
+    sym{i + 1} AS MATERIALIZED (
+      SELECT s.u, s.v FROM sym{i} s
+      JOIN keep{i + 1} a ON s.u = a.u
+      JOIN keep{i + 1} bb ON s.v = bb.u)""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f"""
+    SELECT u AS id, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM sym{rounds} GROUP BY u"""
+    )
+
+
+@query("q149_kcore", oracle=_oracle_kcore(_KCORE_K, _KCORE_UNROLL))
+def q149_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-core of the strong-tie co-occurrence graph — iterative peeling
+    to the maximal subgraph where every member keeps ≥ 2 strong ties
+    inside it: the cohesion filter that keeps collusion rings (a clique
+    survives) and peels hangers-on, one degree aggregate + two semi
+    joins per round with per-round lineage truncation
+    (``graph/degrees.py::k_core``). The oracle unrolls the peeling 10
+    rounds (each round MATERIALIZED — CTE inlining would re-expand the
+    chain 2^rounds times) — peeling is idempotent at the fixpoint, so
+    any unroll depth ≥ the true peel depth replays the exact result."""
+    from .graph.degrees import k_core
+
+    edges = _events_edges(spark, sf_dir).filter(F.col("weight") >= 5).select(
+        "src", "dst"
+    )
+    return k_core(edges, _KCORE_K)
+
+
+@query(
+    "q150_degree_assortativity",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id AS entity,
+                      date_trunc('hour', ts) AS bucket, event_type
+               FROM events),
+    ew AS (SELECT a.entity AS src, b2.entity AS dst, COUNT(*) AS weight
+           FROM b a JOIN b b2
+             ON a.bucket = b2.bucket AND a.event_type = b2.event_type
+            AND a.entity < b2.entity
+           GROUP BY 1, 2),
+    e0 AS (SELECT src, dst FROM ew WHERE weight >= 5),
+    sym AS (SELECT src AS u, dst AS v FROM e0 UNION SELECT dst, src FROM e0),
+    deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY u),
+    pairs AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM sym s JOIN deg du ON du.id = s.u JOIN deg dv ON dv.id = s.v),
+    m AS (
+      SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
+             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+             CAST(SUM(x*y) AS DECIMAL(38,0)) AS sxy,
+             CAST(SUM(x*x) AS DECIMAL(38,0)) AS sxx,
+             CAST(SUM(y*y) AS DECIMAL(38,0)) AS syy
+      FROM pairs)
+    SELECT CAST(n AS BIGINT) AS n_endpoints,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                 / sqrt(CAST(n * syy - sy * sy AS DOUBLE)), 9)
+             AS assortativity
+    FROM m
+    """,
+)
+def q150_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the strong-tie graph — the Pearson
+    correlation of endpoint degrees over all directed edge instances
+    (Newman 2002): positive = hubs prefer hubs (social mixing), negative
+    = hubs attach to leaves (star/hub-and-spoke — the typical mule-network
+    signature). All five moments accumulate as exact integer/DECIMAL sums
+    (the q85 correlation discipline — no float partials to reorder);
+    the final ratio is three IEEE ops parenthesized identically in both
+    engines, landed on the 9-dp grid for the wide-DECIMAL→double
+    conversion."""
+    edges = _events_edges(spark, sf_dir).filter(F.col("weight") >= 5).select(
+        "src", "dst"
+    )
+    sym = symmetrize(edges).select("src", "dst")
+    deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
+    pairs = (
+        sym.join(deg.select(F.col("id").alias("src"), F.col("d").alias("x")), "src")
+        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("y")), "dst")
+        .select("x", "y")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    m = pairs.agg(
+        dec(F.count("*")).alias("n"),
+        dec(F.sum("x")).alias("sx"),
+        dec(F.sum("y")).alias("sy"),
+        dec(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
+        dec(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
+        dec(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+    dy = F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    return m.select(
+        F.col("n").cast("long").alias("n_endpoints"),
+        F.round(num / dx / dy, 9).alias("assortativity"),
+    )

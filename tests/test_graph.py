@@ -325,3 +325,21 @@ def test_per_vertex_triangles_match_bruteforce(spark):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r.id: r.n_triangles for r in per_vertex_triangle_counts(df).collect()}
     assert got == expect
+
+
+def test_kcore_peels_to_maximal_subgraph(spark):
+    from bigdatafraude_ml_graphx_spark.graph.degrees import k_core
+
+    # triangle + tail: 2-core = triangle; chain peels entirely
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)], ["src", "dst"]
+    )
+    got = {(r.id, r.core_degree) for r in k_core(edges, 2).collect()}
+    assert got == {(1, 2), (2, 2), (3, 2)}
+    # 4-clique survives its own 3-core; pendant vertex peels
+    e2 = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        ["src", "dst"],
+    )
+    assert k_core(e2, 3).count() == 4
+    assert k_core(e2, 5).count() == 0
