@@ -452,3 +452,119 @@ def q141_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_docs") - 1).alias("n_removed"),
         )
     )
+
+
+_MHJ_BOUND = 0.30  # empirical max |est − exact| at sf0.01 is 0.235 (k=8)
+
+
+def _minhash_estimate_oracle() -> str:
+    """Candidate pairs (q29 fragments) + MinHash agreement estimate +
+    exact shingle Jaccard + the error-bound boolean, all in one query."""
+    mins = ", ".join(
+        f"MIN({_hash_sql('shingle', i)}) AS mh_{i:02d}"
+        for i in range(_K_MINHASH)
+    )
+    band_sel = []
+    rows = _K_MINHASH // 4
+    for b in range(4):
+        cols = [f"mh_{i:02d}" for i in range(b * rows, (b + 1) * rows)]
+        key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_sel.append(f"SELECT doc, {b} AS band, md5({key}) AS bk FROM sig")
+    agree = " + ".join(
+        f"CASE WHEN sa.mh_{i:02d} = sb.mh_{i:02d} THEN 1 ELSE 0 END"
+        for i in range(_K_MINHASH)
+    )
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    buckets AS ({' UNION ALL '.join(band_sel)}),
+    pairs AS (SELECT a.doc AS doc_a, b.doc AS doc_b
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bk = b.bk AND a.doc < b.doc
+              GROUP BY 1, 2),
+    agree AS (
+      SELECT p.doc_a, p.doc_b, CAST({agree} AS BIGINT) AS n_agree
+      FROM pairs p JOIN sig sa ON sa.doc = p.doc_a
+                   JOIN sig sb ON sb.doc = p.doc_b),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    shared AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS sh
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+               GROUP BY 1, 2)
+    SELECT g.doc_a, g.doc_b, g.n_agree,
+           CAST(g.n_agree AS DOUBLE) / {_K_MINHASH} AS jaccard_est,
+           CAST(COALESCE(s.sh, 0) AS DOUBLE)
+             / CAST(sa.n_sh + sb.n_sh - COALESCE(s.sh, 0) AS DOUBLE)
+             AS jaccard_exact,
+           (ABS(CAST(g.n_agree AS DOUBLE) / {_K_MINHASH}
+                - CAST(COALESCE(s.sh, 0) AS DOUBLE)
+                  / CAST(sa.n_sh + sb.n_sh - COALESCE(s.sh, 0) AS DOUBLE))
+            <= {_MHJ_BOUND}) AS within_bound
+    FROM agree g
+    LEFT JOIN shared s ON s.doc_a = g.doc_a AND s.doc_b = g.doc_b
+    JOIN sizes sa ON sa.doc = g.doc_a
+    JOIN sizes sb ON sb.doc = g.doc_b
+    """
+
+
+@query("q151_minhash_error_contract", oracle=_minhash_estimate_oracle())
+def q151_minhash_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash Jaccard ESTIMATES with an in-query verified error contract
+    (the q81 sketch discipline applied to the dedup stack): for every LSH
+    candidate pair, the signature-agreement estimate (n_agree/k — the
+    production similarity score that never touches shingle sets) sits
+    beside the exact shingle Jaccard and a pinned |est − exact| ≤ 0.30
+    boolean (empirical max 0.235 at k=8). The exact-Jaccard verification
+    join is the TEST path — production consumes the estimate alone; at
+    scale the shared-shingle join restricts to the candidate pairs. All
+    arithmetic: integer agreement counts, one IEEE division per ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=_K_MINHASH).localCheckpoint(
+        eager=True
+    )
+    pairs = lsh_candidate_pairs(sigs, num_hashes=_K_MINHASH, bands=4).select(
+        "doc_a", "doc_b"
+    )
+    agree_expr = sum(
+        F.when(F.col(f"a.mh_{i:02d}") == F.col(f"b.mh_{i:02d}"), 1).otherwise(0)
+        for i in range(_K_MINHASH)
+    )
+    agree = (
+        pairs.join(sigs.alias("a"), F.col("doc_a") == F.col("a.doc"))
+        .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc"))
+        .select("doc_a", "doc_b", agree_expr.cast("long").alias("n_agree"))
+    )
+    from .dedup.ngram import _doc_shingles
+
+    sh = _doc_shingles(docs, "text", "doc_id", 3, distinct=True).localCheckpoint(
+        eager=True
+    )
+    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
+    shared = (
+        sh.alias("x")
+        .join(
+            sh.alias("y"),
+            (F.col("x.shingle") == F.col("y.shingle"))
+            & (F.col("x.doc") < F.col("y.doc")),
+        )
+        .groupBy(
+            F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b")
+        )
+        .agg(F.count("*").alias("sh_n"))
+    )
+    est = F.col("n_agree").cast("double") / _K_MINHASH
+    exact = F.coalesce(F.col("sh_n"), F.lit(0)).cast("double") / (
+        F.col("na") + F.col("nb") - F.coalesce(F.col("sh_n"), F.lit(0))
+    ).cast("double")
+    return (
+        agree.join(shared, ["doc_a", "doc_b"], "left_outer")
+        .join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_agree",
+            est.alias("jaccard_est"),
+            exact.alias("jaccard_exact"),
+            (F.abs(est - exact) <= _MHJ_BOUND).alias("within_bound"),
+        )
+    )
