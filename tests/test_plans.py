@@ -469,6 +469,24 @@ def test_round5_new_query_plan_shapes(spark, sf_dir):
     assert uses_take_ordered(q.QUERIES["q131_waiting_orders"](spark, sf_dir))
 
 
+def test_rank_limit_pushdown_for_topk_windows(spark, sf_dir):
+    """Top-k-per-group windows must compile to WindowGroupLimit (Spark
+    3.5+ rank-limit pushdown): each group keeps a k-row heap instead of a
+    full per-group sort — the property that keeps these windows viable at
+    100× group sizes. Pinning the node turns an optimizer assumption into
+    a tested contract (VERDICT r5 item 5). Intentionally absent: q107
+    (max-over-struct aggregate, no window at all) and q141 (its
+    count(*)-over-group window must see every row — the pushdown cannot
+    and should not fire; the window is bounded by dup-group size)."""
+    from bigdatafraude_ml_graphx_spark.plans import uses_window_group_limit
+
+    for name in (
+        "q13_top3_orders_per_customer",
+        "q147_ordered_string_agg",
+    ):
+        assert uses_window_group_limit(q.QUERIES[name](spark, sf_dir)), name
+
+
 def test_guarded_queries_correct_without_any_broadcast(spark, sf_dir):
     """With broadcasting disabled session-wide, every size-guarded query
     must plan shuffle joins (no hint escapes the guard) and produce

@@ -105,3 +105,32 @@ def test_skyline_empty_input(spark):
 
     df = spark.createDataFrame([], "price double, size int")
     assert skyline_2d(df, "price", "size").count() == 0
+
+
+def test_grouped_lower_median_matches_window_formulation(spark):
+    """grouped_lower_median (per-value counts + crossing over the distinct
+    values) must equal the row-level cumulative-window formulation exactly,
+    including heavy value ties and 1-row groups."""
+    from bigdatafraude_ml_graphx_spark.operators.scale import (
+        grouped_lower_median,
+    )
+
+    rng = random.Random(29)
+    rows = [("g%d" % rng.randint(0, 4), float(rng.randint(0, 30)) / 4)
+            for _ in range(611)] + [("solo", 42.0)]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    wc = Window.partitionBy("grp").orderBy("x").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy("grp")
+    serial = (
+        df.withColumn("_cum", F.count("*").over(wc))
+        .withColumn("_n", F.count("*").over(wn))
+        .filter(2 * F.col("_cum") >= F.col("_n"))
+        .groupBy("grp")
+        .agg(F.min("x").alias("med"))
+    )
+    dist = grouped_lower_median(df, ["grp"], "x", "med")
+    assert {tuple(r) for r in serial.collect()} == {
+        tuple(r) for r in dist.collect()
+    }
