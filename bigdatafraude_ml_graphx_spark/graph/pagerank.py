@@ -107,6 +107,89 @@ def normalize_weights(
     return edges.withColumn(weight, (F.col(weight) / total).cast("double"))
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    weight: str | None = "weight",
+    alpha: float = 0.15,
+    max_iter: int = 5,
+    scale: float = _SCALE,
+    broadcast_rows: int = 2_000_000,
+) -> DataFrame:
+    """Personalized PageRank: random walks restart at the ``sources`` set
+    (uniformly) instead of everywhere — GraphX's
+    ``lib.PageRank.runParallelPersonalizedPageRank`` contract, the "how
+    related is every vertex to THIS seed set" primitive behind fraud-ring
+    expansion and related-item scoring.
+
+    Recurrence (teleport vector t, t(v) = 1/|S| for v ∈ S else 0):
+
+        pr₀ = t;   prᵢ(v) = (1-α)·Σ_{u→v} prᵢ₋₁(u)·w(u,v) + α·t(v)
+
+    Same execution shape and determinism contract as :func:`pagerank`
+    (keyed persist of the edge list, per-iteration broadcast of the rank
+    state, quantized int64 contribution sums, per-iteration
+    localCheckpoint); the teleport column rides the vertex frame so each
+    iteration is still one join + one aggregate. Scores sum to ≤ 1
+    (dangling mass decays — the walk-probability reading)."""
+    e = _sized_keyed_persist(
+        edges.select(
+            F.col(src).alias("src"),
+            F.col(dst).alias("dst"),
+            (F.col(weight).cast("double") if weight else F.lit(1.0)).alias("w"),
+        ),
+        key="dst",
+    )
+    ids = e.select(F.col("src").alias("id")).unionByName(
+        e.select(F.col("dst").alias("id"))
+    )
+    s = sources.select(F.col(sources.columns[0]).alias("id")).distinct()
+    verts = ids.unionByName(s).distinct().localCheckpoint(eager=True)
+    n = verts.count()
+    ns = s.count()
+    if ns == 0:
+        raise ValueError("personalized_pagerank: empty source set")
+    verts = _coalesced(
+        verts.join(s.withColumn("_tele", F.lit(1.0 / ns)), "id", "left_outer")
+        .select("id", F.coalesce("_tele", F.lit(0.0)).alias("tele"))
+        .localCheckpoint(eager=True),
+        n,
+    )
+    ranks = verts.select("id", F.col("tele").alias("pagerank")).localCheckpoint(
+        eager=True
+    )
+    for _ in range(max_iter):
+        rk = _maybe_broadcast(ranks, n, broadcast_rows)
+        contribs = (
+            e.join(rk, e.src == rk.id)
+            .select(
+                F.col("dst").alias("id"),
+                F.floor(F.col("pagerank") * F.col("w") * F.lit(scale) + F.lit(0.5))
+                .cast("long")
+                .alias("contrib_q"),
+            )
+            .groupBy("id")
+            .agg(
+                (F.sum("contrib_q").cast("double") / F.lit(scale)).alias("contrib")
+            )
+        )
+        ranks = (
+            verts.join(contribs, "id", "left_outer")
+            .select(
+                "id",
+                (
+                    (1.0 - alpha) * F.coalesce(F.col("contrib"), F.lit(0.0))
+                    + alpha * F.col("tele")
+                ).alias("pagerank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    e.unpersist()
+    return ranks
+
+
 def pagerank(
     edges: DataFrame,
     vertices: DataFrame | None = None,

@@ -210,6 +210,55 @@ def decode_raw8(df: DataFrame, id_col: str, content_col: str = "content") -> Dat
     return df.select(id_col, content_col).mapInPandas(kernel, schema)
 
 
+def pixel_histogram_raw8(
+    df: DataFrame,
+    id_col: str,
+    n_bins: int = 4,
+    content_col: str = "content",
+) -> DataFrame:
+    """Per-image pixel-intensity histogram over RAW8 content —
+    ``n_bins`` equal-width intensity buckets (power of two, bucket =
+    pixel >> (8 − log₂ bins)) as EXACT INTEGER counts, the brightness /
+    exposure feature a vision-data curation pipeline filters on before
+    training. Real numpy kernel over the Arrow batch (``np.bincount`` on
+    the shifted bytes); malformed buffers yield null counts, never a
+    task failure (the decode_raw8 corrupt-blob contract). Columns:
+    ``(id, bin_0 … bin_{n-1}, dominant_bin)`` with the dominant bin
+    breaking ties toward the darker bucket (np.argmax = first maximum),
+    so every output replays bit-identically from the source bytes."""
+    import numpy as np
+
+    if n_bins & (n_bins - 1) or not 0 < n_bins <= 256:
+        raise ValueError("n_bins must be a power of two in [1, 256]")
+    shift = 8 - (n_bins.bit_length() - 1)
+    bin_cols = [f"bin_{k}" for k in range(n_bins)]
+    schema = f"{id_col} long, " + ", ".join(
+        f"{c} long" for c in bin_cols
+    ) + ", dominant_bin int"
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for i, buf in zip(pdf[id_col], pdf[content_col]):
+                b = bytes(buf)
+                if len(b) < RAW8_HEADER_BYTES:
+                    rows.append((i, *([None] * n_bins), None))
+                    continue
+                w = int.from_bytes(b[0:4], "little")
+                h = int.from_bytes(b[4:8], "little")
+                if w * h == 0 or len(b) != RAW8_HEADER_BYTES + w * h:
+                    rows.append((i, *([None] * n_bins), None))
+                    continue
+                arr = np.frombuffer(b, dtype=np.uint8, offset=RAW8_HEADER_BYTES)
+                counts = np.bincount(arr >> shift, minlength=n_bins)
+                rows.append(
+                    (i, *(int(c) for c in counts), int(np.argmax(counts)))
+                )
+            yield pd.DataFrame(rows, columns=[id_col, *bin_cols, "dominant_bin"])
+
+    return df.select(id_col, content_col).mapInPandas(kernel, schema)
+
+
 def resize_raw8(
     df: DataFrame,
     id_col: str,

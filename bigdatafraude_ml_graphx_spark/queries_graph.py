@@ -169,6 +169,71 @@ def q23_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(e, alpha=0.15, max_iter=5)
 
 
+def _ppr_oracle(iters: int = 5) -> str:
+    """Unrolled personalized-PageRank oracle — the q23 quantized recurrence
+    with the uniform teleport vector over the landmark source set."""
+    parts = [
+        f"WITH {_EDGES_CTE}",
+        ", sym AS (SELECT src, dst, weight FROM e0"
+        "  UNION ALL SELECT dst, src, weight FROM e0)",
+        ", tot AS (SELECT src, CAST(SUM(weight) AS BIGINT) AS total FROM sym GROUP BY src)",
+        ", e AS (SELECT s.src, s.dst,"
+        "        CAST(s.weight AS DOUBLE) / CAST(t.total AS DOUBLE) AS w"
+        "   FROM sym s JOIN tot t ON s.src = t.src)",
+        ", srcs AS (SELECT DISTINCT user_id AS id FROM events WHERE user_id % 50 = 0)",
+        ", nsrc AS (SELECT COUNT(*) AS ns FROM srcs)",
+        ", verts AS (SELECT v.id,"
+        "        CASE WHEN s.id IS NOT NULL THEN 1.0 / (SELECT ns FROM nsrc)"
+        "             ELSE 0.0 END AS tele"
+        "   FROM (SELECT DISTINCT src AS id FROM sym"
+        "         UNION SELECT id FROM srcs) v"
+        "   LEFT JOIN srcs s ON s.id = v.id)",
+        ", pr0 AS (SELECT id, tele AS pr FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts.append(
+            f", pr{i} AS (SELECT v.id,"
+            f" (1.0 - 0.15) * COALESCE(c.contrib, 0.0) + 0.15 * v.tele AS pr"
+            f" FROM verts v LEFT JOIN ("
+            f"   SELECT e.dst AS id,"
+            f"          CAST(CAST(SUM(CAST(FLOOR(p.pr * e.w * 1e14 + 0.5) AS BIGINT))"
+            f"               AS BIGINT) AS DOUBLE) / 1e14 AS contrib"
+            f"   FROM e JOIN pr{i-1} p ON e.src = p.id GROUP BY e.dst) c"
+            f" ON v.id = c.id)"
+        )
+    parts.append(f"SELECT id, pr AS pagerank FROM pr{iters}")
+    return "\n".join(parts)
+
+
+@query("q162_personalized_pagerank", oracle=_ppr_oracle(5))
+def q162_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the q111 landmark set (user_id % 50 = 0)
+    — GraphX `lib.PageRank.runParallelPersonalizedPageRank` parity, the
+    seed-set relatedness score behind fraud-ring expansion. Identical
+    execution/determinism contract to q23 (keyed edge persist, broadcast
+    rank state, quantized int64 contribution sums, per-iteration
+    localCheckpoint); the only change is the teleport vector, so the
+    unrolled oracle differs from q23's by one CASE expression."""
+    from pyspark.sql import Window
+
+    from .graph.pagerank import personalized_pagerank
+
+    e = symmetrize(_events_edges(spark, sf_dir))
+    total = F.sum("weight").over(Window.partitionBy("src"))
+    e = e.select(
+        "src",
+        "dst",
+        (F.col("weight").cast("double") / total.cast("double")).alias("weight"),
+    )
+    sources = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 50 == 0)
+        .select(F.col("user_id").alias("id"))
+        .distinct()
+    )
+    return personalized_pagerank(e, sources, alpha=0.15, max_iter=5)
+
+
 @query(
     "q111_shortest_paths",
     oracle=f"""

@@ -240,3 +240,66 @@ def q110_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth, "clip_id long, content binary"
     )
     return pcm8_features(clips, "clip_id")
+
+
+_Q163_BINS_SQL = ",\n           ".join(
+    f"CAST(len(list_filter(cs, c -> c // 64 = {k})) AS BIGINT) AS bin_{k}"
+    for k in range(4)
+)
+
+
+@query(
+    "q163_pixel_histogram",
+    oracle=f"""
+    WITH codes AS (
+      SELECT doc_id,
+             list_transform(range(0, 256),
+                 i -> CASE WHEN i + 1 <= LEAST(length(text), 256)
+                      THEN ascii(substring(text, i + 1, 1)) ELSE 0 END) AS cs
+      FROM documents WHERE doc_id % 19 = 0),
+    hist AS (
+      SELECT doc_id,
+           {_Q163_BINS_SQL}
+      FROM codes)
+    SELECT doc_id AS img_id, bin_0, bin_1, bin_2, bin_3,
+           CAST(CASE WHEN bin_0 >= bin_1 AND bin_0 >= bin_2 AND bin_0 >= bin_3
+                     THEN 0
+                     WHEN bin_1 >= bin_2 AND bin_1 >= bin_3 THEN 1
+                     WHEN bin_2 >= bin_3 THEN 2
+                     ELSE 3 END AS INT) AS dominant_bin
+    FROM hist
+    """,
+)
+def q163_pixel_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image intensity histogram — synthesize 16×16 RAW8 'images' from
+    document bytes, then a real Arrow ``np.bincount`` kernel
+    (``pixel_histogram_raw8``) buckets every pixel into 4 equal-width
+    intensity bins (pixel >> 6) — the exposure/brightness screen a vision
+    corpus runs before training, and the histogram-equalization prep
+    feature. EXACT oracle: integer bin counts and the first-maximum
+    dominant bin replay from the pure-ASCII document bytes in DuckDB
+    (the q59 byte-replay discipline). At 100 TB the kernel cost is one
+    linear pass per blob with zero shuffle — the plan is a scan +
+    mapInPandas + nothing else."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from .multimodal import encode_raw8, pixel_histogram_raw8
+
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 19 == 0)
+
+    def synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids, bufs = [], []
+            for i, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")[:256]
+                px = np.frombuffer(raw.ljust(256, b"\0"), dtype=np.uint8)
+                ids.append(i)
+                bufs.append(encode_raw8(16, 16, px.reshape(16, 16)))
+            yield pd.DataFrame({"img_id": ids, "content": bufs})
+
+    imgs = d.select("doc_id", "text").mapInPandas(synth, "img_id long, content binary")
+    return pixel_histogram_raw8(imgs, "img_id", n_bins=4)

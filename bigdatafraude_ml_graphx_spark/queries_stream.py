@@ -263,3 +263,82 @@ def q146_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("p_value", "attributed_value"),
         )
     )
+
+
+@query(
+    "q164_stream_outer_join",
+    oracle=f"""
+    SELECT p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COALESCE(SUM(CASE WHEN c.user_id IS NULL THEN 1 END), 0)
+                AS BIGINT) AS n_unmatched,
+           {oracle_dsum('p.value')} AS attributed_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts >= p.ts - INTERVAL 5 MINUTE
+     AND c.ts <= p.ts + INTERVAL 5 MINUTE
+    GROUP BY p.user_id
+    """,
+)
+def q164_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM LEFT OUTER time-bounded join (q146's attribution
+    join, now keeping the unmatched purchases — the 'orphan purchase'
+    audit an attribution pipeline needs as much as the matches). Outer
+    rows only emit when the WATERMARK passes their eviction bound, so a
+    finite replay would swallow every unmatched purchase in the last
+    ~watermark+lag of data: the flushed replay (``events_stream_flushed``)
+    appends far-future sentinel rows on both sides that drive the final
+    watermark past all real data — the heartbeat-record pattern — making
+    the drain complete and the batch LEFT JOIN an exact oracle. Same
+    double-buffered state/eviction plan as q146; the sentinels join only
+    each other (user −1) and are filtered from the result."""
+    from .streaming.events import events_stream_flushed
+    from .streaming.joins import stream_stream_join
+
+    purchases = events_stream_flushed(spark, sf_dir).filter(
+        F.col("event_type") == "purchase"
+    ).select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").cast("timestamp").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    clicks = events_stream_flushed(spark, sf_dir).filter(
+        F.col("event_type") == "click"
+    ).select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").cast("timestamp").alias("c_ts"),
+    )
+    joined = stream_stream_join(
+        purchases,
+        clicks,
+        on=F.col("p_user") == F.col("c_user"),
+        left_ts="p_ts",
+        right_ts="c_ts",
+        watermark="10 minutes",
+        max_lag="5 minutes",
+        how="leftOuter",
+    )
+    name = f"q164_sink_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = memory_sink(
+            joined.select("p_user", "p_value", "c_user"), name,
+            output_mode="append", available_now=True,
+        )
+        run_available_now(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    return (
+        spark.table(name)
+        .filter(F.col("p_user") >= 0)  # drop the sentinel pair
+        .groupBy(F.col("p_user").alias("user_id"))
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.coalesce(
+                F.sum(F.when(F.col("c_user").isNull(), 1)), F.lit(0)
+            ).cast("long").alias("n_unmatched"),
+            dsum("p_value", "attributed_value"),
+        )
+    )

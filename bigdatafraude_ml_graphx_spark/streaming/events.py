@@ -54,6 +54,69 @@ def _staged_dir(sf_dir: str) -> str:
     return d
 
 
+def events_stream_flushed(
+    spark: SparkSession,
+    sf_dir: str,
+    flush_ts: str = "2024-03-01 00:00:00",
+    flush_types: tuple[str, ...] = ("purchase", "click"),
+) -> DataFrame:
+    """``events_stream`` plus far-future SENTINEL rows (one per
+    ``flush_types`` entry, ``user_id = -1``) staged alongside the real
+    parquet.
+
+    Watermark-gated operators (stream-stream OUTER joins, final windows)
+    only emit a row once the watermark passes its eviction time — and the
+    watermark never passes the LAST ~watermark+lag of real data, so a
+    finite availableNow replay would silently swallow the tail's
+    unmatched results. The sentinels push max event time (and therefore
+    the final watermark) beyond every real row, forcing complete
+    emission before the drain terminates — the replay-side equivalent of
+    the 'heartbeat record' pattern production Kafka feeds use for exactly
+    this. Sentinels carry ``user_id = -1``: they pass event-type filters
+    (a row dropped BEFORE withWatermark would not advance the watermark)
+    and are filtered from results by the caller.
+    """
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    native = dict(probe.dtypes).get("ts") not in ("bigint", "long")
+    import hashlib
+
+    key = hashlib.md5(f"{sf_dir}|{flush_ts}|{flush_types}".encode()).hexdigest()[:8]
+    d = f"/tmp/spark_graft_stream_flush_{key}"
+    if not os.path.isdir(d) or not os.listdir(d):
+        os.makedirs(d, exist_ok=True)
+        link = os.path.join(d, "events.parquet")
+        if not os.path.islink(link):
+            os.symlink(
+                os.path.abspath(os.path.join(sf_dir, "events.parquet")), link
+            )
+        ts_expr = (
+            f"TIMESTAMP_NTZ '{flush_ts}'"
+            if native
+            else f"unix_micros(TIMESTAMP '{flush_ts}') * 1000"
+        )
+        rows = " UNION ALL ".join(
+            f"SELECT CAST({-(i + 1)} AS LONG) AS event_id, {ts_expr} AS ts,"
+            f" CAST(-1 AS LONG) AS user_id, '{t}' AS event_type,"
+            f" CAST(0.0 AS DOUBLE) AS value, CAST(NULL AS STRING) AS props"
+            for i, t in enumerate(flush_types)
+        )
+        staging = os.path.join(d, "_staging")
+        spark.sql(rows).coalesce(1).write.mode("overwrite").parquet(staging)
+        part = next(
+            f for f in os.listdir(staging) if f.endswith(".parquet")
+        )
+        os.replace(
+            os.path.join(staging, part), os.path.join(d, "sentinel.parquet")
+        )
+    if native:
+        return spark.readStream.schema(EVENTS_SCHEMA_NATIVE).parquet(d)
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA_NANOS)
+        .parquet(d)
+        .withColumn("ts", F.expr(_NTZ))
+    )
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -343,3 +343,27 @@ def test_kcore_peels_to_maximal_subgraph(spark):
     )
     assert k_core(e2, 3).count() == 4
     assert k_core(e2, 5).count() == 0
+
+
+def test_personalized_pagerank_concentrates_on_sources(spark):
+    """PPR invariants on a crafted chain: total mass <= 1 (dangling decay),
+    a source holds at least its alpha * 1/|S| teleport share, and vertices
+    unreachable from any source score exactly 0."""
+    from bigdatafraude_ml_graphx_spark.graph.pagerank import (
+        personalized_pagerank,
+    )
+
+    # 1 -> 2 -> 3, isolated pair 4 -> 5; source = {1}
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 3, 1.0), (4, 5, 1.0)], "src long, dst long, weight double"
+    )
+    s = spark.createDataFrame([(1,)], "id long")
+    pr = {
+        r["id"]: r["pagerank"]
+        for r in personalized_pagerank(e, s, max_iter=5).collect()
+    }
+    assert set(pr) == {1, 2, 3, 4, 5}
+    assert abs(pr[1] - 0.15) < 1e-12  # source keeps exactly its teleport
+    assert pr[2] > pr[3] > 0  # mass decays along the chain
+    assert pr[4] == 0.0 and pr[5] == 0.0  # unreachable from the seed
+    assert sum(pr.values()) <= 1.0 + 1e-9

@@ -172,3 +172,37 @@ def test_pcm8_features_exact(spark):
     assert r1.rms == 50.0
     assert abs(r1.zero_crossing_rate - 49 / 99) < 1e-12
     assert rows[2].sample_rate is None
+
+
+def test_pixel_histogram_exact_counts_and_corrupt_null(spark):
+    from bigdatafraude_ml_graphx_spark.multimodal.binary import (
+        encode_raw8,
+        pixel_histogram_raw8,
+    )
+
+    import numpy as np
+
+    img = np.array([[0, 63, 64, 127], [128, 191, 192, 255]], dtype="uint8")
+    rows = [
+        (1, bytearray(encode_raw8(4, 2, img))),
+        (2, bytearray(b"\x00")),  # truncated -> nulls
+        (3, bytearray(encode_raw8(2, 1, [[200, 201]]))),  # all bin 3
+    ]
+    df = spark.createDataFrame(rows, "img_id long, content binary").repartition(2)
+    out = {r["img_id"]: r for r in pixel_histogram_raw8(df, "img_id").collect()}
+    assert [out[1][f"bin_{k}"] for k in range(4)] == [2, 2, 2, 2]
+    assert out[1]["dominant_bin"] == 0  # tie -> first maximum (darkest)
+    assert out[2]["bin_0"] is None and out[2]["dominant_bin"] is None
+    assert out[3]["bin_3"] == 2 and out[3]["dominant_bin"] == 3
+
+
+def test_pixel_histogram_rejects_bad_bins(spark):
+    import pytest
+
+    from bigdatafraude_ml_graphx_spark.multimodal.binary import (
+        pixel_histogram_raw8,
+    )
+
+    df = spark.createDataFrame([(1, bytearray(b""))], "img_id long, content binary")
+    with pytest.raises(ValueError):
+        pixel_histogram_raw8(df, "img_id", n_bins=3)
