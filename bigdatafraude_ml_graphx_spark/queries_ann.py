@@ -123,3 +123,70 @@ def q72_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid_val"),
         F.count("*").alias("n_vectors"),
     )
+
+
+_PQ_M = 8
+_PQ_K = 16
+_PQ_SHORTLIST = 100
+_PQ_TOPK = 5
+_PQ_PCT = 30  # pinned recall floor (percent); empirical 50-80% across
+# sf0.001/0.01/0.1 with the m=8 / k=16 sampled codebook + 100-shortlist
+
+
+@query(
+    "q172_pq_recall_contract",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
+           CAST(COUNT(*) * {_PQ_TOPK} AS BIGINT) AS n_exact,
+           TRUE AS recall_ok
+    FROM embeddings WHERE vec_id % 100 = 0
+    """,
+)
+def q172_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization retrieval with the q140 error-contract
+    discipline, exercising the FULL production pipeline: PQ-encode the
+    corpus (64 floats → 8 codes, 32× smaller), ADC-scan for a
+    {100}-candidate shortlist (m table lookups per corpus row — the
+    compressed-domain first pass), exact-rerank the shortlist against the
+    raw vectors, and pin recall@{5} of the reranked result vs the global
+    exact top-{5} at ≥ {30}% (integer comparison). Codebook = md5-sampled
+    corpus anchors (deterministic index metadata); every distance is an
+    exact integer sum of squared quantized differences, so the whole
+    pipeline is bit-reproducible and only the recall margin is data-
+    dependent. At 100 TB the ADC scan reads ONLY the codes column — the
+    raw embeddings are touched for |shortlist| rows per query."""
+    from .similarity.pq import (
+        exact_l2_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+        rerank_shortlist,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, m=_PQ_M, k=_PQ_K)
+    enc = pq_encode(emb, cb).localCheckpoint(eager=True)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    shortlist = pq_adc_topk(enc, qs, cb, k=_PQ_SHORTLIST).select(
+        "query_id", "neighbor_id"
+    )
+    # exact rerank touches raw vectors for |shortlist| rows only
+    reranked = rerank_shortlist(shortlist, emb, qs, k=_PQ_TOPK).select(
+        "query_id", "neighbor_id"
+    )
+    exact = exact_l2_topk(emb, qs, k=_PQ_TOPK).select(
+        "query_id", "neighbor_id"
+    ).localCheckpoint(eager=True)
+    hits = exact.join(reranked, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        qs.agg(F.count("*").cast("long").alias("n_queries"))
+        .crossJoin(exact.agg(F.count("*").cast("long").alias("n_exact")))
+        .crossJoin(hits.agg(F.count("*").cast("long").alias("n_hits")))
+        .select(
+            "n_queries",
+            "n_exact",
+            (100 * F.col("n_hits") >= _PQ_PCT * F.col("n_exact")).alias(
+                "recall_ok"
+            ),
+        )
+    )

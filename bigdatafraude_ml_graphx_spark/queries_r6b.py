@@ -601,7 +601,14 @@ def q171_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     parenthesized IEEE chain. The per-source rate table is tiny →
     broadcast join; one corpus scan decides every keep."""
     d = load_table(spark, sf_dir, "documents")
-    counts = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    # |sources| rows, consumed by THREE derivations (totals, sqrt shares,
+    # normalizer) — checkpoint so the corpus aggregate runs once, not once
+    # per consumer (the one-scan contract the docstring claims)
+    counts = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
     tot = counts.agg(F.sum("n_docs").alias("total"))
     q = counts.select(
         "source",

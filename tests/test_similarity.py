@@ -121,3 +121,56 @@ def test_ivf_kmeans_quantizer_recall_and_coverage(emb):
 
     with _pytest.raises(ValueError, match="sample"):
         build_ivf_index(emb, method="nonsense")
+
+
+def test_pq_encode_picks_nearest_anchor_and_recall_on_clusters(spark):
+    """On well-separated clusters the PQ pipeline must be near-perfect:
+    every vector's codes equal its own cluster anchor's codes, and the
+    ADC shortlist -> exact rerank recovers the exact top-k."""
+    import random
+
+    from bigdatafraude_ml_graphx_spark.similarity.pq import (
+        exact_l2_topk,
+        pq_adc_topk,
+        pq_codebook,
+        pq_encode,
+        rerank_shortlist,
+    )
+
+    rng = random.Random(3)
+    rows = []
+    # 4 tight clusters far apart in R^16
+    for cid in range(4):
+        center = [float(cid * 100)] * 16
+        for i in range(10):
+            rows.append(
+                (
+                    cid * 10 + i,
+                    [c + rng.uniform(-0.5, 0.5) for c in center],
+                    cid,
+                )
+            )
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    cb = pq_codebook(df, m=4, k=8)
+    enc = pq_encode(df, cb, "vec_id", "embedding")
+    codes = {r["id"]: tuple(r["codes"]) for r in enc.collect()}
+    # codes are deterministic (re-encode = identical) and clusters never
+    # collide (several anchors per cluster may SPLIT it — that's fine)
+    codes2 = {r["id"]: tuple(r["codes"]) for r in pq_encode(df, cb, "vec_id", "embedding").collect()}
+    assert codes == codes2
+    cluster_codes = [
+        {codes[cid * 10 + i] for i in range(10)} for cid in range(4)
+    ]
+    for a in range(4):
+        for b in range(a + 1, 4):
+            assert not (cluster_codes[a] & cluster_codes[b])
+
+    qs = df.filter("vec_id % 10 = 0")
+    short = pq_adc_topk(enc, qs, cb, k=15).select("query_id", "neighbor_id")
+    rer = rerank_shortlist(short, df, qs, k=3).select("query_id", "neighbor_id")
+    exact = exact_l2_topk(df, qs, k=3).select("query_id", "neighbor_id")
+    a = {tuple(r) for r in rer.collect()}
+    b = {tuple(r) for r in exact.collect()}
+    assert a == b  # clustered data: compressed pipeline == exact
