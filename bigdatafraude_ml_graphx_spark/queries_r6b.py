@@ -221,13 +221,13 @@ def q166_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot AS (SELECT SUM(cnt) AS total FROM counts),
     lp AS (
       SELECT c.tok,
-             CAST(ROUND(ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)), 6)
-                  AS DECIMAL(18,6)) AS lpq
+             CAST(CAST(ROUND(ln(CAST(c.cnt AS DOUBLE) / CAST(t.total AS DOUBLE)), 6)
+                       AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS lp_micros
       FROM counts c, tot t)
     SELECT s.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(l.lpq) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 9)
-             AS avg_logprob
+           ROUND(CAST(CAST(SUM(l.lp_micros) AS BIGINT) AS DOUBLE)
+                 / CAST(COUNT(*) AS DOUBLE) / 1000000.0, 9) AS avg_logprob
     FROM tok s JOIN lp l ON l.tok = s.tok
     GROUP BY s.doc_id
     """,
@@ -238,10 +238,12 @@ def q167_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = far-from-distribution = candidates for filtering or upweighting;
     the C4/CCNet 'LM filter' shape with the n-gram order at 1). Token
     log-probs are computed ONCE on the |vocab| rollup (ln on the 6-dp grid
-    → DECIMAL), broadcast back onto the token stream, and accumulated as
-    exact decimal sums, so the per-doc average is one division on the 9-dp
-    grid — deterministic at any partitioning. Two corpus passes total
-    (vocab rollup + scoring join)."""
+    → integer MICROS — not decimal: the wide-decimal-sum→double cast
+    differs between engines in the last ulp, observed flipping a 9-dp
+    boundary at sf0.001), broadcast back onto the token stream, and
+    accumulated as exact int64 sums, so the division operands are
+    bit-identical everywhere. Two corpus passes total (vocab rollup +
+    scoring join)."""
     from .functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
@@ -252,12 +254,17 @@ def q167_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = counts.agg(F.sum("cnt").alias("total"))
     lp = counts.crossJoin(F.broadcast(tot)).select(
         "tok",
-        F.round(
-            F.log(F.col("cnt").cast("double") / F.col("total").cast("double")),
-            6,
+        (
+            F.round(
+                F.log(
+                    F.col("cnt").cast("double") / F.col("total").cast("double")
+                ),
+                6,
+            ).cast("decimal(18,6)")
+            * 1_000_000
         )
-        .cast("decimal(18,6)")
-        .alias("lpq"),
+        .cast("long")
+        .alias("lp_micros"),
     )
     return (
         tok.join(broadcast_if_small(lp), "tok")
@@ -265,7 +272,10 @@ def q167_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_tokens"),
             F.round(
-                F.sum("lpq").cast("double") / F.count("*").cast("double"), 9
+                F.sum("lp_micros").cast("double")
+                / F.count("*").cast("double")
+                / 1_000_000.0,
+                9,
             ).alias("avg_logprob"),
         )
     )

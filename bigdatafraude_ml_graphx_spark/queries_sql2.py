@@ -157,3 +157,78 @@ def q63_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     (string-vs-NTZ comparisons avoid LTZ literal drift across sessions)."""
     register_views(spark, sf_dir)
     return spark.sql(_LATE_ORDERS_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q173 — recursive CTE (Spark 4 WITH RECURSIVE) bounded DAG reachability
+# ---------------------------------------------------------------------------
+
+_REACH_HOPS = 3
+
+# Shared shape (Spark 4.x supports UNION ALL recursion only, so the
+# traversal runs on the DAG orientation src < dst the edge build already
+# guarantees, with an explicit hop bound — both make termination a
+# structural property, not an engine default).
+_REACH_SQL = f"""
+WITH RECURSIVE b AS (
+  SELECT DISTINCT user_id AS entity, date_trunc('hour', ts) AS bucket,
+         event_type
+  FROM events),
+e0 AS (
+  SELECT a.entity AS src, b2.entity AS dst
+  FROM b a JOIN b b2
+    ON a.bucket = b2.bucket AND a.event_type = b2.event_type
+   AND a.entity < b2.entity
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 5),
+paths(u, v, d) AS (
+  SELECT src, dst, 1 FROM e0
+  UNION ALL
+  SELECT p.u, e.dst, p.d + 1
+  FROM paths p JOIN e0 e ON e.src = p.v
+  WHERE p.d < {_REACH_HOPS})
+SELECT u, v, CAST(MIN(d) AS INT) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM paths GROUP BY u, v
+"""
+
+
+@query("q173_recursive_reachability", oracle=_REACH_SQL)
+def q173_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-hop reachability via a REAL ``WITH RECURSIVE`` CTE through
+    ``spark.sql`` — the Spark 4 SQL feature that finally gives the SQL
+    entry point iterative closure (until now only the DataFrame loops in
+    graph/ could traverse). Spark's recursion supports UNION ALL only, so
+    the query traverses the DAG orientation (src < dst — the edge build's
+    canonical form) with an explicit {3}-hop bound: termination is
+    structural on any engine, and (min_hops, n_paths) per reachable pair
+    is deterministic. The SAME SQL text runs on DuckDB as the oracle —
+    dialect-portable recursion, certified bit-exact."""
+    register_views(spark, sf_dir)
+    return spark.sql(_REACH_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q174 — correlated LATERAL subquery (top-n per group on the SQL surface)
+# ---------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT s.c_mktsegment, t.c_name, t.c_acctbal
+FROM (SELECT DISTINCT c_mktsegment FROM customer) s,
+LATERAL (SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_mktsegment = s.c_mktsegment
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+
+
+@query("q174_lateral_topn", oracle=_LATERAL_SQL)
+def q174_lateral_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (top-2 customers per market segment) —
+    the third way to express top-n-per-group after the window (q13) and
+    the max-struct aggregate (q107), and the one ANSI surface the engine
+    had not yet certified. Catalyst decorrelates the LATERAL into a
+    ranked window under the hood; the (acctbal DESC, custkey) total order
+    makes ties deterministic. Identical SQL text runs as the DuckDB
+    oracle."""
+    register_views(spark, sf_dir)
+    return spark.sql(_LATERAL_SQL)
