@@ -1,0 +1,233 @@
+"""Round-6 batch 3: DAG longest-path leveling (topological layering),
+exponentially weighted moving averages, and Markov transition matrices.
+
+Determinism: the EWMA folds run left-to-right over frame-ordered arrays
+with Python-inlined literal weights (both engines execute the identical
+multiply-add sequence); everything else is integer counting or
+single-division ratios.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# q175 — DAG longest-path levels (topological layering)
+# ---------------------------------------------------------------------------
+
+_LEVEL_MAX_ROUNDS = 30
+
+
+@query(
+    "q175_dag_levels",
+    oracle="""
+    WITH RECURSIVE b AS (
+      SELECT DISTINCT user_id AS entity, date_trunc('hour', ts) AS bucket,
+             event_type
+      FROM events),
+    e0 AS (
+      SELECT a.entity AS src, b2.entity AS dst
+      FROM b a JOIN b b2
+        ON a.bucket = b2.bucket AND a.event_type = b2.event_type
+       AND a.entity < b2.entity
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5),
+    nodes AS (SELECT src AS id FROM e0 UNION SELECT dst FROM e0),
+    paths(v, d) AS (
+      SELECT id, 0 FROM nodes
+      UNION ALL
+      SELECT e.dst, p.d + 1 FROM paths p JOIN e0 e ON e.src = p.v)
+    SELECT v AS id, CAST(MAX(d) AS INT) AS level
+    FROM paths GROUP BY v
+    """,
+)
+def q175_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topological layering of the strong-tie DAG (the src < dst canonical
+    orientation): level(v) = longest path ending at v — the scheduling
+    depth / dependency-wave number (parallel build systems, feature-DAG
+    execution order). Iterative max-relaxation with the repo's fixpoint
+    contract: per-round localCheckpoint, scalar convergence fingerprint,
+    loud raise past the round budget (rounds = longest path, bounded by
+    the DAG depth). The oracle enumerates all paths with a recursive CTE
+    and takes MAX(d) — exponential as a plan, exact as a spec; the
+    engine's relaxation is the plan that survives 100×."""
+    from .graph import cooccurrence_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    e0 = (
+        cooccurrence_edges(ev, "user_id", "ts", "hour", ("event_type",))
+        .filter(F.col("weight") >= 5)
+        .select("src", "dst")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    nodes = (
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    levels = nodes.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
+    prev = None
+    for _ in range(_LEVEL_MAX_ROUNDS):
+        cand = (
+            e0.join(levels, e0.src == levels.id)
+            .select(F.col("dst").alias("id"), (F.col("level") + 1).alias("lv"))
+            .groupBy("id")
+            .agg(F.max("lv").alias("lv"))
+        )
+        new = (
+            levels.join(cand, "id", "left_outer")
+            .select(
+                "id",
+                F.greatest("level", F.coalesce("lv", F.lit(0))).alias("level"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        fp = new.agg(
+            F.sum("level").cast("long").alias("s"), F.max("level").alias("m")
+        ).collect()[0]
+        levels = new
+        if prev == (fp["s"], fp["m"]):
+            break
+        prev = (fp["s"], fp["m"])
+    else:
+        raise RuntimeError(
+            f"dag_levels: no fixpoint within {_LEVEL_MAX_ROUNDS} rounds — "
+            "the DAG is deeper than the budget; raise _LEVEL_MAX_ROUNDS."
+        )
+    return levels.select("id", F.col("level").cast("int").alias("level"))
+
+
+# ---------------------------------------------------------------------------
+# q176 — EWMA over per-user value series (literal-weight fold)
+# ---------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.9  # decay per step back
+_EWMA_N = 10
+
+_EWMA_W = [float(_EWMA_ALPHA**j) for j in range(_EWMA_N)]
+_EWMA_W_SQL = "[" + ", ".join(repr(w) for w in _EWMA_W) + "]"
+
+
+@query(
+    "q176_ewma_values",
+    oracle=f"""
+    WITH framed AS (
+      SELECT user_id, event_id, event_type,
+             list_reverse(list(value) OVER w) AS vs
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN {_EWMA_N - 1} PRECEDING AND CURRENT ROW)),
+    folded AS (
+      SELECT user_id, event_id,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(vs) + 1),
+                     i -> vs[i] * ({_EWMA_W_SQL})[i])),
+               (acc, x) -> acc + x) AS wsum_val,
+             list_reduce(
+               list_prepend(CAST(0.0 AS DOUBLE),
+                 list_transform(range(1, len(vs) + 1),
+                     i -> ({_EWMA_W_SQL})[i])),
+               (acc, x) -> acc + x) AS wsum
+      FROM framed WHERE event_type = 'purchase')
+    SELECT user_id, event_id,
+           ROUND(wsum_val / wsum, 9) AS ewma
+    FROM folded
+    """,
+)
+def q176_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of each user's event values
+    (window {10}, decay {0.9}) reported at every purchase — the trend
+    feature fraud/recommendation models consume. The recursion
+    EWMA_t = α·EWMA_{{t-1}} + ... is unrolled into a LITERAL-WEIGHT dot
+    product over the frame-ordered trailing window: weights are inlined
+    Python floats (bit-identical text in both engines) and both engines
+    fold the weighted terms LEFT-TO-RIGHT over the same reversed frame
+    array, so every intermediate IEEE operation matches — a deterministic
+    formulation of an operator usually written as an
+    order-sensitive recursive UDF. One user-partitioned window, no other
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_N - 1), 0)
+    )
+    framed = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.reverse(F.collect_list("value").over(w)).alias("vs"),
+    ).filter(F.col("event_type") == "purchase")
+    wlits = F.array(*[F.lit(x) for x in _EWMA_W])
+    zero = F.lit(0.0)
+    wsum_val = F.aggregate(
+        F.zip_with(
+            F.col("vs"),
+            F.slice(wlits, 1, F.size("vs")),
+            lambda x, wt: x * wt,
+        ),
+        zero,
+        lambda acc, x: acc + x,
+    )
+    wsum = F.aggregate(
+        F.slice(wlits, 1, F.size("vs")), zero, lambda acc, x: acc + x
+    )
+    return framed.select(
+        "user_id", "event_id", F.round(wsum_val / wsum, 9).alias("ewma")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q177 — Markov transition matrix over event sequences
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q177_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE)
+             AS p_transition
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, event_type
+    """,
+)
+def q177_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user event sequences —
+    P(next type | current type), the behavioral fingerprint behind
+    anomaly scoring (a user whose transitions diverge from the matrix is
+    the outlier) and session simulation. One user-partitioned lag window
+    + one |types|² aggregate; the row-normalizing share is a window over
+    the ≤|types|² result and a single division over exact counts. The
+    matrix size is independent of event volume."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    ).filter(F.col("prev_type").isNotNull())
+    counts = seq.groupBy("prev_type", "event_type").agg(
+        F.count("*").alias("n")
+    )
+    row_total = F.sum("n").over(Window.partitionBy("prev_type"))
+    return counts.select(
+        "prev_type",
+        "event_type",
+        "n",
+        (F.col("n").cast("double") / row_total.cast("double")).alias(
+            "p_transition"
+        ),
+    ).orderBy("prev_type", "event_type")
