@@ -231,3 +231,76 @@ def q177_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_transition"
         ),
     ).orderBy("prev_type", "event_type")
+
+
+# ---------------------------------------------------------------------------
+# q178 — Misra-Gries heavy hitters with the theorem as the contract
+# ---------------------------------------------------------------------------
+
+_HH_K = 32
+
+_TOKS_SQL = (
+    "list_filter(string_split(regexp_replace(regexp_replace("
+    "lower(trim(text)), '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'), ' '),"
+    " x -> x != '')"
+)
+
+
+@query(
+    "q178_heavy_hitters_contract",
+    oracle=f"""
+    WITH tok AS (SELECT unnest({_TOKS_SQL}) AS tok FROM documents),
+    n AS (SELECT COUNT(*) AS n FROM tok),
+    exact AS (
+      SELECT tok, COUNT(*) AS exact_count FROM tok GROUP BY tok)
+    SELECT e.tok, CAST(e.exact_count AS BIGINT) AS exact_count,
+           TRUE AS in_candidates, TRUE AS undercount_ok
+    FROM exact e, n
+    WHERE {_HH_K} * e.exact_count > n.n
+    ORDER BY e.tok
+    """,
+)
+def q178_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Misra-Gries heavy hitters with the SKETCH THEOREMS as
+    the driver-checked contract (the q81/q151 discipline applied to the
+    frequent-items family): per-partition MG({32}) via ``mapInPandas``
+    (≤31 counters of Python state per task — the shape built-in
+    aggregates cannot express), exact partial summing, one merge prune.
+    For every EXACT heavy hitter (frequency > n/k — computed by both
+    engines), the query asserts (a) presence in the merged candidate set
+    and (b) sketched count within n/k of truth — both integer
+    comparisons of theorem guarantees, TRUE in any engine, partitioning,
+    or arrival order even though the sketch state itself is
+    order-dependent. At 100 TB this replaces the |vocab| shuffle with a
+    k·P-row reduce before an exact count of survivors only."""
+    from .functions.text import tokens
+    from .operators.heavyhitters import misra_gries_candidates
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(tokens("text").alias("_t")).select(
+        F.explode("_t").alias("tok")
+    ).localCheckpoint(eager=True)  # two consumers: sketch + exact counts
+    cand = misra_gries_candidates(tok, "tok", k=_HH_K)
+    n = tok.count()
+    exact_hh = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("exact_count"))
+        .filter(_HH_K * F.col("exact_count") > F.lit(n))
+    )
+    return (
+        exact_hh.join(
+            F.broadcast(cand.withColumnRenamed("item", "tok")),
+            "tok",
+            "left_outer",
+        )
+        .select(
+            "tok",
+            "exact_count",
+            F.col("mg_count").isNotNull().alias("in_candidates"),
+            (
+                _HH_K * (F.col("exact_count") - F.coalesce("mg_count", F.lit(0)))
+                <= F.lit(n)
+            ).alias("undercount_ok"),
+        )
+        .orderBy("tok")
+    )
