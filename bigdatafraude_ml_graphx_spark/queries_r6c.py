@@ -304,3 +304,91 @@ def q178_heavy_hitters_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("tok")
     )
+
+
+# ---------------------------------------------------------------------------
+# q179 — implicit-feedback ALS with a fit-improvement contract
+# ---------------------------------------------------------------------------
+
+_ALS_RANK = 4
+
+
+@query(
+    "q179_als_implicit_contract",
+    oracle=f"""
+    WITH r AS (
+      SELECT user_id, event_type, COUNT(*) AS cnt
+      FROM events GROUP BY user_id, event_type)
+    SELECT CAST((SELECT COUNT(DISTINCT user_id) FROM r) AS BIGINT) AS n_users,
+           CAST((SELECT COUNT(DISTINCT event_type) FROM r) AS BIGINT)
+             AS n_items,
+           CAST({_ALS_RANK} AS INT) AS rank,
+           TRUE AS fit_improves,
+           TRUE AS factors_complete
+    """,
+)
+def q179_als_implicit_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Implicit-feedback ALS (Hu/Koren/Volinsky 2008, MLlib's blocked
+    implementation — the distributed SVD++-family factorizer GraphX users
+    reach for): factorize the user × event-type interaction-count matrix
+    at rank {4} and certify the CONTRACT, not the floats (factors are
+    engine/BLAS-specific — the q32/q49 class, upgraded with q81-style
+    booleans): (a) the rank-{4} reconstruction fits the observed counts
+    strictly better than the best rank-0 model (the global-mean
+    baseline — training must beat the null model it generalizes), and
+    (b) every user and item received a full-width factor vector. Counts
+    and both booleans are engine-independent; the oracle asserts them
+    over the same interaction rollup."""
+    from pyspark.ml.recommendation import ALS
+
+    ev = load_table(spark, sf_dir, "events")
+    r = (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").cast("float").alias("cnt"))
+        .withColumn(
+            "item_id",
+            F.dense_rank().over(Window.orderBy("event_type")) - 1,
+        )
+        .localCheckpoint(eager=True)  # ALS iterates; freeze the input
+    )
+    als = ALS(
+        rank=_ALS_RANK,
+        maxIter=8,
+        seed=42,
+        userCol="user_id",
+        itemCol="item_id",
+        ratingCol="cnt",
+        implicitPrefs=False,
+        coldStartStrategy="drop",
+        regParam=0.01,
+    )
+    model = als.fit(r)
+    pred = model.transform(r)
+    dec = "decimal(28,6)"
+    stats = pred.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("cnt").cast(dec)).alias("s"),
+        F.sum((F.col("cnt") * F.col("cnt")).cast(dec)).alias("s2"),
+        F.sum(
+            (
+                (F.col("cnt") - F.col("prediction"))
+                * (F.col("cnt") - F.col("prediction"))
+            ).cast(dec)
+        ).alias("sse_model"),
+    ).collect()[0]
+    n, s, s2 = float(stats["n"]), float(stats["s"]), float(stats["s2"])
+    sse_null = s2 - s * s / n  # best constant predictor (global mean)
+    fit_improves = float(stats["sse_model"]) < sse_null
+    n_users = r.select("user_id").distinct().count()
+    n_items = r.select("item_id").distinct().count()
+    factors_complete = (
+        model.userFactors.filter(F.size("features") == _ALS_RANK).count()
+        == n_users
+        and model.itemFactors.filter(F.size("features") == _ALS_RANK).count()
+        == n_items
+    )
+    return spark.createDataFrame(
+        [(n_users, n_items, _ALS_RANK, fit_improves, factors_complete)],
+        "n_users long, n_items long, rank int, fit_improves boolean,"
+        " factors_complete boolean",
+    )
