@@ -543,3 +543,64 @@ def q150_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_endpoints"),
         F.round(num / dx / dy, 9).alias("assortativity"),
     )
+
+
+_TRUSS_K = 3
+_TRUSS_UNROLL = 8  # ≥ actual peel depth; extra rounds are no-ops
+
+
+def _oracle_ktruss(k: int, rounds: int) -> str:
+    """Edge peeling unrolled (the q149 MATERIALIZED technique): removing
+    under-supported edges is idempotent at the fixpoint, so any unroll
+    depth ≥ the true peel depth is exact. Support per canonical edge
+    (u < v) = |N(u) ∩ N(v)| via the wedge join."""
+    parts = ["""b AS (SELECT DISTINCT user_id AS entity,
+                      date_trunc('hour', ts) AS bucket, event_type
+               FROM events),
+    ew AS (SELECT a.entity AS src, b2.entity AS dst, COUNT(*) AS weight
+           FROM b a JOIN b b2
+             ON a.bucket = b2.bucket AND a.event_type = b2.event_type
+            AND a.entity < b2.entity
+           GROUP BY 1, 2),
+    ec0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM ew WHERE weight >= 5)"""]
+    for i in range(rounds):
+        parts.append(f"""
+    sym{i} AS MATERIALIZED (SELECT u, v FROM ec{i} UNION SELECT v, u FROM ec{i}),
+    supp{i} AS MATERIALIZED (
+      SELECT e.u, e.v, COUNT(*) AS s
+      FROM ec{i} e
+      JOIN sym{i} a ON a.u = e.u
+      JOIN sym{i} bb ON bb.u = e.v AND bb.v = a.v
+      GROUP BY e.u, e.v),
+    ec{i + 1} AS MATERIALIZED (
+      SELECT e.u, e.v FROM ec{i} e
+      LEFT JOIN supp{i} s ON s.u = e.u AND s.v = e.v
+      WHERE COALESCE(s.s, 0) >= {k - 2})""")
+    return (
+        "WITH "
+        + ",".join(parts)
+        + f""",
+    symf AS (SELECT u, v FROM ec{rounds} UNION SELECT v, u FROM ec{rounds})
+    SELECT e.u AS src, e.v AS dst, CAST(COUNT(*) AS BIGINT) AS support
+    FROM ec{rounds} e
+    JOIN symf a ON a.u = e.u
+    JOIN symf bb ON bb.u = e.v AND bb.v = a.v
+    GROUP BY e.u, e.v"""
+    )
+
+
+@query("q180_ktruss", oracle=_oracle_ktruss(_TRUSS_K, _TRUSS_UNROLL))
+def q180_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{3}-truss of the strong-tie graph — the edge-centric cohesion core
+    (every surviving edge closes ≥ {1} triangle; the collusive-ring
+    detector that peels away bridges and stars k-core keeps). Iterative
+    support-peel with per-round localCheckpoint, edge-count fixpoint
+    detection, and a loud round-budget raise (`graph/truss.py`); the
+    oracle unrolls the identical peel to a fixed depth — exact because
+    deletion is idempotent at the fixpoint (the q149 discipline)."""
+    from .graph.truss import k_truss
+
+    edges = _events_edges(spark, sf_dir).filter(F.col("weight") >= 5).select(
+        "src", "dst"
+    )
+    return k_truss(edges, _TRUSS_K)

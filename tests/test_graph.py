@@ -367,3 +367,37 @@ def test_personalized_pagerank_concentrates_on_sources(spark):
     assert pr[2] > pr[3] > 0  # mass decays along the chain
     assert pr[4] == 0.0 and pr[5] == 0.0  # unreachable from the seed
     assert sum(pr.values()) <= 1.0 + 1e-9
+
+
+def test_k_truss_peels_bridges_keeps_clique(spark):
+    """4-clique + a pendant path: the 3-truss keeps exactly the clique's
+    6 edges (each closing 2 triangles); the 4-truss also keeps the clique
+    (support 2 >= k-2); the 5-truss is empty. The pendant/bridge edges
+    peel away in every case — including the CASCADE: edge (4,5) is in no
+    triangle, and removing it cannot resurrect anything."""
+    from bigdatafraude_ml_graphx_spark.graph.truss import k_truss
+
+    clique = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = spark.createDataFrame(
+        clique + [(3, 4), (4, 5)], "src long, dst long"
+    )
+    t3 = {(r.src, r.dst): r.support for r in k_truss(edges, 3).collect()}
+    assert set(t3) == set(clique)
+    assert all(s == 2 for s in t3.values())
+    t4 = {(r.src, r.dst) for r in k_truss(edges, 4).collect()}
+    assert t4 == set(clique)
+    assert k_truss(edges, 5).count() == 0
+
+
+def test_k_truss_cascading_peel(spark):
+    """Two triangles sharing edge (1,2), plus vertex 9 hanging off both
+    triangle tips: after the hangers peel, supports are recomputed on the
+    SURVIVING graph (the iterative part)."""
+    from bigdatafraude_ml_graphx_spark.graph.truss import k_truss
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (1, 4), (2, 4), (3, 9), (4, 9)],
+        "src long, dst long",
+    )
+    t3 = {(r.src, r.dst) for r in k_truss(edges, 3).collect()}
+    assert t3 == {(1, 2), (1, 3), (2, 3), (1, 4), (2, 4)}
