@@ -463,3 +463,208 @@ def q181_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("partitions", 8)
         .load()
     )
+
+
+# ---------------------------------------------------------------------------
+# q182 — link-prediction features (neighborhood Jaccard + Adamic-Adar)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q182_link_prediction_features",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id AS entity,
+                      date_trunc('hour', ts) AS bucket, event_type
+               FROM events),
+    ew AS (SELECT a.entity AS src, b2.entity AS dst, COUNT(*) AS weight
+           FROM b a JOIN b b2
+             ON a.bucket = b2.bucket AND a.event_type = b2.event_type
+            AND a.entity < b2.entity
+           GROUP BY 1, 2),
+    ec AS (SELECT src AS u, dst AS v FROM ew WHERE weight >= 5),
+    sym AS (SELECT u, v FROM ec UNION SELECT v, u FROM ec),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    common AS (
+      SELECT e.u, e.v, a.v AS w
+      FROM ec e
+      JOIN sym a ON a.u = e.u
+      JOIN sym bb ON bb.u = e.v AND bb.v = a.v),
+    feat AS (
+      SELECT c.u, c.v,
+             COUNT(*) AS n_common,
+             SUM(CAST(CAST(ROUND(1.0 / ln(CAST(dw.d AS DOUBLE)), 6)
+                      AS DECIMAL(18,6)) * 1000000 AS BIGINT)) AS aa_micros
+      FROM common c JOIN deg dw ON dw.u = c.w
+      GROUP BY c.u, c.v)
+    SELECT f.u AS src, f.v AS dst,
+           CAST(f.n_common AS BIGINT) AS n_common,
+           CAST(f.n_common AS DOUBLE)
+             / CAST(du.d + dv.d - f.n_common AS DOUBLE) AS jaccard,
+           ROUND(CAST(f.aa_micros AS DOUBLE) / 1000000.0, 6) AS adamic_adar
+    FROM feat f
+    JOIN deg du ON du.u = f.u
+    JOIN deg dv ON dv.u = f.v
+    """,
+)
+def q182_link_prediction_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link-prediction feature extraction over the strong-tie graph:
+    per existing edge, the classic triad of scores — common-neighbor
+    count, neighborhood Jaccard |N(u)∩N(v)| / |N(u)∪N(v)|, and
+    Adamic-Adar Σ_w 1/ln(deg(w)) (Adamic & Adar 2003) — the features a
+    who-knows-who / collusion-scoring model trains on. Shape: ONE wedge
+    equi join computes the common-neighbor set (the k-truss support join,
+    reused), degrees attach by broadcast-scale joins. Float discipline:
+    1/ln(deg) lands on the 6-dp grid and accumulates as exact integer
+    MICROS (the q167 lesson — decimal-sum→double casts diverge in the
+    last ulp); Jaccard is one division over exact integers. A common
+    neighbor of degree 1 cannot exist (it has ≥2 edges by membership),
+    so ln(deg) ≥ ln 2 > 0 — no division hazard."""
+    from .graph import cooccurrence_edges, degrees, symmetrize
+
+    ev = load_table(spark, sf_dir, "events")
+    ec = (
+        cooccurrence_edges(ev, "user_id", "ts", "hour", ("event_type",))
+        .filter(F.col("weight") >= 5)
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .localCheckpoint(eager=True)  # wedge join + both degree joins
+    )
+    sym = ec.unionByName(
+        ec.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count("*").alias("d"))
+    a = sym.select("u", F.col("v").alias("w"))
+    b = sym.select(F.col("u").alias("v"), F.col("v").alias("w"))
+    common = ec.join(a, "u").join(b, ["v", "w"])
+    aa_micros = (
+        F.round(1.0 / F.log(F.col("d").cast("double")), 6)
+        .cast("decimal(18,6)")
+        * 1_000_000
+    ).cast("long")
+    feat = (
+        common.join(deg.select(F.col("u").alias("w"), "d"), "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count("*").alias("n_common"),
+            F.sum(aa_micros).alias("aa_micros"),
+        )
+    )
+    du = deg.select(F.col("u"), F.col("d").alias("du"))
+    dv = deg.select(F.col("u").alias("v"), F.col("d").alias("dv"))
+    return (
+        feat.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("du") + F.col("dv") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+            F.round(
+                F.col("aa_micros").cast("double") / 1_000_000.0, 6
+            ).alias("adamic_adar"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# q183 — session sequence-pattern matching (CEP / MATCH_RECOGNIZE shape)
+# ---------------------------------------------------------------------------
+
+_SEQ_GAP_MIN = 30
+
+
+@query(
+    "q183_sequence_patterns",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id, ts, substring(event_type, 1, 1) AS init,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR date_diff('microsecond', LAG(ts) OVER w, ts)
+                     > {_SEQ_GAP_MIN * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    s AS (
+      SELECT user_id, event_id, ts, init,
+             SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM e),
+    seqs AS (
+      SELECT user_id, session_id,
+             string_agg(init, '' ORDER BY ts, event_id) AS seq
+      FROM s GROUP BY user_id, session_id)
+    SELECT
+      CAST(COUNT(*) AS BIGINT) AS n_sessions,
+      CAST(COALESCE(SUM(CASE WHEN regexp_matches(seq, 'v.*c.*p') THEN 1 END), 0)
+           AS BIGINT) AS n_view_click_buy,
+      CAST(COALESCE(SUM(CASE WHEN regexp_matches(seq, 'e') THEN 1 END), 0)
+           AS BIGINT) AS n_with_error,
+      CAST(COALESCE(SUM(CASE WHEN regexp_matches(seq, '^s') THEN 1 END), 0)
+           AS BIGINT) AS n_signup_first,
+      CAST(COALESCE(SUM(CASE WHEN regexp_matches(seq, 'pp') THEN 1 END), 0)
+           AS BIGINT) AS n_double_purchase
+    FROM seqs
+    """,
+)
+def q183_sequence_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing patterns over session sequences — the
+    MATCH_RECOGNIZE workload expressed Spark-first: sessionize (30-min
+    gap), reduce each session to its ordered event-initial string
+    (rank-led struct sort — the q147 deterministic-listagg discipline),
+    and count sessions matching each behavioral regex
+    (view→click→purchase funnels, error presence, signup-first,
+    back-to-back purchases). Two user-partitioned windows + one
+    |sessions|-row aggregate; the regexes run on strings whose length is
+    bounded by session size, never on raw event rows. Counts are exact
+    integers — trivially engine-portable."""
+    ev = load_table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = _SEQ_GAP_MIN * 60 * 1_000_000
+    is_new = F.when(
+        F.lag("ts").over(wu).isNull()
+        | (
+            F.timestamp_diff("MICROSECOND", F.lag("ts").over(wu), F.col("ts"))
+            > gap_us
+        ),
+        1,
+    ).otherwise(0)
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.substring("event_type", 1, 1).alias("init"),
+        is_new.alias("is_new"),
+    ).withColumn(
+        "session_id",
+        F.sum("is_new").over(
+            wu.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    seqs = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", F.col("init"))
+                        )
+                    ),
+                    lambda x: x["init"],
+                ),
+            ).alias("seq")
+        )
+    )
+    cnt = lambda pat, name: F.coalesce(  # noqa: E731
+        F.sum(F.when(F.col("seq").rlike(pat), 1)), F.lit(0)
+    ).cast("long").alias(name)
+    return seqs.agg(
+        F.count("*").alias("n_sessions"),
+        cnt("v.*c.*p", "n_view_click_buy"),
+        cnt("e", "n_with_error"),
+        cnt("^s", "n_signup_first"),
+        cnt("pp", "n_double_purchase"),
+    )
