@@ -487,6 +487,23 @@ def test_rank_limit_pushdown_for_topk_windows(spark, sf_dir):
         assert uses_window_group_limit(q.QUERIES[name](spark, sf_dir)), name
 
 
+def test_round6_topk_shapes_compile_to_take_ordered(spark, sf_dir):
+    """The round-6 bounded-cut queries must never global-sort: the Q2
+    argmin output cut (q152), the Q11 important-parts cut (q153), the
+    Zipf vocabulary cut (q157), the KMV bottom-k (q158), and the OOV
+    vocabulary cut (q166) all compile to TakeOrderedAndProject."""
+    for name in (
+        "q152_min_cost_supplier",
+        "q153_important_part_values",
+        "q157_zipf_slope",
+        "q158_kmv_distinct",
+        "q166_oov_rate",
+    ):
+        assert uses_take_ordered(q.QUERIES[name](spark, sf_dir)), name
+    # and the Q2 shape broadcasts its dimension chain
+    assert uses_broadcast_join(q.QUERIES["q152_min_cost_supplier"](spark, sf_dir))
+
+
 def test_guarded_queries_correct_without_any_broadcast(spark, sf_dir):
     """With broadcasting disabled session-wide, every size-guarded query
     must plan shuffle joins (no hint escapes the guard) and produce
