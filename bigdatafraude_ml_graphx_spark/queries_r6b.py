@@ -349,14 +349,23 @@ def q168_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("src", "dst")
         .distinct()
     )
-    adj = sym.select(
-        "src",
-        "dst",
-        (
-            F.row_number().over(Window.partitionBy("src").orderBy("dst")) - 1
-        ).alias("idx"),
-        F.count("*").over(Window.partitionBy("src")).alias("deg"),
-    ).localCheckpoint(eager=True)  # joined at every step
+    from .graph.pagerank import _sized_keyed_persist
+
+    # Keyed persist on the per-step join key: the adjacency is joined at
+    # EVERY walk step — one setup shuffle; the tiny frontier broadcasts
+    # into it (AQE) so steps move no edge data.
+    adj = _sized_keyed_persist(
+        sym.select(
+            "src",
+            "dst",
+            (
+                F.row_number().over(Window.partitionBy("src").orderBy("dst"))
+                - 1
+            ).alias("idx"),
+            F.count("*").over(Window.partitionBy("src")).alias("deg"),
+        ),
+        key="src",
+    )
     starts = (
         ev.filter(F.col("user_id") % 50 == 0)
         .select(F.col("user_id").alias("start"))
@@ -394,6 +403,10 @@ def q168_random_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = out.unionByName(
             cur.select("start", F.lit(t).cast("int").alias("step"), "v")
         )
+    # Materialize the (tiny) walk corpus, then release the persisted
+    # adjacency — the eager/non-recoverable pair-builder contract.
+    out = out.localCheckpoint(eager=True)
+    adj.unpersist()
     return out
 
 

@@ -154,13 +154,14 @@ _Q11_TOPN = 50
 def q153_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape: parts whose supply value from one nation's
     suppliers exceeds a fraction of that nation's total supply value —
-    the scalar-subquery HAVING threshold. The national line set is built
-    ONCE (supplier⋈nation broadcast onto the fact) and feeds both the
-    per-part rollup and the global total; the 1-row total re-attaches by
-    forced broadcast (a scalar is provably tiny). Both sums are exact
-    DECIMAL, so the threshold comparison is one IEEE multiply over
-    engine-identical doubles — the HAVING boundary cannot flake. Top-k
-    compiles to TakeOrderedAndProject."""
+    the scalar-subquery HAVING threshold. The fact is scanned ONCE: the
+    per-part rollup keeps its exact DECIMAL partial and the global total
+    re-aggregates those |parts| partials (decimal addition is
+    associative, so this equals the oracle's flat sum bit-for-bit) — no
+    second fact pass, no fact-sized checkpoint. The 1-row total
+    re-attaches by forced broadcast (a scalar is provably tiny); the
+    threshold comparison is one IEEE multiply over engine-identical
+    doubles. Top-k compiles to TakeOrderedAndProject."""
     n = load_table(spark, sf_dir, "nation").filter(
         F.col("n_name") == _Q11_NATION
     ).select("n_nationkey")
@@ -173,11 +174,21 @@ def q153_important_part_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_partkey", "l_suppkey",
         (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("val"),
     )
-    nat_lines = li.join(
+    # ONE fact pass: the per-part rollup keeps its EXACT decimal partial,
+    # and the scalar total re-aggregates those partials (decimal addition
+    # is associative, so Σ_parts Σ_lines ≡ Σ_lines — the oracle computes
+    # the flat sum and matches bit-for-bit). No fact-sized checkpoint.
+    per_part_dec = li.join(
         broadcast_if_small(s), F.col("l_suppkey") == F.col("s_suppkey")
-    ).localCheckpoint(eager=True)  # feeds the rollup AND the scalar total
-    per_part = nat_lines.groupBy("l_partkey").agg(dsum("val", "value"))
-    total = nat_lines.agg(dsum("val", "tot"))
+    ).groupBy("l_partkey").agg(
+        F.sum(F.col("val").cast("decimal(28,6)")).alias("dec_value")
+    ).localCheckpoint(eager=True)  # |parts| rows feed rollup AND total
+    per_part = per_part_dec.select(
+        "l_partkey", F.col("dec_value").cast("double").alias("value")
+    )
+    total = per_part_dec.agg(
+        F.sum("dec_value").cast("double").alias("tot")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
         .filter(F.col("value") > _Q11_FRACTION * F.col("tot"))
