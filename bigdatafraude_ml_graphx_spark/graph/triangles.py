@@ -98,6 +98,54 @@ def triangle_count(edges: DataFrame, materialize: bool = True) -> DataFrame:
     )
 
 
+def triangle_edge_incidences(
+    edges: DataFrame, materialize: bool = True
+) -> DataFrame:
+    """One row per (triangle, edge) incidence → ``(u, v, w)``: canonical
+    edge (u < v) plus the triangle's third vertex ``w`` — i.e. the
+    common-neighbor relation of every edge, enumerated through the
+    compact-forward wedge join instead of a symmetric-adjacency self-join.
+
+    Why it matters: the naive ``N(u) ∩ N(v)`` wedge join keys on raw
+    vertices, so a degree-D hub contributes D² rows to one key; here every
+    triangle is found once from its lowest-rank corner (wedge fan-out
+    ≤ O(√E) per vertex) and then exploded into its 3 edge incidences —
+    the hub-proof plan k-truss support and link-prediction features
+    (q180/q182) build on."""
+    oriented = orient_by_degree(edges)
+    if materialize:
+        oriented = oriented.localCheckpoint(eager=True)
+    e1, e2 = oriented.alias("e1"), oriented.alias("e2")
+    rank_lt = (F.col("e1.hi_deg") < F.col("e2.hi_deg")) | (
+        (F.col("e1.hi_deg") == F.col("e2.hi_deg"))
+        & (F.col("e1.hi") < F.col("e2.hi"))
+    )
+    tri = (
+        e1.join(e2, (F.col("e1.lo") == F.col("e2.lo")) & rank_lt)
+        .select(
+            F.col("e1.lo").alias("a"),
+            F.col("e1.hi").alias("b"),
+            F.col("e2.hi").alias("c"),
+        )
+        .join(
+            oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c")),
+            ["b", "c"],
+        )
+    )
+    inc = lambda x, y, z: F.struct(  # noqa: E731
+        F.least(x, y).alias("u"), F.greatest(x, y).alias("v"), z.alias("w")
+    )
+    return tri.select(
+        F.explode(
+            F.array(
+                inc(F.col("a"), F.col("b"), F.col("c")),
+                inc(F.col("a"), F.col("c"), F.col("b")),
+                inc(F.col("b"), F.col("c"), F.col("a")),
+            )
+        ).alias("i")
+    ).select("i.u", "i.v", "i.w")
+
+
 def per_vertex_triangle_counts(edges: DataFrame, materialize: bool = True) -> DataFrame:
     """Triangles incident to each vertex → ``(id, n_triangles)``.
 

@@ -6,8 +6,11 @@ edges; bridges and stars peel away).
 
 Iterative peel with the repo's fixpoint contract (graph/degrees.py::k_core
 discipline): per round, every surviving canonical edge (u < v) counts its
-support |N(u) ∩ N(v)| via one wedge join over the symmetric adjacency,
-under-supported edges drop, lineage truncates with localCheckpoint, and a
+support (= triangles containing it) via the COMPACT-FORWARD incidence
+enumeration (triangles.triangle_edge_incidences — hub wedge fan-out
+bounded O(√E), unlike a symmetric-adjacency self-join whose hot key grows
+as degree²), under-supported edges drop, lineage truncates with
+localCheckpoint, and a
 scalar edge-count fingerprint detects the fixpoint; a round budget raises
 loudly instead of returning a truncated truss. Deleting under-supported
 edges is idempotent at the fixpoint, so the DuckDB oracle unrolls the same
@@ -21,15 +24,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _support(ec: DataFrame, sym: DataFrame) -> DataFrame:
-    """Per canonical edge (u, v): |N(u) ∩ N(v)| over the symmetric
-    adjacency — a wedge equi join on the shared endpoint, never an
-    all-pairs product."""
-    a = sym.select("u", F.col("v").alias("w"))  # neighbors of u
-    b = sym.select(F.col("u").alias("v"), F.col("v").alias("w"))  # of v
+def _support(ec: DataFrame) -> DataFrame:
+    """Per canonical edge (u, v): the number of triangles containing it —
+    enumerated through the compact-forward incidence relation
+    (``triangles.triangle_edge_incidences``), NOT a symmetric-adjacency
+    wedge self-join: the naive join keys wedges on raw vertices and a
+    degree-D hub emits D² rows to one key, while the oriented enumeration
+    bounds every vertex's wedge fan-out by O(√E) regardless of skew."""
+    from .triangles import triangle_edge_incidences
+
     return (
-        ec.join(a, "u")
-        .join(b, ["v", "w"])
+        triangle_edge_incidences(
+            ec.select(F.col("u").alias("src"), F.col("v").alias("dst")),
+            materialize=False,
+        )
         .groupBy("u", "v")
         .agg(F.count("*").alias("support"))
     )
@@ -59,10 +67,7 @@ def k_truss(
         prev = n
         if n == 0:
             break
-        sym = ec.select("u", "v").unionByName(
-            ec.select(F.col("v").alias("u"), F.col("u").alias("v"))
-        )
-        supp = _support(ec, sym)
+        supp = _support(ec)
         ec = (
             ec.join(supp, ["u", "v"], "left_outer")
             .filter(F.coalesce("support", F.lit(0)) >= k - 2)
@@ -79,9 +84,6 @@ def k_truss(
         return edges.sparkSession.createDataFrame(
             [], f"src {id_t}, dst {id_t}, support long"
         )
-    sym = ec.select("u", "v").unionByName(
-        ec.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    )
-    return _support(ec, sym).select(
+    return _support(ec).select(
         F.col("u").alias("src"), F.col("v").alias("dst"), "support"
     )

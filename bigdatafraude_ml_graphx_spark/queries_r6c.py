@@ -511,30 +511,34 @@ def q182_link_prediction_features(spark: SparkSession, sf_dir: str) -> DataFrame
     per existing edge, the classic triad of scores — common-neighbor
     count, neighborhood Jaccard |N(u)∩N(v)| / |N(u)∪N(v)|, and
     Adamic-Adar Σ_w 1/ln(deg(w)) (Adamic & Adar 2003) — the features a
-    who-knows-who / collusion-scoring model trains on. Shape: ONE wedge
-    equi join computes the common-neighbor set (the k-truss support join,
-    reused), degrees attach by broadcast-scale joins. Float discipline:
+    who-knows-who / collusion-scoring model trains on. Shape: the
+    common-neighbor relation comes from the COMPACT-FORWARD triangle
+    incidence enumeration (``triangles.triangle_edge_incidences`` — hub
+    wedge fan-out bounded O(√E); a symmetric-adjacency self-join would
+    put degree² rows on every hub key), degrees attach by
+    broadcast-scale joins. Float discipline:
     1/ln(deg) lands on the 6-dp grid and accumulates as exact integer
     MICROS (the q167 lesson — decimal-sum→double casts diverge in the
     last ulp); Jaccard is one division over exact integers. A common
     neighbor of degree 1 cannot exist (it has ≥2 edges by membership),
     so ln(deg) ≥ ln 2 > 0 — no division hazard."""
-    from .graph import cooccurrence_edges, degrees, symmetrize
+    from .graph import cooccurrence_edges
+    from .graph.triangles import triangle_edge_incidences
 
     ev = load_table(spark, sf_dir, "events")
     ec = (
         cooccurrence_edges(ev, "user_id", "ts", "hour", ("event_type",))
         .filter(F.col("weight") >= 5)
         .select(F.col("src").alias("u"), F.col("dst").alias("v"))
-        .localCheckpoint(eager=True)  # wedge join + both degree joins
+        .localCheckpoint(eager=True)  # incidence build + degree rollup
     )
     sym = ec.unionByName(
         ec.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
     deg = sym.groupBy("u").agg(F.count("*").alias("d"))
-    a = sym.select("u", F.col("v").alias("w"))
-    b = sym.select(F.col("u").alias("v"), F.col("v").alias("w"))
-    common = ec.join(a, "u").join(b, ["v", "w"])
+    common = triangle_edge_incidences(
+        ec.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+    )
     aa_micros = (
         F.round(1.0 / F.log(F.col("d").cast("double")), 6)
         .cast("decimal(18,6)")

@@ -164,6 +164,7 @@ def q63_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _REACH_HOPS = 3
+_REACH_FANOUT_CAP = 100
 
 # Shared shape (Spark 4.x supports UNION ALL recursion only, so the
 # traversal runs on the DAG orientation src < dst the edge build already
@@ -174,13 +175,22 @@ WITH RECURSIVE b AS (
   SELECT DISTINCT user_id AS entity, date_trunc('hour', ts) AS bucket,
          event_type
   FROM events),
-e0 AS (
+e00 AS (
   SELECT a.entity AS src, b2.entity AS dst
   FROM b a JOIN b b2
     ON a.bucket = b2.bucket AND a.event_type = b2.event_type
    AND a.entity < b2.entity
   GROUP BY 1, 2
   HAVING COUNT(*) >= 5),
+-- fan-out cap (the drop_hot_buckets discipline on the traversal key):
+-- path COUNTS grow multiplicatively in out-degree per hop, so a hub
+-- source would make the enumeration quadratic-plus even hop-bounded;
+-- sources over the cap drop entirely, identically on both engines.
+-- Inert at test scale (max out-degree: 5 at sf0.01, 46 at sf0.1).
+e0 AS (
+  SELECT e00.src, e00.dst FROM e00
+  JOIN (SELECT src FROM e00 GROUP BY src
+        HAVING COUNT(*) <= {_REACH_FANOUT_CAP}) ok ON ok.src = e00.src),
 paths(u, v, d) AS (
   SELECT src, dst, 1 FROM e0
   UNION ALL
@@ -202,8 +212,11 @@ def q173_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query traverses the DAG orientation (src < dst — the edge build's
     canonical form) with an explicit {3}-hop bound: termination is
     structural on any engine, and (min_hops, n_paths) per reachable pair
-    is deterministic. The SAME SQL text runs on DuckDB as the oracle —
-    dialect-portable recursion, certified bit-exact."""
+    is deterministic, and a mirrored fan-out cap (sources over 100
+    out-edges drop — inert here, hub-proof at 100×) bounds the
+    multiplicative path growth the hop bound alone cannot. The SAME SQL
+    text runs on DuckDB as the oracle — dialect-portable recursion,
+    certified bit-exact."""
     register_views(spark, sf_dir)
     return spark.sql(_REACH_SQL)
 
