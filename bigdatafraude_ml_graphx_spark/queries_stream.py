@@ -342,3 +342,64 @@ def q164_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("p_value", "attributed_value"),
         )
     )
+
+
+@query(
+    "q184_stateful_running_totals",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(floor(COALESCE(value, 0.0) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS total_micros,
+           CAST(CAST(SUM(CAST(floor(COALESCE(value, 0.0) * 1000000 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS DOUBLE)
+             / 1000000.0 AS total_value
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def q184_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSTOM STATEFUL operator certified against a batch oracle: per-user
+    running (count, total) maintained by ``applyInPandasWithState`` —
+    explicit Arrow-backed per-key state, the shape behind fraud velocity
+    counters — drained with availableNow and hash-checked against plain
+    GROUP BY. Determinism: the state accumulates int64 MICROS (one IEEE
+    quantization per element, exact integer addition), so the final
+    emission is identical for any arrival order or micro-batch split;
+    update-mode re-emissions collapse via a monotone max-struct (totals
+    only grow). One state store per shuffle partition → partitions
+    bounded inside the query (try/finally), the q146 contract."""
+    from .streaming.stateful import running_totals_exact
+
+    stream = events_stream(spark, sf_dir).select("user_id", "value")
+    name = f"q184_sink_{uuid.uuid4().hex[:8]}"
+    old_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        q = memory_sink(
+            running_totals_exact(stream, "user_id", "value"),
+            name,
+            output_mode="update",
+            available_now=True,
+        )
+        run_available_now(q)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old_parts)
+    final = F.max(
+        F.struct(F.col("n_events"), F.col("total_micros"))
+    ).alias("f")
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(final)
+        .select(
+            "user_id",
+            F.col("f.n_events").alias("n_events"),
+            F.col("f.total_micros").alias("total_micros"),
+            (F.col("f.total_micros").cast("double") / 1_000_000.0).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("user_id")
+    )

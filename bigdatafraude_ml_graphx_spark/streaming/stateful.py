@@ -54,6 +54,47 @@ def running_totals(
     )
 
 
+def running_totals_exact(
+    df: DataFrame,
+    key_col: str = "user_id",
+    value_col: str = "value",
+    output_mode: str = "update",
+) -> DataFrame:
+    """:func:`running_totals` with DETERMINISTIC accumulation: values are
+    quantized to int64 micros (``floor(v·1e6 + 0.5)`` — a single IEEE op
+    per element) and summed as exact integers, so the emitted totals are
+    identical for any arrival order, batch split, or engine — the
+    property that lets a custom stateful operator carry a batch-SQL
+    oracle (q184) instead of a rows-only check. Emits
+    ``(key, n_events, total_micros)``; the caller derives the float total
+    as one division."""
+    output_schema = f"{key_col} long, n_events long, total_micros long"
+    state_schema = "n long, sm long"
+
+    def update(
+        key: tuple, batches: Iterable[pd.DataFrame], state: GroupState
+    ) -> Iterable[pd.DataFrame]:
+        import numpy as np
+
+        n, sm = state.get if state.exists else (0, 0)
+        for pdf in batches:
+            v = pdf[value_col].fillna(0.0).to_numpy(dtype="float64")
+            n += len(v)
+            sm += int(np.floor(v * 1e6 + 0.5).astype("int64").sum())
+        state.update((n, sm))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "n_events": [n], "total_micros": [sm]}
+        )
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=output_schema,
+        stateStructType=state_schema,
+        outputMode=output_mode,
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_totals_tws(
     df: DataFrame,
     key_col: str = "user_id",
