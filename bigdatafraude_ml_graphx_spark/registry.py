@@ -115,21 +115,32 @@ _DRIVER_CERTIFIED = frozenset({
     "q146_stream_stream_join", "q147_ordered_string_agg",
     "q148_time_weighted_value", "q149_kcore", "q150_degree_assortativity",
     "q151_minhash_error_contract",
+    # ... round-6 driver rows (CORRECTNESS_r06.json — 50/50 green; includes
+    # the re-certifications of every r6 lineage-changed name):
+    "q140_ivf_recall_contract", "q152_min_cost_supplier",
+    "q153_important_part_values", "q154_supplier_diversity",
+    "q155_dominant_suppliers", "q156_benford_digits", "q157_zipf_slope",
+    "q158_kmv_distinct", "q159_incremental_agg", "q160_rolling_hash_groups",
+    "q161_first_touch_attribution", "q162_personalized_pagerank",
+    "q163_pixel_histogram", "q164_stream_outer_join",
+    "q165_content_defined_chunks", "q166_oov_rate", "q167_unigram_logprob",
+    "q168_random_walks", "q169_profile_drift", "q170_readability",
+    "q171_temperature_mixture", "q172_pq_recall_contract",
+    "q173_recursive_reachability", "q174_lateral_topn", "q175_dag_levels",
+    "q176_ewma_values", "q177_event_transitions",
+    "q178_heavy_hitters_contract", "q179_als_implicit_contract",
+    "q180_ktruss", "q181_python_datasource",
+    "q182_link_prediction_features", "q183_sequence_patterns",
+    "q184_stateful_running_totals",
 }) - frozenset({
     # ... MINUS queries whose lineage changed since their last driver row —
-    # these must re-enter the 50-entry prefix so round 6 certifies the code
+    # these must re-enter the 50-entry prefix so round 7 certifies the code
     # that actually ships (the round-close rotation discipline,
     # .claude/skills/verify/SKILL.md):
-    "q151_minhash_error_contract",  # r6: verification join bounded (semi-join + DF cap, both sides)
-    "q144_mad_robust_stats",        # r6: two-phase grouped_lower_median (serial window removed)
-    "q150_degree_assortativity",    # r6: decimal cast moved inside SUM, both sides
-    "q119_winnow_overlap_pairs",    # r6: hot-fingerprint cap mirrored in oracle
-    "q132_fuzzy_prefix_pairs",      # r6: block cap mirrored in oracle
-    "q139_split_contamination",     # r6: hot-shingle cap mirrored in oracle
-    "q128_length_deciles_scaled",   # r6: distributed_ntile broadcast now size-guarded
-    "q142_strongly_connected",      # r6: empty-branch schema derived from input
-    "q71_simhash_near_pairs",       # r6: banded frame persist → localCheckpoint (regression fix)
-    "q76_simhash_dup_groups",       # same simhash_near_pairs lineage
+    "q173_recursive_reachability",  # r7: edge build materialized outside the recursion
+    "q154_supplier_diversity",      # r7: null-symmetric s_acctbal exclusion (ADVICE)
+    "q158_kmv_distinct",            # r7: exact_customers over o_custkey, not hash prefix (ADVICE)
+    "q164_stream_outer_join",       # r7: sentinel-gated cache validity in events_stream_flushed (ADVICE)
 })
 
 
