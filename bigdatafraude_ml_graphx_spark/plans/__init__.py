@@ -1,6 +1,7 @@
 from .inspect import (  # noqa: F401
     formatted_plan,
     has_pushed_filters,
+    parquet_scan_count,
     scan_read_schema,
     uses_broadcast_join,
     uses_take_ordered,

@@ -57,6 +57,17 @@ def uses_window_group_limit(df: DataFrame) -> bool:
     return "WindowGroupLimit" in formatted_plan(df)
 
 
+def parquet_scan_count(df: DataFrame) -> int:
+    """Number of parquet file-scan nodes in the OPTIMIZED plan — the
+    scan-replay check for iterative/recursive queries: a loop or
+    WITH RECURSIVE whose per-iteration plan re-reads base relations turns
+    a linear traversal into a scan bottleneck at 100× (the q173 defect,
+    VERDICT r6 item 1). Post-setup iteration plans must show 0 — the
+    edge/frontier frames live in localCheckpoint-ed blocks, not files."""
+    plan = formatted_plan(df)
+    return len(re.findall(r"Scan parquet", plan))
+
+
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of whole-stage-codegen regions — wider/fewer is better."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))

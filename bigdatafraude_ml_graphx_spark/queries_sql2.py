@@ -10,8 +10,9 @@ judged set covers both entry points end-to-end.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from .catalog import register_views
+from .catalog import load_table, register_views
 from .functions.deterministic import oracle_davg
 from .queries import query
 
@@ -202,6 +203,26 @@ SELECT u, v, CAST(MIN(d) AS INT) AS min_hops,
 FROM paths GROUP BY u, v
 """
 
+# Engine-side recursion over the MATERIALIZED edge view. Spark inlines
+# non-recursive CTEs into every consumer, so running the full single
+# statement replayed the edge build (self-join + aggregate over events)
+# inside the anchor, the fan-out-cap subquery, AND each recursive step —
+# the optimized plan scanned the events parquet 8× (VERDICT r6 item 1).
+# Materializing e0 first (localCheckpoint → temp view) truncates that
+# lineage: the recursion below references only stored blocks, zero
+# parquet scans (pinned by tests/test_plans.py::test_q173_zero_scan).
+_REACH_RECURSE_SQL = f"""
+WITH RECURSIVE paths(u, v, d) AS (
+  SELECT src, dst, 1 FROM q173_edges
+  UNION ALL
+  SELECT p.u, e.dst, p.d + 1
+  FROM paths p JOIN q173_edges e ON e.src = p.v
+  WHERE p.d < {_REACH_HOPS})
+SELECT u, v, CAST(MIN(d) AS INT) AS min_hops,
+       CAST(COUNT(*) AS BIGINT) AS n_paths
+FROM paths GROUP BY u, v
+"""
+
 
 @query("q173_recursive_reachability", oracle=_REACH_SQL)
 def q173_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,11 +235,30 @@ def q173_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     structural on any engine, and (min_hops, n_paths) per reachable pair
     is deterministic, and a mirrored fan-out cap (sources over 100
     out-edges drop — inert here, hub-proof at 100×) bounds the
-    multiplicative path growth the hop bound alone cannot. The SAME SQL
-    text runs on DuckDB as the oracle — dialect-portable recursion,
-    certified bit-exact."""
-    register_views(spark, sf_dir)
-    return spark.sql(_REACH_SQL)
+    multiplicative path growth the hop bound alone cannot.
+
+    The capped edge list is built ONCE with the engine's own operators
+    (``cooccurrence_edges`` + ``drop_hot_buckets`` — the exact semantics
+    of the oracle's b/e00/e0 CTE chain), localCheckpoint-ed, and exposed
+    as a temp view the recursion traverses — the q175 checkpointed-loop
+    discipline applied to the SQL surface. The oracle keeps the full
+    single-statement text (DuckDB materializes its CTEs), so the hash
+    contract is unchanged while the engine plan drops from 8 events
+    scans to zero inside the recursion."""
+    from .graph import cooccurrence_edges
+    from .operators.skew import drop_hot_buckets
+
+    ev = load_table(spark, sf_dir, "events")
+    e00 = (
+        cooccurrence_edges(ev, "user_id", "ts", "hour", ("event_type",))
+        .filter(F.col("weight") >= 5)
+        .select("src", "dst")
+    )
+    e0 = drop_hot_buckets(e00, ["src"], _REACH_FANOUT_CAP).localCheckpoint(
+        eager=True
+    )
+    e0.createOrReplaceTempView("q173_edges")
+    return spark.sql(_REACH_RECURSE_SQL)
 
 
 # ---------------------------------------------------------------------------
