@@ -194,13 +194,14 @@ _KMV_SCALE = float(1 << 60)  # hash domain size (15 hex chars)
 @query(
     "q158_kmv_distinct",
     oracle=f"""
-    WITH h AS (
+    WITH c AS (SELECT DISTINCT o_custkey FROM orders),
+    h AS (
       SELECT DISTINCT CAST('0x' || substr(md5('c:' || CAST(o_custkey AS VARCHAR)),
                            1, 15) AS BIGINT) AS hv
-      FROM orders),
+      FROM c),
     kmin AS (SELECT hv FROM h ORDER BY hv LIMIT {_KMV_K}),
     stats AS (
-      SELECT (SELECT COUNT(*) FROM h) AS exact_customers,
+      SELECT (SELECT COUNT(*) FROM c) AS exact_customers,
              (SELECT MAX(hv) FROM kmin) AS kth_hash)
     SELECT CAST(exact_customers AS BIGINT) AS exact_customers,
            kth_hash,
@@ -223,9 +224,16 @@ def q158_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject over the distinct-hash aggregate (mergeable
     state — at 100 TB each partition keeps its own bottom-k and the
     driver merges k·P values), and the theoretical RSD 1/√(k−2) ≈ 6.3%
-    sits 4× inside the pinned 25% bound."""
+    sits 4× inside the pinned 25% bound. ``exact_customers`` counts
+    DISTINCT o_custkey values (not distinct 15-hex hash prefixes — a
+    prefix collision would silently merge two customers; probability
+    ~n²/2^61, but 'exact' should mean exact); the sketch side still
+    dedups on the hash value, as KMV requires."""
     o = load_table(spark, sf_dir, "orders")
-    h = o.select(
+    cust = (
+        o.select("o_custkey").distinct().localCheckpoint(eager=True)
+    )  # read twice: exact count + hash bottom-k
+    h = cust.select(
         F.conv(
             F.substring(F.md5(F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))), 1, 15),
             16,
@@ -233,7 +241,7 @@ def q158_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("hv")
-    ).distinct().localCheckpoint(eager=True)  # read twice: count + bottom-k
+    ).distinct()
     kth = (
         h.orderBy("hv")
         .limit(_KMV_K)
@@ -242,7 +250,7 @@ def q158_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     est = F.lit((_KMV_K - 1) * _KMV_SCALE) / F.col("kth_hash").cast("double")
     exact_d = F.col("exact_customers").cast("double")
     return (
-        h.agg(F.count("*").alias("exact_customers"))
+        cust.agg(F.count("*").alias("exact_customers"))
         .crossJoin(F.broadcast(kth))
         .select(
             F.col("exact_customers").cast("long").alias("exact_customers"),

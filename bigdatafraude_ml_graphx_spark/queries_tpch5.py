@@ -231,9 +231,15 @@ def q154_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT-ANTI join computed once on the supplier dimension; the
     attribute-filtered part list broadcasts (size-guarded); COUNT
     DISTINCT reduces via the (brand, size, suppkey) distinct — map-side
-    partial dedup — never a full fact shuffle of raw lines."""
+    partial dedup — never a full fact shuffle of raw lines.
+
+    The exclusion is NULL-symmetric with the oracle's ``ok_sup`` inner
+    join (``s_acctbal >= 0`` keeps): the anti-join side lists suppliers
+    failing that predicate — ``s_acctbal < 0 OR s_acctbal IS NULL`` — so
+    an unknown balance is excluded on both engines rather than kept by
+    the anti join and dropped by the oracle (ADVICE r6)."""
     bad = load_table(spark, sf_dir, "supplier").filter(
-        F.col("s_acctbal") < 0
+        (F.col("s_acctbal") < 0) | F.col("s_acctbal").isNull()
     ).select("s_suppkey")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != _Q16_EXCL_BRAND)

@@ -82,7 +82,32 @@ def events_stream_flushed(
 
     key = hashlib.md5(f"{sf_dir}|{flush_ts}|{flush_types}".encode()).hexdigest()[:8]
     d = f"/tmp/spark_graft_stream_flush_{key}"
-    if not os.path.isdir(d) or not os.listdir(d):
+    # Cache validity = the sentinel file itself, NOT dir-non-empty: a crash
+    # between the symlink and the sentinel os.replace would otherwise leave
+    # a permanently "valid" cache whose replays silently swallow every
+    # watermark-gated tail row (ADVICE r6).
+    if not os.path.exists(os.path.join(d, "sentinel.parquet")):
+        # Build-time staleness guard: the sentinels only flush the
+        # watermark if they postdate every real event. Fails loudly if the
+        # testdata is ever regenerated past flush_ts instead of silently
+        # reverting to swallowed tails. Runs only on cache (re)build.
+        if native:
+            max_ts = probe.agg(F.max("ts").alias("m")).collect()[0]["m"]
+            stale = max_ts is not None and str(max_ts) >= flush_ts
+        else:
+            max_ns = probe.agg(F.max("ts").alias("m")).collect()[0]["m"]
+            flush_ns = (
+                spark.sql(
+                    f"SELECT unix_micros(TIMESTAMP '{flush_ts}') * 1000 AS n"
+                ).collect()[0]["n"]
+            )
+            stale = max_ns is not None and max_ns >= flush_ns
+        if stale:
+            raise ValueError(
+                f"events_stream_flushed: flush_ts {flush_ts!r} does not "
+                f"postdate the real events in {sf_dir} — sentinels would "
+                "not advance the watermark; pass a later flush_ts."
+            )
         os.makedirs(d, exist_ok=True)
         link = os.path.join(d, "events.parquet")
         if not os.path.islink(link):
