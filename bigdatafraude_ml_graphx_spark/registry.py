@@ -36,6 +36,7 @@ from . import queries_tpch5  # noqa: F401  (Q2/Q11/Q16/Q20 shapes on the slim sc
 from . import queries_r6  # noqa: F401  (Benford/KMV/Zipf/rolling-hash/IVM/attribution)
 from . import queries_r6b  # noqa: F401  (CDC chunking/OOV/unigram-LM/walks/drift/readability/mixture)
 from . import queries_r6c  # noqa: F401  (DAG levels / EWMA / Markov transitions)
+from . import queries_r7  # noqa: F401  (BPE merges / SemDeDup)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a
