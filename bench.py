@@ -46,6 +46,12 @@ def _reset_session_cache(spark) -> None:
 
 
 def main() -> None:
+    # Capture BEFORE any JVM work: the bench itself saturates the machine,
+    # so a start-of-run reading is the only one that reflects ambient load.
+    try:
+        load_at_start = round(os.getloadavg()[0], 2)
+    except OSError:
+        load_at_start = None
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -136,6 +142,11 @@ def main() -> None:
             "unit": "sec",
             "queries": timings,
             "sf": float(sf) if sf else None,
+            # Idleness as evidence, not assertion (VERDICT r6 item 2): runs
+            # started above 1-min load 0.3 measured 1.09-1.15x uniform
+            # inflation — a stamped load lets the next round's diff decide
+            # whether a regression is machine noise before believing it.
+            "loadavg_1m_at_start": load_at_start,
         }
     )
     print(payload)

@@ -159,7 +159,14 @@ def q176_ewma_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     array, so every intermediate IEEE operation matches — a deterministic
     formulation of an operator usually written as an
     order-sensitive recursive UDF. One user-partitioned window, no other
-    shuffle."""
+    shuffle.
+
+    Truncation bound: the {10}-term window approximates the
+    infinite-memory recursion with tail weight α^N = 0.9^10 ≈ 0.349 of
+    the geometric total — i.e. the reported EWMA is the normalized
+    average over the most recent N events only (wsum normalizes by the
+    TRUNCATED weight mass, so the value is an exact weighted mean of
+    the window, not a biased estimate of the infinite EWMA)."""
     ev = load_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
