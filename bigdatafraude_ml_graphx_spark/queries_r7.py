@@ -1,7 +1,10 @@
-"""Round-7 batch: BPE merge iteration and SemDeDup embedding-cluster dedup.
+"""Round-7 batch: BPE merge iteration, SemDeDup embedding-cluster dedup,
+market-basket pairs, referential-integrity audit, count-min sketch,
+approx-quantile contract, GROUP BY ALL, and null-safe joins.
 
 Determinism: BPE argmaxes break ties on (count DESC, a, b) string order;
-everything else is integer counting over md5-derived keys.
+cosines ride the 1e12 quantized-int64 grid; everything else is integer
+counting over md5-derived keys.
 """
 
 from __future__ import annotations
@@ -9,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .catalog import load_table
+from .catalog import load_table, register_views
 from .queries import query
 
 # ---------------------------------------------------------------------------
@@ -228,4 +231,390 @@ def q187_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return capped.select("vec_id", F.col("cell").cast("int").alias("cell")).join(
         dup, "vec_id", "left_outer"
+    )
+
+
+# ---------------------------------------------------------------------------
+# q188 — market-basket part pairs (co-purchase analysis)
+# ---------------------------------------------------------------------------
+
+_BASKET_CAP = 50   # parts per order; TPC-H orders carry <= 7 lineitems, so
+#                    inert here — the hub-proof guard for degenerate baskets
+_BASKET_TOPN = 25
+
+
+@query(
+    "q188_market_basket",
+    oracle=f"""
+    WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    ok AS (SELECT l_orderkey FROM d GROUP BY l_orderkey
+           HAVING COUNT(*) <= {_BASKET_CAP}),
+    d2 AS (SELECT d.l_orderkey, d.l_partkey FROM d
+           JOIN ok ON ok.l_orderkey = d.l_orderkey),
+    p AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS cnt
+      FROM d2 a JOIN d2 b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2)
+    SELECT part_a, part_b, CAST(cnt AS BIGINT) AS n_orders
+    FROM p ORDER BY n_orders DESC, part_a, part_b LIMIT {_BASKET_TOPN}
+    """,
+)
+def q188_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-purchase pairs: the top part pairs by number of
+    orders containing both — the association-rule support count
+    (retail analytics' frequent-itemset k=2 base case). Pre-distinct to
+    one row per (order, part) bounds the self-join to distinct-pair
+    work; the basket cap (orders with > {50} distinct parts drop —
+    inert on TPC-H's ≤7-line orders, hub-proof against degenerate
+    baskets at 100×) follows the shared pair-builder discipline; the
+    top-k compiles to TakeOrderedAndProject, never a global sort."""
+    from .operators.skew import drop_hot_buckets
+
+    li = load_table(spark, sf_dir, "lineitem")
+    d = li.select("l_orderkey", "l_partkey").distinct()
+    d2 = drop_hot_buckets(d, ["l_orderkey"], _BASKET_CAP)
+    a, b = d2.alias("a"), d2.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+        .limit(_BASKET_TOPN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# q189 — referential-integrity audit (orphan counts per FK edge)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q189_referential_integrity",
+    oracle="""
+    SELECT 'lineitem.l_orderkey->orders' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) FILTER (o.o_orderkey IS NULL) AS BIGINT) AS n_orphans
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'lineitem.l_partkey->part',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (p.p_partkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey
+    UNION ALL
+    SELECT 'lineitem.l_suppkey->supplier',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (s.s_suppkey IS NULL) AS BIGINT)
+    FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    UNION ALL
+    SELECT 'orders.o_custkey->customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (c.c_custkey IS NULL) AS BIGINT)
+    FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey
+    UNION ALL
+    SELECT 'customer.c_nationkey->nation',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (n.n_nationkey IS NULL) AS BIGINT)
+    FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ORDER BY fk
+    """,
+)
+def q189_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: per FK edge, total rows and orphans
+    (child keys with no parent) — the data-quality gate every warehouse
+    load runs. Each edge is one anti-join COUNT: the parent side carries
+    only its key column (maximal pruning) and broadcasts when
+    size-guarded small; counts are per-edge scalar aggregates unioned
+    into the report frame — five bounded rows, no driver loop."""
+    from .plans.hints import broadcast_if_small
+
+    def edge(fk, child, ckey, parent, pkey):
+        c = load_table(spark, sf_dir, child).select(F.col(ckey))
+        p = load_table(spark, sf_dir, parent).select(F.col(pkey))
+        orphans = c.join(
+            broadcast_if_small(p), F.col(ckey) == F.col(pkey), "left_anti"
+        )
+        return (
+            c.agg(F.count("*").alias("n_rows"))
+            .crossJoin(
+                F.broadcast(orphans.agg(F.count("*").alias("n_orphans")))
+            )
+            .select(F.lit(fk).alias("fk"), "n_rows", "n_orphans")
+        )
+
+    edges = [
+        edge("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+             "orders", "o_orderkey"),
+        edge("lineitem.l_partkey->part", "lineitem", "l_partkey",
+             "part", "p_partkey"),
+        edge("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+             "supplier", "s_suppkey"),
+        edge("orders.o_custkey->customer", "orders", "o_custkey",
+             "customer", "c_custkey"),
+        edge("customer.c_nationkey->nation", "customer", "c_nationkey",
+             "nation", "n_nationkey"),
+    ]
+    out = edges[0]
+    for e in edges[1:]:
+        out = out.unionByName(e)
+    return out.orderBy("fk")
+
+
+# ---------------------------------------------------------------------------
+# q190 — count-min sketch with fully exact oracle
+# ---------------------------------------------------------------------------
+
+_CMS_D = 4    # hash rows
+_CMS_W = 64   # counters per row
+_CMS_TOPN = 10
+
+
+def _cms_bucket_sql(j: int) -> str:
+    return (
+        f"CAST(('0x' || substring(md5('{j}:' || CAST(user_id AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % {_CMS_W}"
+    )
+
+
+@query(
+    "q190_countmin_sketch",
+    oracle=f"""
+    WITH cnt AS MATERIALIZED (
+      SELECT user_id, COUNT(*) AS exact_cnt FROM events GROUP BY user_id),
+    top AS MATERIALIZED (
+      SELECT user_id, exact_cnt FROM cnt
+      ORDER BY exact_cnt DESC, user_id LIMIT {_CMS_TOPN}),
+    hashed AS (
+      SELECT user_id, exact_cnt,
+             {", ".join(f"{_cms_bucket_sql(j)} AS b{j}" for j in range(_CMS_D))}
+      FROM cnt),
+    counters AS MATERIALIZED (
+      {" UNION ALL ".join(
+        f"SELECT {j} AS j, b{j} AS bucket, SUM(exact_cnt) AS counter"
+        f" FROM hashed GROUP BY b{j}" for j in range(_CMS_D))}),
+    est AS (
+      SELECT h.user_id, MIN(c.counter) AS cms_estimate
+      FROM hashed h
+      JOIN counters c ON
+        (c.j = 0 AND c.bucket = h.b0) OR (c.j = 1 AND c.bucket = h.b1)
+        OR (c.j = 2 AND c.bucket = h.b2) OR (c.j = 3 AND c.bucket = h.b3)
+      GROUP BY h.user_id)
+    SELECT t.user_id, CAST(t.exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(e.cms_estimate AS BIGINT) AS cms_estimate,
+           e.cms_estimate >= t.exact_cnt AS overestimate_ok
+    FROM top t JOIN est e ON e.user_id = t.user_id
+    ORDER BY exact_cnt DESC, t.user_id
+    """,
+)
+def q190_countmin_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) point queries with
+    a FULLY exact oracle — the portable-md5 discipline (q23/q158) applied
+    to the CM structure: both engines materialize the identical d×w
+    counter matrix ({4}×{64}, mergeable integer state — at 100 TB each
+    partition sums its own matrix and they add elementwise), so the
+    ESTIMATES themselves hash-match, not just their error bounds. Emits
+    the top-{10} users by exact count with exact vs CMS estimate and the
+    theorem guarantee est ≥ exact (min over counters, each a supersum of
+    the true count — deterministically TRUE, and the oracle computes the
+    same min). Estimation error here is the expected sum-of-colliders;
+    the sketch answers point queries from {256} counters instead of
+    |users| rows."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    buckets = [
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"{j}:"), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CMS_W
+        ).alias(f"b{j}")
+        for j in range(_CMS_D)
+    ]
+    hashed = cnt.select("user_id", "exact_cnt", *buckets).localCheckpoint(
+        eager=True
+    )  # read (d+2) times: counters per row, top-k, estimate join
+    counters = None
+    for j in range(_CMS_D):
+        cj = hashed.groupBy(F.col(f"b{j}").alias("bucket")).agg(
+            F.sum("exact_cnt").alias("counter")
+        ).select(F.lit(j).alias("j"), "bucket", "counter")
+        counters = cj if counters is None else counters.unionByName(cj)
+    top = (
+        hashed.select("user_id", "exact_cnt", *[f"b{j}" for j in range(_CMS_D)])
+        .orderBy(F.col("exact_cnt").desc(), "user_id")
+        .limit(_CMS_TOPN)
+    )
+    melted = top.select(
+        "user_id",
+        "exact_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), F.col(f"b{j}").alias("bucket")
+                    )
+                    for j in range(_CMS_D)
+                ]
+            )
+        ).alias("jb"),
+    )
+    est = (
+        melted.join(
+            F.broadcast(counters),  # d·w = 256 rows by construction
+            (F.col("jb.j") == F.col("j")) & (F.col("jb.bucket") == F.col("bucket")),
+        )
+        .groupBy("user_id", "exact_cnt")
+        .agg(F.min("counter").alias("cms_estimate"))
+    )
+    return est.select(
+        "user_id",
+        "exact_cnt",
+        "cms_estimate",
+        (F.col("cms_estimate") >= F.col("exact_cnt")).alias("overestimate_ok"),
+    ).orderBy(F.col("exact_cnt").desc(), "user_id")
+
+
+# ---------------------------------------------------------------------------
+# q191 — approx_percentile rank-error contract (GK sketch guarantee)
+# ---------------------------------------------------------------------------
+
+_AQ_ACCURACY = 100  # GK eps = 1/accuracy -> rank error <= n/100
+
+
+@query(
+    "q191_approx_quantile_contract",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+           TRUE AS p50_ok, TRUE AS p90_ok
+    FROM events
+    """,
+)
+def q191_approx_quantile_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated error contract for ``approx_percentile`` — the
+    q178-discipline (theorem bound as a pinned boolean) applied to
+    Spark's Greenwald-Khanna sketch: with accuracy {100}, the returned
+    value's RANK must sit within ±n/{100} of the target rank q·n. The
+    engine computes the estimates, then one exact pass counts
+    values strictly below / at-or-below each estimate; the contract
+    holds iff the rank interval [n_lt, n_le] intersects the allowed
+    band. The sketch itself is engine-specific (mergeable per-partition
+    state — the 100 TB path); the BOUND is the portable truth the
+    oracle pins, exactly as q178 pins Misra-Gries and q140 pins IVF
+    recall."""
+    ev = load_table(spark, sf_dir, "events").select("value")
+    est = ev.agg(
+        F.percentile_approx("value", 0.5, _AQ_ACCURACY).alias("p50"),
+        F.percentile_approx("value", 0.9, _AQ_ACCURACY).alias("p90"),
+    ).collect()[0]  # two scalars — bounded read
+    checks = ev.agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") < est["p50"]).cast("long")).alias("lt50"),
+        F.sum((F.col("value") <= est["p50"]).cast("long")).alias("le50"),
+        F.sum((F.col("value") < est["p90"]).cast("long")).alias("lt90"),
+        F.sum((F.col("value") <= est["p90"]).cast("long")).alias("le90"),
+    ).collect()[0]
+    n = checks["n"]
+    tol = n / _AQ_ACCURACY
+
+    def ok(lt, le, q):
+        lo, hi = q * n - tol, q * n + tol
+        return bool(lt <= hi and le >= lo)
+
+    return spark.createDataFrame(
+        [
+            (
+                n,
+                ok(checks["lt50"], checks["le50"], 0.5),
+                ok(checks["lt90"], checks["le90"], 0.9),
+            )
+        ],
+        "n_events long, p50_ok boolean, p90_ok boolean",
+    )
+
+
+# ---------------------------------------------------------------------------
+# q192 — GROUP BY ALL (dual SQL surface, identical text on both engines)
+# ---------------------------------------------------------------------------
+
+_GBA_SQL = """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY ALL
+ORDER BY o_orderstatus, o_orderpriority
+"""
+
+
+@query("q192_group_by_all", oracle=_GBA_SQL)
+def q192_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``GROUP BY ALL`` — the modern-SQL ergonomic surface (every
+    non-aggregate select item becomes a grouping key), run as the SAME
+    SQL text on Spark and DuckDB. The decimal-sum-then-double cast is
+    the engine's deterministic-float-aggregate contract expressed
+    portably inline."""
+    register_views(spark, sf_dir)
+    return spark.sql(_GBA_SQL)
+
+
+# ---------------------------------------------------------------------------
+# q193 — null-safe equi join (<=> / IS NOT DISTINCT FROM)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q193_nullsafe_join",
+    oracle="""
+    WITH a AS (
+      SELECT nullif(event_type, 'click') AS k, COUNT(*) AS n_low
+      FROM events WHERE value < 50 GROUP BY 1),
+    b AS (
+      SELECT nullif(event_type, 'click') AS k, COUNT(*) AS n_high
+      FROM events WHERE value >= 50 GROUP BY 1)
+    SELECT a.k, CAST(a.n_low AS BIGINT) AS n_low,
+           CAST(b.n_high AS BIGINT) AS n_high
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    ORDER BY a.k NULLS FIRST
+    """,
+)
+def q193_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (Spark ``<=>`` / ANSI IS NOT DISTINCT FROM):
+    the NULL group — here manufactured by NULLIF over a real key — must
+    MATCH across sides instead of silently dropping, the semantics
+    MERGE/CDC key comparisons depend on. Catalyst plans ``eqNullSafe``
+    as a hash join on a null-tolerant key (no cartesian fallback);
+    verified against DuckDB's IS NOT DISTINCT FROM."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.nullif(F.col("event_type"), F.lit("click")).alias("k")
+    a = (
+        ev.filter(F.col("value") < 50)
+        .select(k)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_low"))
+    )
+    b = (
+        ev.filter(F.col("value") >= 50)
+        .select(k)
+        .groupBy("k")
+        .agg(F.count("*").alias("n_high"))
+        .withColumnRenamed("k", "kb")
+    )
+    return (
+        a.join(b, F.col("k").eqNullSafe(F.col("kb")))
+        .select("k", "n_low", "n_high")
+        .orderBy(F.col("k").asc_nulls_first())
     )
