@@ -618,3 +618,307 @@ def q193_nullsafe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "n_low", "n_high")
         .orderBy(F.col("k").asc_nulls_first())
     )
+
+
+# ---------------------------------------------------------------------------
+# q194 — graph eccentricity from deterministic landmark sample
+# ---------------------------------------------------------------------------
+
+_ECC_SOURCES = 4
+_ECC_MIN_WEIGHT = 5
+
+
+@query(
+    "q194_graph_eccentricity",
+    oracle=f"""
+    WITH RECURSIVE b AS (
+      SELECT DISTINCT user_id AS entity, date_trunc('hour', ts) AS bucket,
+             event_type
+      FROM events),
+    e0 AS (
+      SELECT a.entity AS src, b2.entity AS dst
+      FROM b a JOIN b b2
+        ON a.bucket = b2.bucket AND a.event_type = b2.event_type
+       AND a.entity < b2.entity
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_ECC_MIN_WEIGHT}),
+    sym AS (SELECT src AS u, dst AS v FROM e0
+            UNION SELECT dst, src FROM e0),
+    verts AS (SELECT DISTINCT u AS id FROM sym),
+    nn AS (SELECT COUNT(*) AS n FROM verts),
+    src4 AS MATERIALIZED (
+      SELECT id FROM verts
+      ORDER BY md5('e:' || CAST(id AS VARCHAR)) LIMIT {_ECC_SOURCES}),
+    paths(s, id, d) AS (
+      SELECT id, id, 0 FROM src4
+      UNION
+      SELECT p.s, sym.v, p.d + 1 FROM paths p JOIN sym ON sym.u = p.id
+      WHERE p.d + 1 < (SELECT n FROM nn)),
+    md AS (SELECT s, id, MIN(d) AS d FROM paths GROUP BY s, id)
+    SELECT s AS source, CAST(MAX(d) AS INT) AS eccentricity,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_reached
+    FROM md GROUP BY s
+    ORDER BY source
+    """,
+)
+def q194_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eccentricity (max hop distance over the reachable set) from {4}
+    deterministic landmark vertices (md5 bottom-k of the vertex set) on
+    the sparsified co-occurrence graph — max over the landmark sample is
+    the standard distributed lower bound on graph diameter (exact
+    diameter is all-pairs, quadratic). Rides the existing BFS operator
+    (per-round localCheckpoint, fingerprint convergence, loud raise);
+    the oracle closes the same BFS with a UNION-dedup recursive CTE
+    bounded by |V|. Sparsification (weight ≥ {5}) per the repo rule:
+    the raw co-occurrence graph is near-complete."""
+    from .graph import cooccurrence_edges
+    from .graph.bfs import shortest_paths
+
+    ev = load_table(spark, sf_dir, "events")
+    e = (
+        cooccurrence_edges(ev, "user_id", "ts", "hour", ("event_type",))
+        .filter(F.col("weight") >= _ECC_MIN_WEIGHT)
+        .select("src", "dst")
+    )
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+    )
+    sources = (
+        verts.select(
+            "id",
+            F.md5(F.concat(F.lit("e:"), F.col("id").cast("string"))).alias("h"),
+        )
+        .orderBy("h")
+        .limit(_ECC_SOURCES)
+        .select("id")
+    )
+    sp = shortest_paths(e, sources)
+    return (
+        sp.groupBy(F.col("landmark").alias("source"))
+        .agg(
+            F.max("distance").cast("int").alias("eccentricity"),
+            (F.count("*") - 1).alias("n_reached"),
+        )
+        .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q195 — gaps-and-islands: consecutive same-event streaks per user
+# ---------------------------------------------------------------------------
+
+_STREAK_MIN = 3
+
+
+@query(
+    "q195_event_streaks",
+    oracle=f"""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id)
+             - ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                  ORDER BY ts, event_id) AS island
+      FROM events),
+    streaks AS (
+      SELECT user_id, event_type, island, COUNT(*) AS len
+      FROM seq GROUP BY 1, 2, 3)
+    SELECT event_type,
+           CAST(MAX(len) AS INT) AS max_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks,
+           CAST(COUNT(DISTINCT CASE WHEN len >= {_STREAK_MIN}
+                                    THEN user_id END) AS BIGINT)
+             AS users_with_long_streak
+    FROM streaks GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q195_event_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands (the row_number-difference idiom): consecutive
+    runs of the same event type per user — streak analytics
+    (engagement runs, repeated-failure detection). Two user-partitioned
+    windows over one scan (the difference of the two row_numbers is
+    constant within a run), then integer aggregates per event type.
+    (ts, event_id) totally orders each partition so islands are
+    deterministic under timestamp ties."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("island"),
+    )
+    streaks = seq.groupBy("user_id", "event_type", "island").agg(
+        F.count("*").alias("len")
+    )
+    return (
+        streaks.groupBy("event_type")
+        .agg(
+            F.max("len").cast("int").alias("max_streak"),
+            F.count("*").alias("n_streaks"),
+            F.countDistinct(
+                F.when(F.col("len") >= _STREAK_MIN, F.col("user_id"))
+            ).alias("users_with_long_streak"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q196 — join-key skew report (the diagnosis feeding salting decisions)
+# ---------------------------------------------------------------------------
+
+
+def _skew_edge_sql(name: str, table: str, key: str) -> str:
+    return f"""
+    SELECT '{name}' AS key_name,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(cnt) AS BIGINT) AS total_rows,
+           CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+           ROUND(CAST(MAX(cnt) AS DOUBLE) / CAST(SUM(cnt) AS DOUBLE), 9)
+             AS top1_share,
+           ROUND(CAST(MAX(cnt) * COUNT(*) AS DOUBLE)
+                 / CAST(SUM(cnt) AS DOUBLE), 9) AS skew_ratio
+    FROM (SELECT {key}, COUNT(*) AS cnt FROM {table} GROUP BY {key}) t"""
+
+
+@query(
+    "q196_skew_report",
+    oracle=" UNION ALL ".join(
+        [
+            _skew_edge_sql("events.user_id", "events", "user_id"),
+            _skew_edge_sql("lineitem.l_partkey", "lineitem", "l_partkey"),
+            _skew_edge_sql("orders.o_custkey", "orders", "o_custkey"),
+        ]
+    )
+    + " ORDER BY key_name",
+)
+def q196_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis: per candidate shuffle key, the per-key
+    count distribution summary (hottest-key share, max/mean skew ratio)
+    that decides between a plain shuffle, AQE skew splitting, and
+    explicit salting (operators/skew.py) — the engine's own scale
+    machinery applied to its inputs as a query. One map-side-combined
+    count per key plus scalar aggregates; ratios are single IEEE
+    divides over exact integers, rounded to the 9-dp grid on both
+    engines."""
+
+    def edge(name, table, key):
+        cnt = (
+            load_table(spark, sf_dir, table)
+            .groupBy(key)
+            .agg(F.count("*").alias("cnt"))
+        )
+        return cnt.agg(
+            F.lit(name).alias("key_name"),
+            F.count("*").alias("n_keys"),
+            F.sum("cnt").alias("total_rows"),
+            F.max("cnt").alias("max_cnt"),
+            F.round(
+                F.max("cnt").cast("double") / F.sum("cnt").cast("double"), 9
+            ).alias("top1_share"),
+            F.round(
+                (F.max("cnt") * F.count("*")).cast("double")
+                / F.sum("cnt").cast("double"),
+                9,
+            ).alias("skew_ratio"),
+        )
+
+    parts = [
+        edge("events.user_id", "events", "user_id"),
+        edge("lineitem.l_partkey", "lineitem", "l_partkey"),
+        edge("orders.o_custkey", "orders", "o_custkey"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("key_name")
+
+
+# ---------------------------------------------------------------------------
+# q197 — vocabulary coverage curve (tokens needed to cover p% of corpus)
+# ---------------------------------------------------------------------------
+
+_COVERAGE_PCTS = (50, 90, 99)
+
+
+@query(
+    "q197_vocab_coverage",
+    oracle=f"""
+    WITH w AS (
+      SELECT word, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS word FROM documents) t
+      WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY word),
+    ranked AS (
+      SELECT ROW_NUMBER() OVER (ORDER BY cnt DESC, word) AS rank,
+             SUM(cnt) OVER (ORDER BY cnt DESC, word
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             (SELECT SUM(cnt) FROM w) AS total
+      FROM w)
+    SELECT pct, CAST(MIN(rank) AS BIGINT) AS k_words,
+           CAST(MIN(cum) AS BIGINT) AS covered_tokens
+    FROM ranked, (SELECT unnest([{", ".join(map(str, _COVERAGE_PCTS))}]) AS pct) p
+    WHERE 100 * cum >= pct * total
+    GROUP BY pct ORDER BY pct
+    """,
+)
+def q197_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: the smallest top-k word prefix (by
+    frequency, word-tiebroken) covering {50}/{90}/{99}% of corpus tokens
+    — the tokenizer-design statistic behind vocab-size choices. The
+    cumulative sum uses the two-phase distributed pattern
+    (distributed_ntile's discipline): a window over DISTINCT COUNT
+    VALUES computes class-start offsets, then a per-class row_number
+    finishes the global rank and cumulative — no serial window over the
+    full vocabulary. Thresholds compare as pure integers
+    (100·cum ≥ pct·total), so there is no float boundary to disagree
+    on; MIN(cum) at MIN(rank) is well-defined because cum is strictly
+    increasing in rank."""
+    from .functions.bpe import word_frequencies
+    from .plans.hints import broadcast_if_small
+    from pyspark.sql import Window
+
+    w = word_frequencies(load_table(spark, sf_dir, "documents")).withColumnRenamed(
+        "freq", "cnt"
+    )
+    by_val = w.groupBy("cnt").agg(
+        F.count("*").alias("n_words"),
+        (F.count("*") * F.col("cnt")).alias("class_tokens"),
+    )
+    wv = Window.orderBy(F.col("cnt").desc())
+    classes = by_val.select(
+        "cnt",
+        (F.sum("n_words").over(wv) - F.col("n_words")).alias("start_words"),
+        (F.sum("class_tokens").over(wv) - F.col("class_tokens")).alias(
+            "start_tokens"
+        ),
+    )
+    per_class = Window.partitionBy("cnt").orderBy("word")
+    ranked = (
+        w.withColumn("_rn", F.row_number().over(per_class))
+        .join(broadcast_if_small(classes), "cnt")
+        .select(
+            (F.col("start_words") + F.col("_rn")).alias("rank"),
+            (F.col("start_tokens") + F.col("_rn") * F.col("cnt")).alias("cum"),
+        )
+    )
+    total = w.agg(F.sum("cnt").alias("total"))
+    pcts = spark.range(0).sparkSession.createDataFrame(
+        [(p,) for p in _COVERAGE_PCTS], "pct int"
+    )
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .crossJoin(F.broadcast(pcts))
+        .filter(100 * F.col("cum") >= F.col("pct") * F.col("total"))
+        .groupBy("pct")
+        .agg(
+            F.min("rank").alias("k_words"),
+            F.min("cum").alias("covered_tokens"),
+        )
+        .orderBy("pct")
+    )
