@@ -248,3 +248,42 @@ def skyline_2d(
         .filter(F.col("_gm").isNull() | (F.col(maximize_col) > F.col("_gm")))
         .select(minimize_col, maximize_col)
     )
+
+
+def grouped_percentile_disc(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    percentiles: Sequence[int],
+    pct_col: str = "pct",
+    out_col: str = "pval",
+) -> DataFrame:
+    """Exact per-group DISCRETE percentiles (inverse distribution: the
+    smallest data value whose cumulative count reaches p% of the group)
+    for integer ``percentiles`` — :func:`grouped_lower_median`
+    generalized from the 2·cum ≥ n crossing to 100·cum ≥ p·n, same
+    two-phase shape: per-(group, value) counts first, cumulative window
+    over THOSE (|distinct| rows, map-side combined), never a row-level
+    window per group. The crossing compares pure integers, so there is
+    no float boundary, and the returned value is an actual data value
+    (percentile_disc semantics — no interpolation, hence no cross-engine
+    ulp concerns). Returns one ``(group…, pct, value)`` row per group ×
+    percentile.
+    """
+    groups = list(group_cols)
+    counts = df.groupBy(*groups, value_col).agg(F.count("*").alias("_c"))
+    wc = Window.partitionBy(*groups).orderBy(value_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wn = Window.partitionBy(*groups)
+    ranked = counts.withColumn("_cum", F.sum("_c").over(wc)).withColumn(
+        "_n", F.sum("_c").over(wn)
+    )
+    spark = df.sparkSession
+    pcts = spark.createDataFrame([(int(p),) for p in percentiles], f"{pct_col} int")
+    return (
+        ranked.crossJoin(F.broadcast(pcts))
+        .filter(100 * F.col("_cum") >= F.col(pct_col) * F.col("_n"))
+        .groupBy(*groups, pct_col)
+        .agg(F.min(value_col).alias(out_col))
+    )

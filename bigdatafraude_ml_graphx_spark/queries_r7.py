@@ -190,15 +190,21 @@ def q187_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("cid")
     )
 
-    def _cos(a, b):
-        return _qsum_array(_pos_products(a, b)) / (
-            F.sqrt(_qsum_array(_pos_products(a, a)))
-            * F.sqrt(_qsum_array(_pos_products(b, b)))
-        )
+    # Norms are computed ONCE per vector/centroid and carried as columns:
+    # recomputing them inside the cosine makes the pair stage fold 3 arrays
+    # per pair instead of 1 (measured ~3× fold work at sf0.1). The carried
+    # norm is the identical quantized-exact value the oracle derives
+    # inline, so results are unchanged.
+    def _norm_of(c):
+        return F.sqrt(_qsum_array(_pos_products(c, c)))
 
-    cos_ec = _cos(F.col("embedding"), F.col("cvec"))
+    cent = cent.withColumn("cnorm", _norm_of(F.col("cvec")))
+    embn = emb.withColumn("vnorm", _norm_of(F.col("embedding")))
+    cos_ec = _qsum_array(_pos_products(F.col("embedding"), F.col("cvec"))) / (
+        F.col("vnorm") * F.col("cnorm")
+    )
     best = (
-        emb.crossJoin(F.broadcast(cent))
+        embn.crossJoin(F.broadcast(cent))
         .groupBy("vec_id")
         .agg(
             F.min(
@@ -207,12 +213,16 @@ def q187_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("vec_id", F.col("m.cell").alias("cell"))
     )
-    assigned = emb.join(best, "vec_id").select("vec_id", "cell", "embedding")
+    assigned = embn.join(best, "vec_id").select(
+        "vec_id", "cell", "embedding", "vnorm"
+    )
     capped = drop_hot_buckets(assigned, ["cell"], _SEM_CELL_CAP).localCheckpoint(
         eager=True
     )  # pair builder reads it from both sides
     x, y = capped.alias("x"), capped.alias("y")
-    cos_xy = _cos(F.col("x.embedding"), F.col("y.embedding"))
+    cos_xy = _qsum_array(
+        _pos_products(F.col("x.embedding"), F.col("y.embedding"))
+    ) / (F.col("x.vnorm") * F.col("y.vnorm"))
     pairs = (
         x.join(
             y,
@@ -922,3 +932,134 @@ def q197_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("pct")
     )
+
+
+# ---------------------------------------------------------------------------
+# q198 — exact discrete percentiles per group, two-phase (no serial window)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q198_percentile_disc_scaled",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, value, COUNT(*) AS c FROM events GROUP BY 1, 2),
+    r AS (
+      SELECT event_type, value,
+             SUM(c) OVER (PARTITION BY event_type ORDER BY value
+                          ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(c) OVER (PARTITION BY event_type) AS n
+      FROM c)
+    SELECT event_type, pct, MIN(value) AS pval
+    FROM r, (SELECT unnest([25, 50, 75]) AS pct) p
+    WHERE 100 * cum >= pct * n
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q198_percentile_disc_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact PERCENTILE_DISC(0.25/0.5/0.75) per event type — the inverse
+    distribution function as actual data values (no interpolation, so no
+    cross-engine float midpoints — the values hash-match raw, unlike
+    q44's rounded percentile_cont). Runs the q144 two-phase discipline
+    generalized to arbitrary integer percentiles
+    (operators/scale.py::grouped_percentile_disc): cumulative crossing
+    over per-(group, value) COUNTS, a pure-integer comparison, never a
+    row-level window sorting whole groups."""
+    from .operators.scale import grouped_percentile_disc
+
+    ev = load_table(spark, sf_dir, "events")
+    return grouped_percentile_disc(
+        ev, ["event_type"], "value", (25, 50, 75), out_col="pval"
+    ).orderBy("event_type", "pct")
+
+
+# ---------------------------------------------------------------------------
+# q199 — table profile (per-column cardinality / nulls / bounds)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q199_table_profile",
+    oracle="""
+    SELECT 'o_custkey' AS col_name,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_nulls,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_value,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_value
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderdate',
+           CAST(COUNT(DISTINCT o_orderdate) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderdate) AS BIGINT),
+           strftime(MIN(o_orderdate), '%Y-%m-%d %H:%M:%S'),
+           strftime(MAX(o_orderdate), '%Y-%m-%d %H:%M:%S')
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+           MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice',
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(CAST(MIN(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR),
+           CAST(CAST(MAX(o_totalprice) AS DECIMAL(18,2)) AS VARCHAR)
+    FROM orders
+    ORDER BY col_name
+    """,
+)
+def q199_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table profiling: per-column exact cardinality, null count, and
+    canonically-formatted min/max — the warehouse `ANALYZE`/data-card
+    pass. One scan per column family via multi-distinct aggregates
+    (Catalyst plans them with expand; at 100 TB swap the distincts for
+    ``approx_count_distinct`` — the HLL error contract is q81). Values
+    canonicalize cross-engine: timestamps via an explicit format string,
+    doubles through DECIMAL(18,2) (the data's own scale) — raw
+    double→string rendering differs between engines."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def prof(col, fmt=None):
+        c = F.col(col)
+        val = fmt if fmt is not None else c.cast("string")
+        mn = F.min(c)
+        mx = F.max(c)
+        if fmt == "ts":
+            mn, mx = (
+                F.date_format(mn, "yyyy-MM-dd HH:mm:ss"),
+                F.date_format(mx, "yyyy-MM-dd HH:mm:ss"),
+            )
+        elif fmt == "dec":
+            mn, mx = (
+                mn.cast("decimal(18,2)").cast("string"),
+                mx.cast("decimal(18,2)").cast("string"),
+            )
+        else:
+            mn, mx = mn.cast("string"), mx.cast("string")
+        return o.agg(
+            F.lit(col).alias("col_name"),
+            F.countDistinct(c).alias("n_distinct"),
+            (F.count("*") - F.count(c)).alias("n_nulls"),
+            mn.alias("min_value"),
+            mx.alias("max_value"),
+        )
+
+    parts = [
+        prof("o_custkey"),
+        prof("o_orderdate", "ts"),
+        prof("o_orderpriority"),
+        prof("o_orderstatus"),
+        prof("o_totalprice", "dec"),
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("col_name")
