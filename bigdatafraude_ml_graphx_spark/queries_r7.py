@@ -1063,3 +1063,275 @@ def q199_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("col_name")
+
+
+# ---------------------------------------------------------------------------
+# q200 — calendar-spine gap detection (missing hourly buckets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q200_time_gap_detection",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('hour', MIN(ts)) AS lo,
+             date_trunc('hour', MAX(ts)) AS hi
+      FROM events),
+    spine AS (
+      SELECT t.h, e.event_type
+      FROM (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS h
+            FROM bounds) t
+      CROSS JOIN (SELECT DISTINCT event_type FROM events) e),
+    present AS (
+      SELECT DISTINCT date_trunc('hour', ts) AS h, event_type FROM events)
+    SELECT s.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_missing_hours,
+           strftime(MIN(s.h), '%Y-%m-%d %H:%M:%S') AS first_gap
+    FROM spine s LEFT JOIN present p
+      ON p.h = s.h AND p.event_type = s.event_type
+    WHERE p.h IS NULL
+    GROUP BY s.event_type
+    ORDER BY s.event_type
+    """,
+)
+def q200_time_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap detection: hours with NO events per event type
+    between the corpus bounds — the monitoring query behind data-delivery
+    SLAs (a missing bucket means a dead producer, not zero activity).
+    The spine generates from a 1-row bounds aggregate via ``sequence``
+    + explode (|hours|·|types| rows — bounded by wall-clock time, never
+    by data volume), the present set is a distinct pre-aggregate, and
+    the gap is a broadcast anti-join (the spine side is small by
+    construction). First-gap timestamps format explicitly for
+    cross-engine stability."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = (
+        bounds.select(
+            F.explode(
+                F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h")
+        )
+        .crossJoin(ev.select("event_type").distinct())
+    )
+    present = ev.select(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).distinct()
+    return (
+        spine.join(present, ["h", "event_type"], "left_anti")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_missing_hours"),
+            F.date_format(F.min("h"), "yyyy-MM-dd HH:mm:ss").alias("first_gap"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q201 — per-dimension embedding statistics (feature standardization prep)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q201_embedding_dim_stats",
+    oracle="""
+    WITH flat AS (
+      SELECT i.i AS dim,
+             CAST(floor(CAST(embedding[i.i] AS DOUBLE) * 1e6) AS BIGINT)
+               AS micros
+      FROM embeddings,
+           (SELECT unnest(generate_series(1, 64)) AS i) i),
+    agg AS (
+      SELECT dim, COUNT(*) AS n, SUM(micros) AS s,
+             SUM(micros * micros) AS s2,
+             MIN(micros) AS mn, MAX(micros) AS mx
+      FROM flat GROUP BY dim)
+    SELECT CAST(dim AS INT) AS dim,
+           ROUND(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 1e6, 9) AS mean,
+           ROUND(sqrt((CAST(s2 AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)) / 1e6, 9)
+             AS std,
+           ROUND(CAST(mn AS DOUBLE) / 1e6, 6) AS min_value,
+           ROUND(CAST(mx AS DOUBLE) / 1e6, 6) AS max_value
+    FROM agg ORDER BY dim
+    """,
+)
+def q201_embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean/std/min/max over the embedding column — the
+    statistics a feature-standardization (z-score / min-max) stage
+    trains, computed with the integer-MICROS discipline (float32 widened
+    to double BEFORE scaling, sums as exact int64, one IEEE divide at
+    the end — the r6 q167 lesson applied from the start). posexplode
+    multiplies rows ×64 but stays narrow (no shuffle until the 64-group
+    aggregate, which map-side combines to 64·P partials)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        F.posexplode("embedding").alias("pos", "x")
+    ).select(
+        (F.col("pos") + 1).alias("dim"),
+        F.floor(F.col("x").cast("double") * 1e6).cast("long").alias("micros"),
+    )
+    agg = flat.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        F.sum("micros").alias("s"),
+        F.sum(F.col("micros") * F.col("micros")).alias("s2"),
+        F.min("micros").alias("mn"),
+        F.max("micros").alias("mx"),
+    )
+    n, s, s2 = (
+        F.col("n").cast("double"),
+        F.col("s").cast("double"),
+        F.col("s2").cast("double"),
+    )
+    return agg.select(
+        F.col("dim").cast("int").alias("dim"),
+        F.round(s / n / 1e6, 9).alias("mean"),
+        F.round(F.sqrt((s2 - s * s / n) / n) / 1e6, 9).alias("std"),
+        F.round(F.col("mn").cast("double") / 1e6, 6).alias("min_value"),
+        F.round(F.col("mx").cast("double") / 1e6, 6).alias("max_value"),
+    ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# q202 — declarative data-quality rules (CHECK-constraint violations)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q202_constraint_violations",
+    oracle="""
+    SELECT 'lineitem.discount_in_range' AS rule,
+           CAST(COUNT(*) AS BIGINT) AS n_checked,
+           CAST(COUNT(*) FILTER (NOT (l_discount BETWEEN 0 AND 1))
+                AS BIGINT) AS n_violations
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.positive_price',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (NOT (l_extendedprice > 0)) AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem.quantity_bounds',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (NOT (l_quantity BETWEEN 1 AND 50))
+                AS BIGINT)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders.status_domain',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (o_orderstatus NOT IN ('F', 'O', 'P'))
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'orders.total_nonneg',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) FILTER (NOT (o_totalprice >= 0)) AS BIGINT)
+    FROM orders
+    ORDER BY rule
+    """,
+)
+def q202_constraint_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative CHECK-constraint audit: each rule is a predicate over
+    one table; the report is (rule, rows checked, violations) — the
+    dbt-test / Deequ-style data-quality gate as a first-class query.
+    Rules over the same table fuse into ONE scan each (conditional
+    aggregates, map-side combined); NULL predicate results count as
+    violations (NOT(NULL) is NULL → FILTER false on the pass side), the
+    conservative reading an audit wants."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+
+    def rules(df, specs):
+        aggs = [
+            F.struct(
+                F.lit(name).alias("rule"),
+                F.count("*").alias("n_checked"),
+                F.sum(F.when(passed, 0).otherwise(1)).alias("n_violations"),
+            ).alias(f"_r{i}")  # rule names contain dots — unsafe as columns
+            for i, (name, passed) in enumerate(specs)
+        ]
+        row = df.agg(*aggs)
+        return row.select(
+            F.explode(
+                F.array(*[F.col(f"_r{i}") for i in range(len(specs))])
+            ).alias("r")
+        ).select("r.rule", "r.n_checked", "r.n_violations")
+
+    li_rules = rules(
+        li,
+        [
+            (
+                "lineitem.discount_in_range",
+                F.col("l_discount").between(0, 1),
+            ),
+            ("lineitem.positive_price", F.col("l_extendedprice") > 0),
+            (
+                "lineitem.quantity_bounds",
+                F.col("l_quantity").between(1, 50),
+            ),
+        ],
+    )
+    o_rules = rules(
+        o,
+        [
+            (
+                "orders.status_domain",
+                F.col("o_orderstatus").isin("F", "O", "P"),
+            ),
+            ("orders.total_nonneg", F.col("o_totalprice") >= 0),
+        ],
+    )
+    return li_rules.unionByName(o_rules).orderBy("rule")
+
+
+# ---------------------------------------------------------------------------
+# q203 — text-normalization dedup impact
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q203_normalization_impact",
+    oracle="""
+    WITH norm AS (
+      SELECT doc_id, text,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS ntext
+      FROM documents)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_raw,
+           CAST(COUNT(DISTINCT ntext) AS BIGINT) AS distinct_normalized,
+           CAST(COUNT(DISTINCT text) - COUNT(DISTINCT ntext) AS BIGINT)
+             AS collapsed_by_normalization
+    FROM norm
+    """,
+)
+def q203_normalization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text-normalization impact report: how many raw-distinct documents
+    collapse under the canonical normalization (lowercase → strip
+    non-alphanumerics → collapse whitespace → trim) — the measurement
+    that decides whether normalization runs BEFORE exact dedup in a
+    corpus pipeline (it dedups the near-misses md5 equality cannot see).
+    One scan, two distinct aggregates; the normalization chain is plain
+    regexp_replace on both engines (ASCII corpus — no Unicode-fold
+    divergence to reconcile)."""
+    d = load_table(spark, sf_dir, "documents")
+    ntext = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", " "),
+            " +",
+            " ",
+        )
+    )
+    return d.select("text", ntext.alias("ntext")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("text").alias("distinct_raw"),
+        F.countDistinct("ntext").alias("distinct_normalized"),
+        (F.countDistinct("text") - F.countDistinct("ntext")).alias(
+            "collapsed_by_normalization"
+        ),
+    )
