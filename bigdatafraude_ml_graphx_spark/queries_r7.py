@@ -1335,3 +1335,219 @@ def q203_normalization_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "collapsed_by_normalization"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# q204 — trailing 7-day distinct users (sliding distinct via contribution
+# explode, not a windowed COUNT(DISTINCT) — which SQL windows cannot do)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q204_trailing_distinct_users",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+    days AS (SELECT DISTINCT day FROM daily),
+    contrib AS (
+      SELECT t.tday, d.user_id
+      FROM daily d,
+           LATERAL (SELECT unnest(generate_series(d.day,
+                           d.day + INTERVAL 6 DAY, INTERVAL 1 DAY)) AS tday) t),
+    uniq AS (SELECT DISTINCT c.tday, c.user_id
+             FROM contrib c JOIN days x ON x.day = c.tday)
+    SELECT strftime(tday, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS users_7d
+    FROM uniq GROUP BY tday ORDER BY tday
+    """,
+)
+def q204_trailing_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct active users per day — the DAU/WAU-style
+    rolling-distinct metric. COUNT(DISTINCT) OVER a range frame is not
+    expressible in SQL windows, and re-scanning per day is quadratic;
+    instead each (day, user) activity EXPLODES to the ≤7 report days it
+    contributes to (a constant-factor narrow blowup), dedups, and
+    counts — one shuffle on the report-day key, linear at any scale.
+    Report days restrict to days present in the data (join with the
+    observed-day set) so both engines agree on the domain."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    contrib = daily.select(
+        F.explode(
+            F.sequence(
+                "day",
+                F.col("day") + F.expr("INTERVAL 6 DAY"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("tday"),
+        "user_id",
+    )
+    uniq = (
+        contrib.join(days, contrib.tday == days.day, "left_semi")
+        .distinct()
+    )
+    return (
+        uniq.groupBy("tday")
+        .agg(F.count("*").alias("users_7d"))
+        .select(
+            F.date_format("tday", "yyyy-MM-dd").alias("day"),
+            "users_7d",
+            F.col("tday").alias("_ord"),
+        )
+        .orderBy("_ord")
+        .drop("_ord")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q205 — order-to-ship latency distribution (portable epoch arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q205_delivery_latency",
+    oracle="""
+    WITH per_order AS (
+      SELECT l.l_orderkey,
+             CAST(floor((epoch_us(MAX(l.l_shipdate))
+                         - epoch_us(MIN(o.o_orderdate)))
+                        / 86400000000.0) AS BIGINT) AS days
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY l.l_orderkey)
+    SELECT CAST(floor(days / 7.0) AS INT) AS latency_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(days) AS BIGINT) AS min_days,
+           CAST(MAX(days) AS BIGINT) AS max_days
+    FROM per_order GROUP BY 1 ORDER BY 1
+    """,
+)
+def q205_delivery_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-last-shipment latency distribution, bucketed by week.
+    Elapsed days compute as floor of the MICROSECOND difference over
+    86400e6 — the portable formulation (Spark's timestampdiff(DAY)
+    floors elapsed time while DuckDB's date_diff counts boundary
+    crossings; at microsecond granularity they coincide — the r5
+    cross-engine rule). One fact shuffle on the order key; the orders
+    side is joined pre-aggregated (its key is unique)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    per_order = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.max("l_shipdate").alias("_ship"),
+            F.min("o_orderdate").alias("_ord"),
+        )
+        .select(
+            "l_orderkey",
+            F.floor(
+                F.expr("timestampdiff(MICROSECOND, _ord, _ship)")
+                / 86400000000.0
+            ).alias("days"),
+        )
+    )
+    return (
+        per_order.groupBy(
+            F.floor(F.col("days") / 7.0).cast("int").alias("latency_weeks")
+        )
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.min("days").alias("min_days"),
+            F.max("days").alias("max_days"),
+        )
+        .orderBy("latency_weeks")
+    )
+
+
+# ---------------------------------------------------------------------------
+# q206 — top-k per group WITH ties (RANK, not ROW_NUMBER)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q206_topk_with_ties",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK() OVER (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC) AS rnk
+      FROM orders) t
+    WHERE rnk <= 3
+    """,
+)
+def q206_topk_with_ties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer WITH TIES — RANK semantics (every order
+    tying the 3rd-highest price is kept), the ANSI ``FETCH FIRST k ROWS
+    WITH TIES`` behavior q13's ROW_NUMBER variant cannot express. The
+    output needs no tie-break column because ties are INCLUDED —
+    deterministic by construction. Spark still plans WindowGroupLimit
+    for RANK ≤ k (the pushdown covers rank-like functions), so groups
+    keep a bounded heap rather than fully sorting."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc())
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+        )
+        .filter(F.col("rnk") <= 3)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# q207 — new vs returning users per day (first-touch classification)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q207_new_vs_returning",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events),
+    first_day AS (
+      SELECT user_id, MIN(day) AS fday FROM daily GROUP BY user_id)
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) FILTER (d.day = f.fday) AS BIGINT) AS n_new,
+           CAST(COUNT(*) FILTER (d.day > f.fday) AS BIGINT) AS n_returning
+    FROM daily d JOIN first_day f ON f.user_id = d.user_id
+    GROUP BY d.day ORDER BY d.day
+    """,
+)
+def q207_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning user split per day (first-touch cohorting) — the
+    growth-accounting primitive. First-seen days aggregate once per user
+    (map-side combined), re-join the daily activity on the user key, and
+    classify by comparison — two shuffles total, both on user_id, which
+    AQE coalesces into one exchange reuse where partitioning matches."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.date_trunc("day", "ts").alias("day"), "user_id"
+    ).distinct()
+    first_day = daily.groupBy("user_id").agg(F.min("day").alias("fday"))
+    return (
+        daily.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.sum((F.col("day") == F.col("fday")).cast("long")).alias("n_new"),
+            F.sum((F.col("day") > F.col("fday")).cast("long")).alias(
+                "n_returning"
+            ),
+        )
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "n_new",
+            "n_returning",
+            F.col("day").alias("_ord"),
+        )
+        .orderBy("_ord")
+        .drop("_ord")
+    )
