@@ -550,3 +550,20 @@ def test_iterative_and_recursive_plans_never_rescan_base_relations(
     ):
         df = q.QUERIES[name](spark, sf_dir)
         assert parquet_scan_count(df) == 0, name
+
+
+def test_round7_shapes(spark, sf_dir):
+    """Round-7 plan contracts: the basket and CMS top-k cuts compile to
+    TakeOrderedAndProject, the RANK-with-ties window gets the
+    WindowGroupLimit pushdown (the pushdown covers rank-like functions,
+    not just row_number), and the RI audit broadcasts its parent keys."""
+    from bigdatafraude_ml_graphx_spark.plans import uses_window_group_limit
+
+    assert uses_take_ordered(q.QUERIES["q188_market_basket"](spark, sf_dir))
+    assert uses_take_ordered(q.QUERIES["q190_countmin_sketch"](spark, sf_dir))
+    assert uses_window_group_limit(
+        q.QUERIES["q206_topk_with_ties"](spark, sf_dir)
+    )
+    assert uses_broadcast_join(
+        q.QUERIES["q189_referential_integrity"](spark, sf_dir)
+    )
