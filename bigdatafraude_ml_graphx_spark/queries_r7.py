@@ -1551,3 +1551,99 @@ def q207_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("_ord")
         .drop("_ord")
     )
+
+
+# ---------------------------------------------------------------------------
+# q208 — C4-style quality-filter funnel (cumulative survivor counts)
+# ---------------------------------------------------------------------------
+
+_FUNNEL_STOPWORDS = ("a", "the", "of", "and")
+
+
+@query(
+    "q208_filter_funnel",
+    oracle=f"""
+    WITH per_tok AS (
+      SELECT doc_id, w, COUNT(*) AS c FROM (
+        SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+        FROM documents) t
+      GROUP BY doc_id, w),
+    per_doc AS (
+      SELECT doc_id, SUM(c) AS n, MAX(c) AS maxf,
+             COALESCE(SUM(c) FILTER (w IN
+               ({", ".join(repr(s) for s in _FUNNEL_STOPWORDS)})), 0) AS stop
+      FROM per_tok GROUP BY doc_id),
+    flags AS (
+      SELECT n >= 20 AS b1,
+             (n >= 20 AND maxf * 100 <= 15 * n) AS b2,
+             (n >= 20 AND maxf * 100 <= 15 * n
+              AND stop * 100 >= 3 * n) AS b3
+      FROM per_doc)
+    SELECT stage, n_surviving FROM (
+      SELECT '0_input' AS stage, CAST(COUNT(*) AS BIGINT) AS n_surviving
+      FROM flags
+      UNION ALL
+      SELECT '1_min_tokens', CAST(COUNT(*) FILTER (b1) AS BIGINT) FROM flags
+      UNION ALL
+      SELECT '2_max_repetition', CAST(COUNT(*) FILTER (b2) AS BIGINT)
+      FROM flags
+      UNION ALL
+      SELECT '3_min_stopwords', CAST(COUNT(*) FILTER (b3) AS BIGINT)
+      FROM flags) t
+    ORDER BY stage
+    """,
+)
+def q208_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style quality-filter funnel (Raffel et al. 2020's cleaning
+    discipline): cumulative survivor counts through min-length,
+    max-repetition, and min-stopword-ratio gates — the data-card numbers
+    a corpus-cleaning run reports, and the order-sensitivity check
+    (each stage counts docs passing ALL prior gates). Ratio thresholds
+    compare as pure integers (maxf·100 ≤ 15·n, stop·100 ≥ 3·n) so no
+    float boundary exists; per-doc stats derive from one token-count
+    frame (explode → two-level aggregate, both map-side combined)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim(F.col("text")), " ").alias("toks")
+    )
+    per_tok = (
+        toks.select("doc_id", F.explode("toks").alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    per_doc = per_tok.groupBy("doc_id").agg(
+        F.sum("c").alias("n"),
+        F.max("c").alias("maxf"),
+        F.coalesce(
+            F.sum(F.when(F.col("w").isin(*_FUNNEL_STOPWORDS), F.col("c"))),
+            F.lit(0),
+        ).alias("stop"),
+    )
+    b1 = F.col("n") >= 20
+    b2 = b1 & (F.col("maxf") * 100 <= 15 * F.col("n"))
+    b3 = b2 & (F.col("stop") * 100 >= 3 * F.col("n"))
+    row = per_doc.agg(
+        F.count("*").alias("s0"),
+        F.sum(b1.cast("long")).alias("s1"),
+        F.sum(b2.cast("long")).alias("s2"),
+        F.sum(b3.cast("long")).alias("s3"),
+    )
+    stages = [
+        ("0_input", "s0"),
+        ("1_min_tokens", "s1"),
+        ("2_max_repetition", "s2"),
+        ("3_min_stopwords", "s3"),
+    ]
+    return row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("stage"),
+                        F.col(c).alias("n_surviving"),
+                    )
+                    for name, c in stages
+                ]
+            )
+        ).alias("r")
+    ).select("r.stage", "r.n_surviving").orderBy("stage")
