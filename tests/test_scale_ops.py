@@ -134,3 +134,64 @@ def test_grouped_lower_median_matches_window_formulation(spark):
     assert {tuple(r) for r in serial.collect()} == {
         tuple(r) for r in dist.collect()
     }
+
+
+def test_grouped_percentile_disc_matches_window_formulation(spark):
+    """grouped_percentile_disc must equal the serial PERCENTILE_DISC
+    window formulation (min value whose cume_dist reaches p) on arbitrary
+    data including heavy ties, for every requested percentile."""
+    from bigdatafraude_ml_graphx_spark.operators.scale import (
+        grouped_percentile_disc,
+    )
+
+    rng = random.Random(11)
+    rows = [
+        (rng.choice("abc"), float(rng.randint(0, 30)))  # heavy value ties
+        for _ in range(613)
+    ]
+    df = spark.createDataFrame(rows, ["grp", "x"])
+    pcts = (10, 25, 50, 75, 90, 100)
+    dist = {
+        (r.grp, r.pct): r.pval
+        for r in grouped_percentile_disc(df, ["grp"], "x", pcts).collect()
+    }
+    w = Window.partitionBy("grp").orderBy("x")
+    ranked = df.withColumn("cd", F.cume_dist().over(w))
+    for p in pcts:
+        serial = {
+            r.grp: r.pv
+            for r in ranked.filter(F.col("cd") >= p / 100.0)
+            .groupBy("grp")
+            .agg(F.min("x").alias("pv"))
+            .collect()
+        }
+        for g, v in serial.items():
+            assert dist[(g, p)] == v, (g, p)
+
+
+def test_bpe_merges_greedy_semantics(spark):
+    """bpe_merges must replay the textbook greedy algorithm: adjacent
+    non-overlapping occurrences all merge in one round (the double-space
+    encoding property), counts weight by word frequency, and ties break
+    on (count DESC, a, b)."""
+    from bigdatafraude_ml_graphx_spark.functions.bpe import bpe_merges
+
+    words = spark.createDataFrame(
+        [("aaab", 3), ("ab", 2), ("ba", 1)], ["word", "freq"]
+    )
+    merges = bpe_merges(words, 2)
+    # Round 1 pairs: aaab -> (a,a)x2, (a,b); ab -> (a,b); ba -> (b,a)
+    # counts: (a,a)=6, (a,b)=5, (b,a)=1 -> merge (a,a) with count 6.
+    assert merges[0] == (1, "a", "a", "aa", 6)
+    # Round 2: aaab -> [aa, a, b] pairs (aa,a)=3,(a,b)=3; ab (a,b)=2;
+    # ba (b,a)=1 -> (a,b)=5 beats (aa,a)=3.
+    assert merges[1] == (2, "a", "b", "ab", 5)
+
+
+def test_bpe_merges_single_char_vocab(spark):
+    """A vocabulary of single-character words has no pairs: the loop must
+    stop early and return an empty history, not raise."""
+    from bigdatafraude_ml_graphx_spark.functions.bpe import bpe_merges
+
+    words = spark.createDataFrame([("a", 5), ("b", 2)], ["word", "freq"])
+    assert bpe_merges(words, 3) == []
