@@ -1647,3 +1647,103 @@ def q208_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("r")
     ).select("r.stage", "r.n_surviving").orderBy("stage")
+
+
+# ---------------------------------------------------------------------------
+# q209 — modularity of the LPA community partition
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    from .graph.lpa import oracle_lpa_sql
+    from .queries_graph import _EDGES_CTE
+
+    base = oracle_lpa_sql(_EDGES_CTE.strip(), 3)
+    body = base.rsplit("SELECT id, label FROM lab3", 1)[0]
+    return (
+        body
+        + """,
+    labs AS (SELECT id, label FROM lab3),
+    mm AS (SELECT COUNT(*) AS m FROM e0),
+    deg AS (SELECT u AS id, COUNT(*) AS d FROM sym GROUP BY u),
+    dc AS (SELECT l.label, SUM(d.d) AS dsum
+           FROM labs l JOIN deg d ON d.id = l.id GROUP BY l.label),
+    ec AS (SELECT la.label, COUNT(*) AS ein
+           FROM e0 JOIN labs la ON la.id = e0.src
+                   JOIN labs lb ON lb.id = e0.dst
+           WHERE la.label = lb.label GROUP BY la.label),
+    num AS (SELECT COUNT(*) AS n_comm,
+                   SUM(4 * (SELECT m FROM mm) * COALESCE(ec.ein, 0)
+                       - dc.dsum * dc.dsum) AS numer
+            FROM dc LEFT JOIN ec ON ec.label = dc.label)
+    SELECT CAST(n_comm AS BIGINT) AS n_communities,
+           CAST((SELECT m FROM mm) AS BIGINT) AS m_edges,
+           ROUND(CAST(numer AS DOUBLE)
+                 / (4.0 * (SELECT m FROM mm) * (SELECT m FROM mm)), 9)
+             AS modularity
+    FROM num
+    """
+    )
+
+
+@query("q209_graph_modularity", oracle=_modularity_oracle())
+def q209_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the LPA community partition (q137's exact
+    labels) — the partition-quality metric community detection is judged
+    by. Q = Σ_c (e_c/m − (d_c/2m)²) computes as ONE integer numerator
+    Σ_c (4·m·e_c − d_c²) over exact counts followed by a single IEEE
+    divide (the q110/q133 bit-identical rule — a per-community float sum
+    would be order-dependent). Within-community edge counts join the
+    canonical src<dst edge list to the label map twice; degree sums ride
+    the symmetrized incidence — all map-side-combined aggregates."""
+    from .graph.lpa import label_propagation
+    from .queries_graph import _events_edges
+
+    edges = (
+        _events_edges(spark, sf_dir)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # read 4x: LPA + m + degrees + e_c
+    )
+    labels = label_propagation(edges, num_iterations=3)
+    mrow = edges.agg(F.count("*").alias("m"))
+    sym = (
+        edges.select(F.col("src").alias("u"))
+        .unionByName(edges.select(F.col("dst").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").alias("d"))
+    )
+    dc = (
+        labels.join(sym, labels.id == sym.u)
+        .groupBy("label")
+        .agg(F.sum("d").alias("dsum"))
+    )
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
+    ec = (
+        edges.join(la, "src")
+        .join(lb, "dst")
+        .filter(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("label"))
+        .agg(F.count("*").alias("ein"))
+    )
+    num = (
+        dc.join(ec, "label", "left_outer")
+        .crossJoin(F.broadcast(mrow))
+        .agg(
+            F.count("*").alias("n_communities"),
+            F.first("m").alias("m_edges"),
+            F.sum(
+                4 * F.col("m") * F.coalesce(F.col("ein"), F.lit(0))
+                - F.col("dsum") * F.col("dsum")
+            ).alias("numer"),
+        )
+    )
+    return num.select(
+        "n_communities",
+        "m_edges",
+        F.round(
+            F.col("numer").cast("double")
+            / (4.0 * F.col("m_edges") * F.col("m_edges")),
+            9,
+        ).alias("modularity"),
+    )
