@@ -1747,3 +1747,101 @@ def q209_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("modularity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# q210 — BM25 ranking for a fixed query (search-scoring primitive)
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ("table", "value", "fast")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOPN = 20
+
+
+@query(
+    "q210_bm25_ranking",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(trim(text), ' ')) AS w
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    stats AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    tf AS (
+      SELECT doc_id, w AS term, COUNT(*) AS tf FROM toks
+      WHERE w IN ({", ".join(repr(t) for t in _BM25_TERMS)})
+      GROUP BY doc_id, w),
+    dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    comp AS (
+      SELECT tf.doc_id,
+             CAST(ROUND(
+               ln(1.0 + (CAST(s.n AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5)
+                        / (CAST(d.df AS DOUBLE) + 0.5))
+               * (CAST(tf.tf AS DOUBLE) * ({_BM25_K1} + 1.0))
+               / (CAST(tf.tf AS DOUBLE)
+                  + {_BM25_K1} * (1.0 - {_BM25_B}
+                     + {_BM25_B} * CAST(l.dl AS DOUBLE) / s.avgdl)), 6)
+               AS DECIMAL(18,6)) AS c
+      FROM tf JOIN dfreq d ON d.term = tf.term
+              JOIN dl l ON l.doc_id = tf.doc_id
+              CROSS JOIN stats s)
+    SELECT doc_id, CAST(SUM(c) AS DOUBLE) AS bm25
+    FROM comp GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPN}
+    """,
+)
+def q210_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (Robertson-Walker-Jones) for a fixed query —
+    the lexical-search scoring primitive (k1={1.2}, b={0.75}). Per-term
+    components compute as ONE identical double expression tree on both
+    engines, round to the 6-dp grid (the post-``ln`` discipline — ln is
+    the one non-correctly-rounded function in the chain), sum as
+    DECIMAL(18,6) (order-independent), and the top-{20} cut compiles to
+    TakeOrderedAndProject. Term stats (df) and corpus stats (N, avgdl)
+    are 3-row / 1-row broadcast frames — the score join touches only
+    docs containing a query term (the inverted-index shape: |postings|,
+    not |corpus|·|terms|)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    tf = (
+        toks.filter(F.col("w").isin(*_BM25_TERMS))
+        .groupBy("doc_id", F.col("w").alias("term"))
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tfd = F.col("tf").cast("double")
+    idf = F.log(
+        1.0
+        + (F.col("n").cast("double") - F.col("df").cast("double") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+    )
+    frac = (tfd * (_BM25_K1 + 1.0)) / (
+        tfd
+        + _BM25_K1
+        * (1.0 - _BM25_B + _BM25_B * F.col("dl").cast("double") / F.col("avgdl"))
+    )
+    comp = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(idf * frac, 6).cast("decimal(18,6)").alias("c"),
+        )
+    )
+    return (
+        comp.groupBy("doc_id")
+        .agg(F.sum("c").cast("double").alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(_BM25_TOPN)
+    )
