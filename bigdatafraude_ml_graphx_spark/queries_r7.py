@@ -1845,3 +1845,81 @@ def q210_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(_BM25_TOPN)
     )
+
+
+# ---------------------------------------------------------------------------
+# q211 — streaming Python DataSource driven as a query (Spark 4
+# SimpleDataSourceStreamReader), byte-exact SQL replay oracle
+# ---------------------------------------------------------------------------
+
+_STREAM_SYNTH_N = 240
+_STREAM_SYNTH_BATCH = 50
+
+
+def _stream_synth_oracle() -> str:
+    from .queries_r6c import _SYNTH_WORDS_SQL, _synth_rng_sql
+
+    return f"""
+    WITH ids AS (SELECT unnest(range(0, {_STREAM_SYNTH_N})) AS i),
+    docs AS (
+      SELECT i AS doc_id,
+             array_to_string(
+               list_transform(
+                 range(0, 20 + {_synth_rng_sql("'len'")} % 80),
+                 j -> ({_SYNTH_WORDS_SQL})[
+                        CAST({_synth_rng_sql("'w' || CAST(j AS VARCHAR)")}
+                             % 20 AS INT) + 1]),
+               ' ') AS text,
+             (['en','de','es','fr'])[
+               CAST({_synth_rng_sql("'lang'")} % 4 AS INT) + 1] AS lang
+      FROM ids)
+    SELECT doc_id, text, lang FROM docs
+    """
+
+
+@query("q211_python_stream_source", oracle=_stream_synth_oracle())
+def q211_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Spark 4 STREAMING Python data source
+    (``SimpleDataSourceStreamReader``) driven end-to-end as a query: the
+    synthetic corpus streams in {50}-row microbatches (offsets are plain
+    doc_id cursors; replays regenerate rows from (seed, doc_id) — an
+    exactly-once source with zero stored state), drains into a memory
+    sink, and every byte hash-checks against the same pure-SQL
+    regeneration that certifies the batch face (q181). The drain loop
+    polls the sink to the known row count with a loud timeout — the
+    custom-source equivalent of availableNow, which Python stream
+    readers do not implement."""
+    import time
+    import uuid
+
+    from .queries_r6c import _SYNTH_SEED
+    from .sources.pydatasource import register_synth_docs
+
+    register_synth_docs(spark)
+    stream = (
+        spark.readStream.format("synth_docs")
+        .option("n", _STREAM_SYNTH_N)
+        .option("seed", _SYNTH_SEED)
+        .option("rows_per_batch", _STREAM_SYNTH_BATCH)
+        .load()
+    )
+    name = f"q211_sink_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 120
+        while spark.table(name).count() < _STREAM_SYNTH_N:
+            if time.monotonic() > deadline:
+                raise RuntimeError(
+                    f"q211: stream did not deliver {_STREAM_SYNTH_N} rows "
+                    "within 120 s — source or sink is wedged."
+                )
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    return spark.table(name).select("doc_id", "text", "lang")

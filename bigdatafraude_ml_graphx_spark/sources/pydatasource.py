@@ -81,7 +81,54 @@ class SynthDocsDataSource(DataSource):
     def reader(self, schema) -> SynthDocsReader:
         return SynthDocsReader(self.options)
 
+    def simpleStreamReader(self, schema):
+        return SynthDocsStreamReader(self.options)
+
 
 def register_synth_docs(spark) -> None:
     """Idempotent registration of the synth_docs format on a session."""
     spark.dataSource.register(SynthDocsDataSource)
+
+
+try:  # Spark 4 streaming Python data source API
+    from pyspark.sql.datasource import SimpleDataSourceStreamReader
+except ImportError:  # pragma: no cover — older Spark
+    SimpleDataSourceStreamReader = object
+
+
+class SynthDocsStreamReader(SimpleDataSourceStreamReader):
+    """Streaming face of the synthetic corpus: offsets are plain doc_id
+    cursors, each microbatch emits the next ``rows_per_batch`` documents,
+    and a drained source returns empty batches forever (the bounded-feed
+    shape load tests want). Replays (``readBetweenOffsets``) regenerate
+    the identical rows from (seed, doc_id) — exactly-once without any
+    stored state, which is the whole point of a deterministic feeder."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 1000))
+        self.seed = int(options.get("seed", 0))
+        self.per = int(options.get("rows_per_batch", 100))
+
+    def initialOffset(self):
+        return {"i": 0}
+
+    def _rows(self, start: int, end: int):
+        langs = ("en", "de", "es", "fr")
+        return iter(
+            [
+                (
+                    doc_id,
+                    _doc_text(self.seed, doc_id),
+                    langs[_rng(self.seed, doc_id, "lang") % len(langs)],
+                )
+                for doc_id in range(start, end)
+            ]
+        )
+
+    def read(self, start):
+        i = int(start["i"])
+        end = min(i + self.per, self.n)
+        return (self._rows(i, end), {"i": end})
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(int(start["i"]), int(end["i"]))
