@@ -1923,3 +1923,107 @@ def q211_python_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
     return spark.table(name).select("doc_id", "text", "lang")
+
+
+# ---------------------------------------------------------------------------
+# q212 — degree distribution + power-law slope of the co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q212_degree_distribution",
+    oracle="""
+    WITH b AS (SELECT DISTINCT user_id AS entity,
+                      date_trunc('hour', ts) AS bucket, event_type
+               FROM events),
+    ew AS (SELECT a.entity AS src, b2.entity AS dst
+           FROM b a JOIN b b2
+             ON a.bucket = b2.bucket AND a.event_type = b2.event_type
+            AND a.entity < b2.entity
+           GROUP BY 1, 2
+           HAVING COUNT(*) >= 5),
+    sym AS (SELECT src AS u, dst AS v FROM ew UNION SELECT dst, src FROM ew),
+    deg AS (SELECT u, COUNT(*) AS d FROM sym GROUP BY u),
+    hist AS (SELECT d, COUNT(*) AS n_nodes FROM deg GROUP BY d),
+    pts AS (
+      SELECT CAST(ROUND(ln(CAST(d AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+             CAST(ROUND(ln(CAST(n_nodes AS DOUBLE)), 6) AS DECIMAL(18,6))
+               AS y
+      FROM hist),
+    m AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x) AS DOUBLE) AS sx, CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x * y) AS DOUBLE) AS sxy,
+             CAST(SUM(x * x) AS DOUBLE) AS sxx
+      FROM pts)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM ew) AS BIGINT) AS n_edges,
+           CAST((SELECT MAX(d) FROM deg) AS INT) AS max_degree,
+           CAST((SELECT COUNT(*) FROM hist) AS BIGINT) AS n_distinct_degrees,
+           ROUND((m.n * m.sxy - m.sx * m.sy)
+                 / (m.n * m.sxx - m.sx * m.sx), 9) AS powerlaw_slope
+    FROM m
+    """,
+)
+def q212_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree-distribution census of the sparsified co-occurrence graph
+    with a log-log OLS power-law slope — the scale-free-ness diagnostic
+    that predicts hub skew (and therefore whether the degree² pair
+    builders need their caps — the number behind the repo's hub-proofing
+    discipline). The OLS runs over the DEGREE HISTOGRAM (|distinct
+    degrees| rows — bounded by max degree, not node count); ln outputs
+    land on the 6-dp grid and become DECIMAL before the moment sums
+    (the q157 Zipf contract), final slope on the 9-dp grid."""
+    from .graph import cooccurrence_edges
+
+    ev = load_table(spark, sf_dir, "events")
+    e = (
+        cooccurrence_edges(ev, "user_id", "ts", "hour", ("event_type",))
+        .filter(F.col("weight") >= 5)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # read twice: edge count + degrees
+    )
+    deg = (
+        e.select(F.col("src").alias("u"))
+        .unionByName(e.select(F.col("dst").alias("u")))
+        .groupBy("u")
+        .agg(F.count("*").alias("d"))
+    )
+    hist = deg.groupBy("d").agg(F.count("*").alias("n_nodes")).localCheckpoint(
+        eager=True
+    )  # read twice: stats + OLS points
+    dec = "decimal(18,6)"
+    pts = hist.select(
+        F.round(F.log(F.col("d").cast("double")), 6).cast(dec).alias("x"),
+        F.round(F.log(F.col("n_nodes").cast("double")), 6).cast(dec).alias("y"),
+    )
+    m = pts.agg(
+        F.count("*").cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+    )
+    stats = hist.agg(
+        # COALESCE: on an empty (fully sparsified-away) graph the oracle's
+        # COUNT(*) is 0 while SUM over zero rows is NULL — sf0.001 case.
+        F.coalesce(F.sum("n_nodes"), F.lit(0)).alias("n_nodes"),
+        F.max("d").cast("int").alias("max_degree"),
+        F.count("*").alias("n_distinct_degrees"),
+    )
+    ecnt = e.agg(F.count("*").alias("n_edges"))
+    return (
+        stats.crossJoin(F.broadcast(ecnt))
+        .crossJoin(F.broadcast(m))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "max_degree",
+            "n_distinct_degrees",
+            F.round(
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+                9,
+            ).alias("powerlaw_slope"),
+        )
+    )
