@@ -37,6 +37,8 @@ from . import queries_r6  # noqa: F401  (Benford/KMV/Zipf/rolling-hash/IVM/attri
 from . import queries_r6b  # noqa: F401  (CDC chunking/OOV/unigram-LM/walks/drift/readability/mixture)
 from . import queries_r6c  # noqa: F401  (DAG levels / EWMA / Markov transitions)
 from . import queries_r7  # noqa: F401  (BPE merges / SemDeDup)
+from . import queries_r7b  # noqa: F401  (perplexity filter / DSIR / boilerplate / BPE encode)
+from . import queries_r7c  # noqa: F401  (z-order / compaction / interval coverage / zone maps)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a
