@@ -40,6 +40,7 @@ from . import queries_r7  # noqa: F401  (BPE merges / SemDeDup)
 from . import queries_r7b  # noqa: F401  (perplexity filter / DSIR / boilerplate / BPE encode)
 from . import queries_r7c  # noqa: F401  (z-order / compaction / interval coverage / zone maps)
 from . import queries_r7d  # noqa: F401  (RFM / Pareto / mode / autocorrelation)
+from . import queries_r7e  # noqa: F401  (k-means / target encoding / feature hashing / TextRank)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a
