@@ -117,8 +117,10 @@ def q225_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id")
         .withColumn("cid", F.row_number().over(Window.orderBy("vec_id")) - 1)
     )
-    cent = pe.join(F.broadcast(seeds), "vec_id").select(
-        "cid", "pos", F.col("vq").alias("cq")
+    cent = (
+        pe.join(F.broadcast(seeds), "vec_id")
+        .select("cid", "pos", F.col("vq").alias("cq"))
+        .localCheckpoint(eager=True)  # k·dim rows; cuts the seed-scan lineage
     )
     assign = None
     for _ in range(_KM_ROUNDS):

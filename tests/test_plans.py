@@ -567,3 +567,49 @@ def test_round7_shapes(spark, sf_dir):
     assert uses_broadcast_join(
         q.QUERIES["q189_referential_integrity"](spark, sf_dir)
     )
+
+
+def test_round7_batch2_shapes(spark, sf_dir):
+    """Round-7 batch-2+ plan contracts: the DSIR and TextRank top-n cuts
+    compile to TakeOrderedAndProject (never a global sort); the Pareto
+    crossing's LIMIT 1 likewise; the iterative/checkpointed frames
+    (k-means rounds, TextRank's PageRank loop) contain ZERO parquet
+    scans in their final plans — the same no-rescan discipline as
+    q162/q175/q180; and the z-order Morton fold stays JVM-side (no
+    Python evaluation node in the plan)."""
+    from bigdatafraude_ml_graphx_spark.plans import (
+        formatted_plan,
+        parquet_scan_count,
+    )
+
+    assert uses_take_ordered(q.QUERIES["q214_dsir_weights"](spark, sf_dir))
+    assert uses_take_ordered(q.QUERIES["q222_pareto_coverage"](spark, sf_dir))
+
+    tr = q.QUERIES["q228_textrank_keywords"](spark, sf_dir)
+    assert uses_take_ordered(tr)
+    assert parquet_scan_count(tr) == 0  # ranks live in checkpointed blocks
+
+    km = q.QUERIES["q225_kmeans_lloyd"](spark, sf_dir)
+    assert parquet_scan_count(km) == 0  # rounds read the checkpointed grid
+
+    zo = q.QUERIES["q217_zorder_keys"](spark, sf_dir)
+    assert "BatchEvalPython" not in formatted_plan(zo)
+    assert "ArrowEvalPython" not in formatted_plan(zo)
+
+
+def test_round7_mode_prunes_join_columns(spark, sf_dir):
+    """q223's mode rollup must read only the two needed columns from each
+    side — the pruning that keeps the fact join narrow at 100 TB."""
+    from bigdatafraude_ml_graphx_spark.plans import formatted_plan
+    import re
+
+    df = q.QUERIES["q223_group_mode"](spark, sf_dir)
+    plan = formatted_plan(df)
+    schemas = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for s in schemas for c in s.split(",") if c}
+    assert cols == {
+        "l_orderkey",
+        "l_returnflag",
+        "o_orderkey",
+        "o_orderpriority",
+    }
