@@ -287,3 +287,65 @@ def grouped_percentile_disc(
         .groupBy(*groups, pct_col)
         .agg(F.min(value_col).alias(out_col))
     )
+
+
+def pareto_prefix(
+    df: DataFrame,
+    value_col: str,
+    pct: int,
+) -> DataFrame:
+    """Smallest prefix of rows (ordered by ``value_col`` DESC) whose values
+    sum to at least ``pct`` percent of the total — the Pareto/concentration
+    primitive, computed with the two-phase counting discipline: the ordered
+    cumulative runs over the per-VALUE rollup (|distinct values| rows,
+    map-side combined), the crossing test is pure integer
+    (``100·cum ≥ pct·total``), and the cut inside the crossing tie-group is
+    a ceiling division (rows with equal value are interchangeable, so the
+    minimal prefix is exact). ``value_col`` must be integer-typed (quantize
+    monetary values to cents first) and non-negative.
+
+    Returns one row: ``(n_rows, top_n, top_share)`` where ``top_share`` is
+    the exact share the minimal prefix holds (≥ pct/100), as a double of
+    two exact int64 operands.
+    """
+    vals = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count("*").alias("_c"),
+        (F.col(value_col) * F.count("*")).alias("_r"),
+    )
+    wd = Window.orderBy(F.col("_v").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = vals.select(
+        "_v",
+        "_c",
+        "_r",
+        F.sum("_c").over(wd).alias("_cum_c"),
+        F.sum("_r").over(wd).alias("_cum_r"),
+        F.sum("_r").over(wall).alias("_t"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    crossing = (
+        cum.filter(100 * F.col("_cum_r") >= pct * F.col("_t"))
+        .orderBy(F.col("_v").desc())
+        .limit(1)
+    )
+    k = F.floor(
+        (
+            pct * F.col("_t")
+            - 100 * (F.col("_cum_r") - F.col("_r"))
+            + 100 * F.col("_v")
+            - 1
+        )
+        / (100.0 * F.col("_v"))
+    ).cast("long")
+    return crossing.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        (F.col("_cum_c") - F.col("_c") + k).cast("long").alias("top_n"),
+        (
+            (F.col("_cum_r") - F.col("_r") + k * F.col("_v")).cast("double")
+            / F.col("_t").cast("double")
+        ).alias("top_share"),
+    )

@@ -31,6 +31,8 @@ general formulations the reference never wrote:
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -206,3 +208,52 @@ def bucketed_interval_join(
     )
     out = p.alias("p").join(b.alias("b"), cond, how)
     return out.drop(F.col("p.__bucket")).drop(F.col("b.__bucket"))
+
+
+def interval_union_coverage(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    start_col: str,
+    end_col: str,
+    tie_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Merge overlapping ``[start, end)`` intervals per key (gaps-and-
+    islands) and return ``(key…, n_islands, covered)`` where ``covered``
+    is the total length of the UNION (not the sum — overlaps count once).
+
+    Island detection is the running-max rule: an interval opens a new
+    island iff its start exceeds the max end over ALL earlier intervals
+    of the key (adjacent-only comparison breaks on nested intervals).
+    ``start_col``/``end_col`` should be numeric (integer epochs keep the
+    arithmetic exact); ``tie_cols`` complete the total order for equal
+    starts. One shuffle on the key; two windows + two aggregates, all
+    key-partitioned.
+    """
+    keys = list(key_cols)
+    order = [start_col, *tie_cols]
+    wprev = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wrun = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = df.withColumn("_pmax", F.max(end_col).over(wprev))
+    isl = m.withColumn(
+        "_island",
+        F.sum(
+            F.when(
+                F.col("_pmax").isNull() | (F.col(start_col) > F.col("_pmax")), 1
+            ).otherwise(0)
+        ).over(wrun),
+    )
+    agg = isl.groupBy(*keys, "_island").agg(
+        F.min(start_col).alias("_st"), F.max(end_col).alias("_en")
+    )
+    return agg.groupBy(*keys).agg(
+        F.count("*").cast("long").alias("n_islands"),
+        F.sum(F.col("_en") - F.col("_st")).cast("long").alias("covered"),
+    )

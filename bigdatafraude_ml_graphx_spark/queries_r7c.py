@@ -203,35 +203,14 @@ def q219_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
         ).alias("s"),
     )
+    from .operators.temporal import interval_union_coverage
+
     e = e.withColumn("f", F.col("s") + _COVER_TTL_US)
-    wprev = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wrun = (
-        Window.partitionBy("user_id")
-        .orderBy("s", "event_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = e.withColumn("pmax", F.max("f").over(wprev))
-    isl = m.withColumn(
-        "island",
-        F.sum(
-            F.when(
-                F.col("pmax").isNull() | (F.col("s") > F.col("pmax")), 1
-            ).otherwise(0)
-        ).over(wrun),
-    )
-    agg = isl.groupBy("user_id", "island").agg(
-        F.min("s").alias("st"), F.max("f").alias("en")
-    )
     return (
-        agg.groupBy("user_id")
-        .agg(
-            F.count("*").cast("long").alias("n_islands"),
-            F.sum(F.col("en") - F.col("st")).cast("long").alias("covered_micros"),
+        interval_union_coverage(
+            e, ["user_id"], "s", "f", tie_cols=["event_id"]
         )
+        .withColumnRenamed("covered", "covered_micros")
         .orderBy("user_id")
     )
 

@@ -145,51 +145,16 @@ def q222_pareto_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality the value rollup approaches |customers| and the ordered
     cumulative serializes — the documented mitigation is banding revenue
     before the rollup (same crossing arithmetic on band sums)."""
+    from .operators.scale import pareto_prefix
+
     o = load_table(spark, sf_dir, "orders")
     cust = o.groupBy("o_custkey").agg(
         (F.sum(F.col("o_totalprice").cast("decimal(28,6)")) * 100)
         .cast("long")
         .alias("m_cents")
     )
-    vals = cust.groupBy(F.col("m_cents").alias("v")).agg(
-        F.count("*").alias("c"), (F.col("m_cents") * F.count("*")).alias("r")
-    )
-    wd = Window.orderBy(F.col("v").desc()).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    wall = Window.orderBy(F.lit(1)).rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    cum = vals.select(
-        "v",
-        "c",
-        "r",
-        F.sum("c").over(wd).alias("cum_c"),
-        F.sum("r").over(wd).alias("cum_r"),
-        F.sum("r").over(wall).alias("t"),
-        F.sum("c").over(wall).alias("n"),
-    )
-    crossing = (
-        cum.filter(100 * F.col("cum_r") >= _PARETO_PCT * F.col("t"))
-        .orderBy(F.col("v").desc())
-        .limit(1)
-    )
-    k = F.floor(
-        (
-            _PARETO_PCT * F.col("t")
-            - 100 * (F.col("cum_r") - F.col("r"))
-            + 100 * F.col("v")
-            - 1
-        )
-        / (100.0 * F.col("v"))
-    ).cast("long")
-    return crossing.select(
-        F.col("n").cast("long").alias("n_customers"),
-        (F.col("cum_c") - F.col("c") + k).cast("long").alias("top_n"),
-        (
-            (F.col("cum_r") - F.col("r") + k * F.col("v")).cast("double")
-            / F.col("t").cast("double")
-        ).alias("top_share"),
+    return pareto_prefix(cust, "m_cents", _PARETO_PCT).withColumnRenamed(
+        "n_rows", "n_customers"
     )
 
 
