@@ -27,3 +27,22 @@ def test_all_queries_run(spark, sf_dir):
     for name, fn in q.QUERIES.items():
         df = fn(spark, sf_dir)
         assert df.count() >= 0, name
+
+
+def test_no_query_plan_uses_row_at_a_time_python(spark, sf_dir):
+    """Global stay-JVM-side contract: no declared query's optimized plan
+    may contain a ``BatchEvalPython`` node (a row-at-a-time Python UDF —
+    the ~10-100x-slower path SURVEY §4 bans from hot paths). Arrow-batched
+    nodes (``ArrowEvalPython``, ``FlatMapGroupsInPandas``, ``MapInPandas``,
+    ``FlatMapGroupsInPandasWithState``) remain the sanctioned vectorized
+    escape hatch for genuinely non-relational kernels (multimodal decode,
+    stateful streaming, the Python DataSource) and are not restricted
+    here. The repo currently has ZERO ``F.udf`` call sites; this sweep
+    keeps it that way as a tested contract rather than a convention."""
+    from bigdatafraude_ml_graphx_spark.plans import formatted_plan
+
+    offenders = []
+    for name, fn in q.QUERIES.items():
+        if "BatchEvalPython" in formatted_plan(fn(spark, sf_dir)):
+            offenders.append(name)
+    assert offenders == []
