@@ -59,8 +59,13 @@ def q221_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     never a single global sort of the customer rollup; score 1 = lowest
     metric value (oldest / fewest / cheapest), matching the plain
     ``NTILE(5) OVER (ORDER BY metric, custkey)`` the oracle runs. Scale:
-    the rollup is one shuffle of orders by custkey; each scoring pass
-    shuffles only the (value, count) table."""
+    the rollup is one shuffle of orders by custkey, then each scoring
+    pass shuffles only the (value, count) table. The rollup and each
+    scored stage localCheckpoint: ``distributed_ntile`` consumes its
+    input twice (value counts + rank re-join), so three chained bare
+    passes would re-execute the orders rollup 2^3 = 8 times (16 parquet
+    scans measured) — the checkpoints pin one scan and one rollup
+    shuffle total, over frames bounded at |customers| rows."""
     from .operators.scale import distributed_ntile
 
     o = load_table(spark, sf_dir, "orders")
@@ -80,9 +85,13 @@ def q221_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum(F.col("o_totalprice").cast("decimal(28,6)")) * 100)
         .cast("long")
         .alias("m_cents"),
-    )
-    scored = distributed_ntile(base, "recency_days", ["o_custkey"], 5, "r_score")
-    scored = distributed_ntile(scored, "freq", ["o_custkey"], 5, "f_score")
+    ).localCheckpoint(eager=True)
+    scored = distributed_ntile(
+        base, "recency_days", ["o_custkey"], 5, "r_score"
+    ).localCheckpoint(eager=True)
+    scored = distributed_ntile(
+        scored, "freq", ["o_custkey"], 5, "f_score"
+    ).localCheckpoint(eager=True)
     scored = distributed_ntile(scored, "m_cents", ["o_custkey"], 5, "m_score")
     return (
         scored.groupBy("r_score", "f_score", "m_score")

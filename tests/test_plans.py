@@ -569,6 +569,31 @@ def test_round7_shapes(spark, sf_dir):
     )
 
 
+def test_round7_single_scan_contracts(spark, sf_dir):
+    """Single-scan plan contracts for the session-3 rewrites.
+
+    q189: the RI audit probes all of lineitem's outgoing FK edges in ONE
+    pass over the child — the plan holds exactly 8 physical parquet scans
+    (lineitem + 3 key-only parents, orders + customer for the o_custkey
+    edge, customer + nation for the c_nationkey edge). parquet_scan_count
+    matches ``Scan parquet`` in the formatted plan, which lists every
+    node twice (tree + details), so 8 physical ⇔ 16. The pre-rewrite
+    per-edge anti-join plan measured 30 (15 physical — lineitem alone
+    re-scanned 6×).
+
+    q221: the RFM rollup and the first two scoring passes localCheckpoint,
+    so the final plan reads checkpointed blocks only — zero parquet scans
+    (distributed_ntile consumes its input twice; three chained bare passes
+    re-executed the orders rollup 2^3 times)."""
+    from bigdatafraude_ml_graphx_spark.plans import parquet_scan_count
+
+    ri = q.QUERIES["q189_referential_integrity"](spark, sf_dir)
+    assert parquet_scan_count(ri) == 16  # 8 physical scans, one per role
+
+    rfm = q.QUERIES["q221_rfm_segments"](spark, sf_dir)
+    assert parquet_scan_count(rfm) == 0
+
+
 def test_round7_batch2_shapes(spark, sf_dir):
     """Round-7 batch-2+ plan contracts: the DSIR and TextRank top-n cuts
     compile to TakeOrderedAndProject (never a global sort); the Pareto
