@@ -512,15 +512,35 @@ def q150_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the q85 correlation discipline — no float partials to reorder);
     the final ratio is three IEEE ops parenthesized identically in both
     engines, landed on the 9-dp grid for the wide-DECIMAL→double
-    conversion."""
-    edges = _events_edges(spark, sf_dir).filter(F.col("weight") >= 5).select(
-        "src", "dst"
+    conversion. The strong-tie edge list localCheckpoints once (the q209
+    discipline): it feeds the symmetrized frame, which is consumed three
+    times (degree rollup + two endpoint joins) — bare, the wedge-join
+    edge build replayed per consumer (6 events scans measured; at 100×
+    the build dominates and a 6× replay is the q173 defect class). The
+    degree table re-attaches via size-guarded broadcast (|V| rows)."""
+    from .plans.hints import broadcast_if_small
+
+    edges = (
+        _events_edges(spark, sf_dir)
+        .filter(F.col("weight") >= 5)
+        .select("src", "dst")
+        .localCheckpoint(eager=True)  # read 3x: degrees + both endpoint joins
     )
     sym = symmetrize(edges).select("src", "dst")
     deg = sym.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("d"))
     pairs = (
-        sym.join(deg.select(F.col("id").alias("src"), F.col("d").alias("x")), "src")
-        .join(deg.select(F.col("id").alias("dst"), F.col("d").alias("y")), "dst")
+        sym.join(
+            broadcast_if_small(
+                deg.select(F.col("id").alias("src"), F.col("d").alias("x"))
+            ),
+            "src",
+        )
+        .join(
+            broadcast_if_small(
+                deg.select(F.col("id").alias("dst"), F.col("d").alias("y"))
+            ),
+            "dst",
+        )
         .select("x", "y")
     )
     # cast INSIDE the sum (the q85 discipline, ADVICE r5 item 1): the

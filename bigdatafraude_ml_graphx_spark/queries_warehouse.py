@@ -640,7 +640,12 @@ def q144_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     serial window; at 100 TB distinct cent-values saturate around 10⁷
     while rows reach 10¹¹ — the sorted window input shrinks ~10⁴× and the
     serial variant simply stops finishing.) The per-group medians
-    re-attach by broadcast (|groups| rows). All
+    re-attach by broadcast (|groups| rows) and the ``med`` frame
+    localCheckpoints: it is consumed twice (deviation join + final
+    re-attach) and its lineage is a full median pass — bare, the plan
+    replayed that pass and re-scanned lineitem 3×. The fact projection
+    itself is deliberately NOT checkpointed: two column-pruned scans
+    (one per median level) beat materializing a 10¹¹-row frame. All
     arithmetic is single IEEE ops over the raw doubles — deterministic
     in any engine and partitioning."""
     from .operators.scale import grouped_lower_median
@@ -648,7 +653,9 @@ def q144_mad_robust_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_returnflag", F.col("l_extendedprice").cast("double").alias("x")
     )
-    med = grouped_lower_median(li, ["l_returnflag"], "x", "median_price")
+    med = grouped_lower_median(
+        li, ["l_returnflag"], "x", "median_price"
+    ).localCheckpoint(eager=True)
     dev = li.join(F.broadcast(med), "l_returnflag").select(
         "l_returnflag",
         "median_price",

@@ -146,6 +146,8 @@ _DRIVER_CERTIFIED = frozenset({
     "q154_supplier_diversity",      # r7: null-symmetric s_acctbal exclusion (ADVICE)
     "q158_kmv_distinct",            # r7: exact_customers over o_custkey, not hash prefix (ADVICE)
     "q164_stream_outer_join",       # r7: sentinel-gated cache validity in events_stream_flushed (ADVICE)
+    "q144_mad_robust_stats",        # r7: checkpointed med frame (was 3 lineitem scans)
+    "q150_degree_assortativity",    # r7: checkpointed edge list (was 6 events scans)
 })
 
 

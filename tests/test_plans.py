@@ -593,6 +593,24 @@ def test_round7_single_scan_contracts(spark, sf_dir):
     rfm = q.QUERIES["q221_rfm_segments"](spark, sf_dir)
     assert parquet_scan_count(rfm) == 0
 
+    # q150: the strong-tie edge list checkpoints once, so the wedge-join
+    # edge build no longer replays per consumer (was 6 events scans).
+    assert (
+        parquet_scan_count(
+            q.QUERIES["q150_degree_assortativity"](spark, sf_dir)
+        )
+        == 0
+    )
+
+    # q144: the checkpointed med frame stops the first median pass from
+    # replaying inside the deviation/final joins — exactly one lineitem
+    # scan survives (the MAD level; the fact projection is deliberately
+    # NOT checkpointed, so the scan itself remains).
+    assert (
+        parquet_scan_count(q.QUERIES["q144_mad_robust_stats"](spark, sf_dir))
+        == 2  # 1 physical scan (formatted plan lists tree + details)
+    )
+
 
 def test_round7_batch2_shapes(spark, sf_dir):
     """Round-7 batch-2+ plan contracts: the DSIR and TextRank top-n cuts
