@@ -730,7 +730,11 @@ def q194_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
     (per-round localCheckpoint, fingerprint convergence, loud raise);
     the oracle closes the same BFS with a UNION-dedup recursive CTE
     bounded by |V|. Sparsification (weight ≥ {5}) per the repo rule:
-    the raw co-occurrence graph is near-complete."""
+    the raw co-occurrence graph is near-complete. The sparsified edge
+    list localCheckpoints once (the q209 discipline): it feeds the BFS
+    persist AND both halves of the landmark-selection vertex union —
+    bare, the wedge-join edge build executed 3× (the landmark frame's
+    lineage runs eagerly inside the BFS's first checkpoint)."""
     from .graph import cooccurrence_edges
     from .graph.bfs import shortest_paths
 
@@ -739,6 +743,7 @@ def q194_graph_eccentricity(spark: SparkSession, sf_dir: str) -> DataFrame:
         cooccurrence_edges(ev, "user_id", "ts", "hour", ("event_type",))
         .filter(F.col("weight") >= _ECC_MIN_WEIGHT)
         .select("src", "dst")
+        .localCheckpoint(eager=True)  # read 3x: BFS sym + vertex union
     )
     verts = (
         e.select(F.col("src").alias("id"))
