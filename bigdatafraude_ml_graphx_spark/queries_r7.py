@@ -279,11 +279,23 @@ def q188_market_basket(spark: SparkSession, sf_dir: str) -> DataFrame:
     work; the basket cap (orders with > {50} distinct parts drop —
     inert on TPC-H's ≤7-line orders, hub-proof against degenerate
     baskets at 100×) follows the shared pair-builder discipline; the
-    top-k compiles to TakeOrderedAndProject, never a global sort."""
+    top-k compiles to TakeOrderedAndProject, never a global sort. The
+    distinct (order, part) frame localCheckpoints once: it is consumed
+    4× (the cap's hot-key rollup + its anti-join, then both self-join
+    sides) and bare each consumer replayed the scan AND the distinct
+    shuffle (4 of each measured). The checkpoint is the minimal 2-int
+    representation of the baskets (the q209 edge-list trade); the capped
+    frame itself stays lazy — its rebuild per join side is a map-side
+    partial-agg rollup + a broadcast anti-join over the checkpointed
+    blocks, cheaper at scale than a second fact-sized materialization."""
     from .operators.skew import drop_hot_buckets
 
     li = load_table(spark, sf_dir, "lineitem")
-    d = li.select("l_orderkey", "l_partkey").distinct()
+    d = (
+        li.select("l_orderkey", "l_partkey")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     d2 = drop_hot_buckets(d, ["l_orderkey"], _BASKET_CAP)
     a, b = d2.alias("a"), d2.alias("b")
     return (
@@ -948,8 +960,12 @@ def q197_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .plans.hints import broadcast_if_small
     from pyspark.sql import Window
 
-    w = word_frequencies(load_table(spark, sf_dir, "documents")).withColumnRenamed(
-        "freq", "cnt"
+    # Vocab-sized; read 3x (value classes + rank join + total) — bare,
+    # each consumer replayed the corpus tokenize+count (3 scans measured).
+    w = (
+        word_frequencies(load_table(spark, sf_dir, "documents"))
+        .withColumnRenamed("freq", "cnt")
+        .localCheckpoint(eager=True)
     )
     by_val = w.groupBy("cnt").agg(
         F.count("*").alias("n_words"),
@@ -1074,17 +1090,22 @@ def q198_percentile_disc_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q199_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Table profiling: per-column exact cardinality, null count, and
     canonically-formatted min/max — the warehouse `ANALYZE`/data-card
-    pass. One scan per column family via multi-distinct aggregates
-    (Catalyst plans them with expand; at 100 TB swap the distincts for
-    ``approx_count_distinct`` — the HLL error contract is q81). Values
-    canonicalize cross-engine: timestamps via an explicit format string,
-    doubles through DECIMAL(18,2) (the data's own scale) — raw
-    double→string rendering differs between engines."""
+    pass. Deliberately one aggregate PER COLUMN, not one fused
+    multi-distinct: each branch's parquet scan prunes to exactly its
+    one column (ReadSchema shows a single field), so the five scans
+    together read the same bytes one wide scan would — columnar scans
+    of disjoint columns are NOT replays — while each branch keeps the
+    simple single-distinct plan (the fused variant's 5-way expand was
+    A/B'd at 3.7× slower at sf0.1 and shuffles 6× the rows at any
+    scale; at 100 TB swap the distincts for ``approx_count_distinct``
+    — the HLL error contract is q81). Values canonicalize
+    cross-engine: timestamps via an explicit format string, doubles
+    through DECIMAL(18,2) (the data's own scale) — raw double→string
+    rendering differs between engines."""
     o = load_table(spark, sf_dir, "orders")
 
     def prof(col, fmt=None):
         c = F.col(col)
-        val = fmt if fmt is not None else c.cast("string")
         mn = F.min(c)
         mx = F.max(c)
         if fmt == "ts":
@@ -1153,28 +1174,31 @@ def q200_time_gap_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calendar-spine gap detection: hours with NO events per event type
     between the corpus bounds — the monitoring query behind data-delivery
     SLAs (a missing bucket means a dead producer, not zero activity).
-    The spine generates from a 1-row bounds aggregate via ``sequence``
-    + explode (|hours|·|types| rows — bounded by wall-clock time, never
-    by data volume), the present set is a distinct pre-aggregate, and
+    ONE events scan: the distinct (hour, type) pre-aggregate
+    localCheckpoints, and the bounds and type list both derive from it
+    (``date_trunc`` is monotone, so min/max commute with it — the
+    bounds are identical to aggregating raw ``ts``; bare, each derived
+    frame re-scanned events, 3 scans measured). The spine generates
+    from the 1-row bounds via ``sequence`` + explode (|hours|·|types|
+    rows — bounded by wall-clock time, never by data volume), and
     the gap is a broadcast anti-join (the spine side is small by
     construction). First-gap timestamps format explicitly for
     cross-engine stability."""
     ev = load_table(spark, sf_dir, "events")
-    bounds = ev.agg(
-        F.date_trunc("hour", F.min("ts")).alias("lo"),
-        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    present = (
+        ev.select(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .distinct()
+        .localCheckpoint(eager=True)  # read 3x: bounds + types + anti-join
     )
+    bounds = present.agg(F.min("h").alias("lo"), F.max("h").alias("hi"))
     spine = (
         bounds.select(
             F.explode(
                 F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
             ).alias("h")
         )
-        .crossJoin(ev.select("event_type").distinct())
+        .crossJoin(present.select("event_type").distinct())
     )
-    present = ev.select(
-        F.date_trunc("hour", "ts").alias("h"), "event_type"
-    ).distinct()
     return (
         spine.join(present, ["h", "event_type"], "left_anti")
         .groupBy("event_type")
@@ -1855,25 +1879,51 @@ def q210_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines, round to the 6-dp grid (the post-``ln`` discipline — ln is
     the one non-correctly-rounded function in the chain), sum as
     DECIMAL(18,6) (order-independent), and the top-{20} cut compiles to
-    TakeOrderedAndProject. Term stats (df) and corpus stats (N, avgdl)
-    are 3-row / 1-row broadcast frames — the score join touches only
-    docs containing a query term (the inverted-index shape: |postings|,
-    not |corpus|·|terms|)."""
+    TakeOrderedAndProject. ONE corpus scan and ONE token-stream pass:
+    doc length and the per-term tf for the fixed query terms are
+    conditional counts of the SAME per-doc groupBy, which then
+    localCheckpoints (|docs| rows of ints — vs the separate dl/tf/stats
+    frames, which measured 4 corpus scans and two exploded-token
+    passes, plus a tf⋈dl shuffle this fusion deletes outright: tf rows
+    carry their dl). Term stats (df) and corpus stats (N, avgdl) are
+    3-row / 1-row broadcast frames — the posting list unpacks via
+    explode + ``tf > 0`` (the inverted-index shape: |postings|, not
+    |corpus|·|terms|)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.trim(F.col("text")), " ")).alias("w")
     )
-    dl = toks.groupBy("doc_id").agg(F.count("*").alias("dl"))
-    stats = dl.agg(
+    per_doc = (
+        toks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("dl"),
+            *[
+                F.count(F.when(F.col("w") == t, True)).alias(f"_tf_{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+        .localCheckpoint(eager=True)  # |docs| int rows; read 2x (stats + tf)
+    )
+    stats = per_doc.agg(
         F.count("*").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
     )
-    tf = (
-        toks.filter(F.col("w").isin(*_BM25_TERMS))
-        .groupBy("doc_id", F.col("w").alias("term"))
-        .agg(F.count("*").alias("tf"))
-    )
-    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = per_doc.select(
+        "doc_id",
+        "dl",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("term"),
+                        F.col(f"_tf_{i}").alias("tf"),
+                    )
+                    for i, t in enumerate(_BM25_TERMS)
+                ]
+            )
+        ).alias("r"),
+    ).select("doc_id", "dl", "r.term", "r.tf").filter(F.col("tf") > 0)
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     tfd = F.col("tf").cast("double")
     idf = F.log(
         1.0
@@ -1887,7 +1937,6 @@ def q210_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = (
         tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
         .crossJoin(F.broadcast(stats))
         .select(
             "doc_id",

@@ -47,7 +47,13 @@ def _lm_frames(spark: SparkSession, sf_dir: str):
     tok = d.select("doc_id", "lang", tokens("text").alias("_t")).select(
         "doc_id", "lang", F.explode("_t").alias("tok")
     )
-    counts = tok.groupBy("tok").agg(F.count("*").alias("cnt"))
+    # Vocab-sized; read twice (total + log-prob projection) — bare, the
+    # scalar total re-ran the whole count pass (3 corpus scans measured).
+    counts = (
+        tok.groupBy("tok")
+        .agg(F.count("*").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     tot = counts.agg(F.sum("cnt").alias("total"))
     lp = counts.crossJoin(F.broadcast(tot)).select(
         "tok",
@@ -180,31 +186,36 @@ def q214_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     are computed once on the vocab rollup (6-dp ln grid → int64 micros),
     broadcast onto the token stream, and summed exactly — the top-{20}
     cut is a TakeOrderedAndProject with an integer (weight, doc_id) total
-    order. Scale: two vocab-sized rollups + one token-stream aggregate;
-    the corpus itself is scanned twice."""
+    order. Scale: ONE vocab-sized rollup — the source and target counts
+    are conditional aggregates of the SAME groupBy (a conditional count
+    with 0-default is exactly the oracle's vocab LEFT JOIN tgt), and the
+    rollup localCheckpoints because the scalar totals and the ratio table
+    both derive from it — so the corpus is scanned exactly twice (count
+    pass + weight pass; the separate src/tgt/consts frames measured 5
+    documents scans before the fusion)."""
     from .functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
     tok = d.select("doc_id", "lang", tokens("text").alias("_t")).select(
         "doc_id", "lang", F.explode("_t").alias("tok")
     )
-    src = tok.groupBy("tok").agg(F.count("*").alias("scnt"))
-    tgt = (
-        tok.filter(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("tok")
-        .agg(F.count("*").alias("tcnt"))
+    counts = (
+        tok.groupBy("tok")
+        .agg(
+            F.count("*").alias("scnt"),
+            F.count(
+                F.when(F.col("lang") == _DSIR_TARGET_LANG, True)
+            ).alias("tcnt"),
+        )
+        .localCheckpoint(eager=True)  # vocab-sized; read 2x (consts + ratio)
     )
-    consts = (
-        src.agg(
-            F.sum("scnt").alias("stot"), F.count("*").alias("v")
-        )
-        .crossJoin(
-            tgt.agg(F.coalesce(F.sum("tcnt"), F.lit(0)).alias("ttot"))
-        )
+    consts = counts.agg(
+        F.sum("scnt").alias("stot"),
+        F.count("*").alias("v"),
+        F.sum("tcnt").alias("ttot"),
     )
     ratio = (
-        src.join(tgt, "tok", "left_outer")
-        .crossJoin(F.broadcast(consts))
+        counts.crossJoin(F.broadcast(consts))
         .select(
             "tok",
             (

@@ -612,6 +612,32 @@ def test_round7_single_scan_contracts(spark, sf_dir):
     )
 
 
+def test_round7_session3_scan_budgets(spark, sf_dir):
+    """Scan budgets for the session-3 replay fixes (physical scans =
+    ``parquet_scan_count`` // 2 — the formatted plan lists each node in
+    tree + details). Each query's shared intermediate (distinct basket
+    frame, hour×type presence set, per-doc token stats, vocab rollups,
+    category rollup) now localCheckpoints, so the final plan reads
+    checkpointed blocks — bare, every consumer replayed the fact scan
+    and its shuffle (counts measured before the fix in parentheses).
+    q213/q214 keep ONE live scan: the second corpus pass that joins the
+    broadcast ratio table is genuine streaming work, not a replay."""
+    from bigdatafraude_ml_graphx_spark.plans import parquet_scan_count
+
+    budgets = {
+        "q188_market_basket": 0,       # was 4 lineitem scans
+        "q200_time_gap_detection": 0,  # was 3 events scans
+        "q210_bm25_ranking": 0,        # was 4 documents scans
+        "q197_vocab_coverage": 0,      # was 3 documents scans
+        "q226_target_encoding": 0,     # was 2 orders + 2 customer scans
+        "q213_perplexity_filter": 1,   # was 3 documents scans
+        "q214_dsir_weights": 1,        # was 5 documents scans
+    }
+    for name, physical in budgets.items():
+        df = q.QUERIES[name](spark, sf_dir)
+        assert parquet_scan_count(df) == 2 * physical, name
+
+
 def test_round7_batch2_shapes(spark, sf_dir):
     """Round-7 batch-2+ plan contracts: the DSIR and TextRank top-n cuts
     compile to TakeOrderedAndProject (never a global sort); the Pareto
