@@ -411,7 +411,10 @@ def q216_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.bpe import bpe_merges, word_frequencies
 
     docs = load_table(spark, sf_dir, "documents")
-    words = word_frequencies(docs)
+    # Vocab-sized; read twice (merge training + encoded-width projection)
+    # — bare, each re-ran the corpus tokenize+count (3 documents opens
+    # measured; the per-doc stream join is the one genuine second pass).
+    words = word_frequencies(docs).localCheckpoint(eager=True)
     merges = bpe_merges(words, _ENC_ROUNDS)
     seq = F.concat(F.lit("  "), F.regexp_replace("word", "(.)", "$1  "))
     for _, a, b, _, _ in merges:
