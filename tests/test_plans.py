@@ -632,6 +632,10 @@ def test_round7_session3_scan_budgets(spark, sf_dir):
         "q226_target_encoding": 0,     # was 2 orders + 2 customer scans
         "q213_perplexity_filter": 1,   # was 3 documents scans
         "q214_dsir_weights": 1,        # was 5 documents scans
+        # The two heaviest graph queries of the round: everything reads
+        # the checkpointed edge list / LPA labels — zero live scans.
+        "q209_graph_modularity": 0,
+        "q194_graph_eccentricity": 0,
     }
     for name, physical in budgets.items():
         df = q.QUERIES[name](spark, sf_dir)
