@@ -1774,8 +1774,12 @@ def q209_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide (the q110/q133 bit-identical rule — a per-community float sum
     would be order-dependent). Within-community edge counts join the
     canonical src<dst edge list to the label map twice; degree sums ride
-    the symmetrized incidence — all map-side-combined aggregates."""
+    the symmetrized incidence — all map-side-combined aggregates. The
+    label map re-attaches via size-guarded broadcast (|V| rows): both
+    edge-endpoint joins and the degree join go map-side, so the only
+    shuffles left are the aggregates themselves."""
     from .graph.lpa import label_propagation
+    from .plans.hints import broadcast_if_small
     from .queries_graph import _events_edges
 
     edges = (
@@ -1792,15 +1796,15 @@ def q209_graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("d"))
     )
     dc = (
-        labels.join(sym, labels.id == sym.u)
+        sym.join(broadcast_if_small(labels), labels.id == sym.u)
         .groupBy("label")
         .agg(F.sum("d").alias("dsum"))
     )
     la = labels.select(F.col("id").alias("src"), F.col("label").alias("la"))
     lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("lb"))
     ec = (
-        edges.join(la, "src")
-        .join(lb, "dst")
+        edges.join(broadcast_if_small(la), "src")
+        .join(broadcast_if_small(lb), "dst")
         .filter(F.col("la") == F.col("lb"))
         .groupBy(F.col("la").alias("label"))
         .agg(F.count("*").alias("ein"))
