@@ -192,3 +192,51 @@ def test_transform_with_state_running_totals(spark, tmp_path):
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
         else:
             spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_flushed_cache_sentinel_gates_validity(spark, sf_dir):
+    """The ADVICE-r6 crash window: a cache directory that already has its
+    events symlink but LOST the sentinel (crash between symlink creation
+    and the sentinel os.replace) must be treated as INVALID and rebuilt —
+    a dir-non-empty check would accept it and every watermark-gated tail
+    row would silently vanish from q164-class replays."""
+    from bigdatafraude_ml_graphx_spark.streaming.events import (
+        events_stream_flushed,
+    )
+
+    # Distinct flush_types → distinct md5 cache key → isolated cache dir.
+    types = ("purchase", "view")
+    events_stream_flushed(spark, sf_dir, flush_types=types)
+    import hashlib
+
+    key = hashlib.md5(
+        f"{sf_dir}|2024-03-01 00:00:00|{types}".encode()
+    ).hexdigest()[:8]
+    d = f"/tmp/spark_graft_stream_flush_{key}"
+    sentinel = os.path.join(d, "sentinel.parquet")
+    assert os.path.exists(sentinel)
+
+    # Simulate the crash: symlink present, sentinel gone.
+    os.remove(sentinel)
+    assert os.path.islink(os.path.join(d, "events.parquet"))
+    events_stream_flushed(spark, sf_dir, flush_types=types)
+    assert os.path.exists(sentinel), "cache not rebuilt after sentinel loss"
+    # The restored sentinel must carry exactly one row per flush type.
+    rows = spark.read.parquet(sentinel).collect()
+    assert sorted(r["event_type"] for r in rows) == sorted(types)
+    assert all(r["user_id"] == -1 for r in rows)
+
+
+def test_flushed_cache_stale_flush_ts_raises(spark, sf_dir):
+    """Build-time staleness guard (ADVICE r6): a flush_ts that does not
+    postdate the real events must fail loudly at cache build, not
+    silently swallow the watermark-gated tail."""
+    from bigdatafraude_ml_graphx_spark.streaming.events import (
+        events_stream_flushed,
+    )
+
+    with pytest.raises(ValueError, match="does not[\\s]+postdate|postdate"):
+        events_stream_flushed(
+            spark, sf_dir, flush_ts="2000-01-01 00:00:00",
+            flush_types=("purchase",),
+        )
