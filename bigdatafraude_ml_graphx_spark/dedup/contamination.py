@@ -38,8 +38,15 @@ def contamination_overlap(
     join then degrades gracefully to a shuffled equi join on the shingle.
     """
     corpus_sh = _doc_shingles(corpus, text_col, id_col, n)
-    eval_sh = _doc_shingles(eval_set, text_col, id_col, n).withColumnRenamed(
-        "doc", "eval_doc"
+    # The eval shingle frame feeds both the overlap join and the per-doc
+    # size aggregate; bare, the second consumer replays the eval-set scan
+    # and re-shingles (replay audit: 3 corpus opens for q70 where 2 are
+    # legitimate). It is bounded by the eval set — small enough to
+    # broadcast below, so certainly small enough to checkpoint once.
+    eval_sh = (
+        _doc_shingles(eval_set, text_col, id_col, n)
+        .withColumnRenamed("doc", "eval_doc")
+        .localCheckpoint(eager=True)
     )
     eval_sizes = eval_sh.groupBy("eval_doc").agg(
         F.count("*").alias("_eval_n")

@@ -145,7 +145,16 @@ def personalized_pagerank(
     ids = e.select(F.col("src").alias("id")).unionByName(
         e.select(F.col("dst").alias("id"))
     )
-    s = sources.select(F.col(sources.columns[0]).alias("id")).distinct()
+    # The seed set is consumed 3× (vertex union, teleport join, |S| count);
+    # bare, each consumption replays the caller's source lineage — for
+    # q162 that was a full events scan per consumer (replay audit: 4 opens
+    # where 2 are legitimate). It is bounded by the distinct seed count,
+    # so checkpoint once.
+    s = (
+        sources.select(F.col(sources.columns[0]).alias("id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     verts = ids.unionByName(s).distinct().localCheckpoint(eager=True)
     n = verts.count()
     ns = s.count()

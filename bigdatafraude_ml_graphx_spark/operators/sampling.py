@@ -282,7 +282,15 @@ def mixture_sample(
     aggregate broadcast back onto the scan; the corpus itself never
     shuffles.
     """
-    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    # counts feeds both the min-aggregate and the threshold join; bare, the
+    # min side re-runs the counts rollup — a second full corpus scan
+    # (replay audit: 3 opens where 2 are legitimate). The frame is one row
+    # per group, so checkpoint it.
+    counts = (
+        df.groupBy(group_col)
+        .agg(F.count("*").alias("__n"))
+        .localCheckpoint(eager=True)
+    )
     min_c = counts.agg(F.min("__n").alias("__m"))
     thr = counts.join(F.broadcast(min_c)).select(
         group_col,

@@ -443,14 +443,22 @@ def q15_set_union_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's built-ins union/intersect/exceptAll)."""
     o = t(spark, sf_dir, "orders")
     c = t(spark, sf_dir, "customer")
+    # Each side is consumed 3× (union / intersect / except); bare lineage
+    # re-runs the orders rollup and the customer filter per consumption
+    # (4 opens measured at r7, REPLAY_AUDIT_r07.json). Both frames are
+    # key-only and bounded by the distinct-customer count, so checkpoint
+    # once and reuse.
     big = (
         o.groupBy("o_custkey")
         .agg(dsum("o_totalprice", "spend"))
         .filter(F.col("spend") > 300000)
         .select(F.col("o_custkey").alias("c"))
+        .localCheckpoint(eager=True)
     )
-    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
-        F.col("c_custkey").alias("c")
+    building = (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("c"))
+        .localCheckpoint(eager=True)
     )
     def n(df, op):
         return df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")

@@ -166,7 +166,16 @@ def q172_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, m=_PQ_M, k=_PQ_K)
     enc = pq_encode(emb, cb).localCheckpoint(eager=True)
-    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    # The 1% query sample is consumed 4× (ADC shortlist, exact rerank,
+    # exact top-k, final n_queries agg); the %-filter is non-prunable, so
+    # each bare consumption re-scans the full embeddings parquet (9 opens
+    # measured at r7, REPLAY_AUDIT_r07.json — ~5 legitimate). Checkpoint it
+    # once: the sample is bounded at 1% of the corpus by construction.
+    qs = (
+        emb.filter(F.col("vec_id") % 100 == 0)
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
     shortlist = pq_adc_topk(enc, qs, cb, k=_PQ_SHORTLIST).select(
         "query_id", "neighbor_id"
     )

@@ -205,8 +205,19 @@ def q108_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     is why the merge uses branch selection, not COALESCE, per column."""
     from .operators.cdc import merge_upsert
 
-    c = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", F.col("c_acctbal").cast("double").alias("c_acctbal")
+    # The snapshot feeds four consumers (merge target + the three derived
+    # CDC branches); bare, each re-scans customer with identical columns
+    # (replay audit: 4 opens, 1 legitimate). customer is a bounded dim, so
+    # checkpoint once — unlike q84, whose 3× pruned re-scan of the events
+    # FACT is the documented cheaper trade vs materializing it.
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+        )
+        .localCheckpoint(eager=True)
     )
     k = F.col("c_custkey")
     upd = (
@@ -502,22 +513,37 @@ def q116_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q120_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXCEPT ALL / INTERSECT ALL — MULTISET semantics (per-value
     multiplicity arithmetic: max(m_a − m_b, 0) and min(m_a, m_b)), the
-    bag-algebra completion of q15's distinct set ops. Spark plans both as
-    hash aggregations of signed counts, not joins — one shuffle each, no
-    row explosion. Emitted as multiplicity-sensitive counts so the oracle
-    certifies the bag semantics, not just the distinct support."""
+    bag-algebra completion of q15's distinct set ops (which certifies
+    Spark's built-in set operators; this query certifies the bag algebra
+    itself). Computed as ONE conditional-count pass over the fact — per
+    key, m_a = rows with l_returnflag='R' and m_b = rows with
+    l_linestatus='F', then the four bag statistics are exact integer
+    arithmetic over the key-sized multiplicity frame. The naive
+    a.exceptAll(b)/a.intersectAll(b) formulation scanned lineitem 4×
+    (each side re-derived per set op — replay audit r7: 4 opens) and
+    shuffled the fact twice; this shape is 1 scan + 1 key-sized shuffle,
+    the form that survives 100 TB."""
     li = load_table(spark, sf_dir, "lineitem")
-    a = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
-    b = li.filter(F.col("l_linestatus") == "F").select(F.col("l_suppkey").alias("k"))
-    ex = a.exceptAll(b)
-    ix = a.intersectAll(b)
-    stats = lambda df, p: df.agg(  # noqa: E731
-        F.count("*").alias(f"n_{p}"), F.countDistinct("k").alias(f"d_{p}")
+    m = (
+        li.select(
+            F.col("l_suppkey").alias("k"),
+            (F.col("l_returnflag") == "R").cast("long").alias("in_a"),
+            (F.col("l_linestatus") == "F").cast("long").alias("in_b"),
+        )
+        .groupBy("k")
+        .agg(F.sum("in_a").alias("m_a"), F.sum("in_b").alias("m_b"))
     )
-    return (
-        stats(ex, "except_all")
-        .crossJoin(stats(ix, "intersect_all"))
-        .select("n_except_all", "d_except_all", "n_intersect_all", "d_intersect_all")
+    return m.agg(
+        F.sum(F.greatest(F.col("m_a") - F.col("m_b"), F.lit(0))).alias(
+            "n_except_all"
+        ),
+        F.count_if(F.col("m_a") > F.col("m_b")).alias("d_except_all"),
+        F.sum(F.least("m_a", "m_b")).alias("n_intersect_all"),
+        F.count_if((F.col("m_a") > 0) & (F.col("m_b") > 0)).alias(
+            "d_intersect_all"
+        ),
+    ).select(
+        "n_except_all", "d_except_all", "n_intersect_all", "d_intersect_all"
     )
 
 

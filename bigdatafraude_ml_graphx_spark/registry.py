@@ -137,17 +137,41 @@ _DRIVER_CERTIFIED = frozenset({
     "q180_ktruss", "q181_python_datasource",
     "q182_link_prediction_features", "q183_sequence_patterns",
     "q184_stateful_running_totals",
+    # ... round-7 driver rows (CORRECTNESS_r07.json — 50/50 green: the 6
+    # lineage-changed re-certifications above plus these 44 new names):
+    "q185_gbt_quality_contract", "q186_bpe_merges", "q187_semdedup",
+    "q188_market_basket", "q189_referential_integrity",
+    "q190_countmin_sketch", "q191_approx_quantile_contract",
+    "q192_group_by_all", "q193_nullsafe_join", "q194_graph_eccentricity",
+    "q195_event_streaks", "q196_skew_report", "q197_vocab_coverage",
+    "q198_percentile_disc_scaled", "q199_table_profile",
+    "q200_time_gap_detection", "q201_embedding_dim_stats",
+    "q202_constraint_violations", "q203_normalization_impact",
+    "q204_trailing_distinct_users", "q205_delivery_latency",
+    "q206_topk_with_ties", "q207_new_vs_returning", "q208_filter_funnel",
+    "q209_graph_modularity", "q210_bm25_ranking",
+    "q211_python_stream_source", "q212_degree_distribution",
+    "q213_perplexity_filter", "q214_dsir_weights",
+    "q215_boilerplate_ngrams", "q216_bpe_encode", "q217_zorder_keys",
+    "q218_compaction_plan", "q219_interval_coverage", "q220_zonemap_pruning",
+    "q221_rfm_segments", "q222_pareto_coverage", "q223_group_mode",
+    "q224_revenue_autocorrelation", "q225_kmeans_lloyd",
+    "q226_target_encoding", "q227_feature_hashing",
+    "q228_textrank_keywords",
 }) - frozenset({
     # ... MINUS queries whose lineage changed since their last driver row —
-    # these must re-enter the 50-entry prefix so round 7 certifies the code
+    # these must re-enter the 50-entry prefix so round 8 certifies the code
     # that actually ships (the round-close rotation discipline,
     # .claude/skills/verify/SKILL.md):
-    "q173_recursive_reachability",  # r7: edge build materialized outside the recursion
-    "q154_supplier_diversity",      # r7: null-symmetric s_acctbal exclusion (ADVICE)
-    "q158_kmv_distinct",            # r7: exact_customers over o_custkey, not hash prefix (ADVICE)
-    "q164_stream_outer_join",       # r7: sentinel-gated cache validity in events_stream_flushed (ADVICE)
-    "q144_mad_robust_stats",        # r7: checkpointed med frame (was 3 lineitem scans)
-    "q150_degree_assortativity",    # r7: checkpointed edge list (was 6 events scans)
+    "q172_pq_recall_contract",  # r8: localCheckpointed qs 1%-sample frame (VERDICT item 2)
+    "q15_set_union_except",     # r8: checkpointed big/building set-op intermediates (VERDICT item 3)
+    # r8 replay-candidate adjudications (VERDICT item 4) — lineage changed:
+    "q108_merge_upsert",          # r8: checkpointed dim snapshot (4 same-column scans → 1)
+    "q120_multiset_ops",          # r8: one-pass multiplicity agg (4 fact scans + 2 set-op shuffles → 1 + 1)
+    "q162_personalized_pagerank", # r8: seed set checkpointed in personalized_pagerank (3 events replays → 1)
+    "q103_srp_near_pairs",        # r8: sigs persist → eager checkpoint (parallel-stage cache race)
+    "q124_corpus_mixture",        # r8: mixture_sample counts checkpointed (min side replayed the rollup)
+    "q70_contamination_overlap",  # r8: eval shingle frame checkpointed (sizes side replayed the scan)
 })
 
 

@@ -169,9 +169,13 @@ def srp_banded_pairs(
         ),
     )
     # The signature/quantize lineage feeds four consumers (both self-join
-    # sides of the band join + qa + qb); persist so the wide projection
-    # runs once — released via the eager checkpoint before returning.
-    sigs = sigs.persist()
+    # sides of the band join + qa + qb). A lazy persist() materializes on
+    # first touch, but the consumers run as PARALLEL stages of one job, so
+    # several can race past the cache and re-scan the source (replay audit
+    # r7: 4 embeddings opens for q103 vs 1 for q102, same signature
+    # lineage). Eager localCheckpoint is the materialization BARRIER — one
+    # scan, guaranteed, before any consumer is planned.
+    sigs = sigs.localCheckpoint(eager=True)
     bands = sigs.select(
         id_col,
         F.explode(
@@ -222,10 +226,8 @@ def srp_banded_pairs(
         .filter(F.col("cosine_q") >= min_cosine)
         .select("a_id", "b_id", "cosine_q")
         # EAGER + NON-RECOVERABLE (same contract as dedup's pair builders):
-        # materialize the small pair result so the persisted signature frame
-        # can be unpersisted before returning — a leaked persist() poisons
-        # later timings via the CacheManager.
+        # materialize the small pair result so the checkpointed signature
+        # blocks can be released (GC'd with `sigs`) before returning.
         .localCheckpoint(eager=True)
     )
-    sigs.unpersist()
     return out

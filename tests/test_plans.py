@@ -686,3 +686,71 @@ def test_round7_mode_prunes_join_columns(spark, sf_dir):
         "o_orderkey",
         "o_orderpriority",
     }
+
+
+def test_round8_checkpoint_scan_budgets(spark, sf_dir):
+    """Round-8 replay fixes (VERDICT r7 items 2-3), pinned as plan budgets
+    (physical scans = ``parquet_scan_count`` // 2 — tree + details).
+
+    q172: the 1% query-sample frame localCheckpoints once, so the four
+    consumers (ADC shortlist, exact rerank, exact top-k, n_queries agg)
+    read checkpointed blocks instead of re-scanning embeddings through a
+    non-prunable %-filter (replay audit: 9 opens → 5; the surviving opens
+    are the construction-time codebook/encode/exact passes plus the ONE
+    live raw-vector scan the rerank keeps in the final plan — the exact
+    side checkpoints at construction).
+
+    q15: big/building each feed union+intersect+except; bare, each
+    consumption replayed the orders rollup / customer filter (4 opens →
+    2). Both frames checkpoint, so the final plan has zero live scans."""
+    from bigdatafraude_ml_graphx_spark.plans import parquet_scan_count
+
+    pq = q.QUERIES["q172_pq_recall_contract"](spark, sf_dir)
+    assert parquet_scan_count(pq) == 2 * 1  # the rerank's raw-vector pass
+
+    se = q.QUERIES["q15_set_union_except"](spark, sf_dir)
+    assert parquet_scan_count(se) == 0
+
+
+def test_round8_replay_adjudication_budgets(spark, sf_dir):
+    """Round-8 replay-candidate adjudications (VERDICT r7 item 4), pinned
+    as final-plan budgets (physical scans = ``parquet_scan_count`` // 2).
+    Replay-audit opens before → after each fix:
+
+    * q108 4→1: the dim snapshot checkpoints once (was 4 same-column
+      customer scans — target + three derived CDC branches).
+    * q120 4→1: one-pass multiplicity aggregate replaces the four-scan
+      exceptAll/intersectAll formulation; exactly one lineitem scan.
+    * q162 4→2: personalized_pagerank checkpoints the seed set (was
+      consumed 3× — vertex union, teleport join, |S| count — each
+      replaying an events scan). Final plan: zero live scans (edge list
+      and ranks live in checkpointed blocks).
+    * q103 4→1: the signature frame's lazy persist raced its parallel
+      consumer stages; eager checkpoint = one guaranteed scan. Final
+      plan: zero (result frame is itself checkpointed).
+    * q124 3→2: mixture_sample checkpoints the group-counts frame (the
+      min side replayed the rollup); the one live scan is the corpus
+      pass the sample filter runs over.
+    * q70 3→2: the eval shingle frame checkpoints (the sizes aggregate
+      replayed the eval scan); the one live scan is the corpus side.
+
+    Adjudicated LEGITIMATE, no fix (documented in COVERAGE.md): q48
+    (3 opens = 3 distinct tables), q84 (3× same-column scan of a pruned
+    FACT — re-scan beats materializing, the q144 rule), q67/q134
+    (distinct aggregation passes — unigram/bigram/lengths — sharing only
+    the tokenize; exchange reuse already dedups repeated subplans), q141
+    (disjoint-column scans: text for signatures, ids for vertices,
+    n_chars for the argmax — the q199/q227 columnar rule)."""
+    from bigdatafraude_ml_graphx_spark.plans import parquet_scan_count
+
+    budgets = {
+        "q108_merge_upsert": 0,
+        "q120_multiset_ops": 1,
+        "q162_personalized_pagerank": 0,
+        "q103_srp_near_pairs": 0,
+        "q124_corpus_mixture": 1,
+        "q70_contamination_overlap": 1,
+    }
+    for name, physical in budgets.items():
+        df = q.QUERIES[name](spark, sf_dir)
+        assert parquet_scan_count(df) == 2 * physical, name
