@@ -306,11 +306,21 @@ def pareto_prefix(
 
     Returns one row: ``(n_rows, top_n, top_share)`` where ``top_share`` is
     the exact share the minimal prefix holds (≥ pct/100), as a double of
-    two exact int64 operands.
+    two exact integer operands.
+
+    Exactness at scale: the value sums, the crossing cross-multiply, and
+    the tie-group ceiling all run in ``decimal(38,0)`` — int64 arithmetic
+    silently wraps once the total value sum exceeds ~9.2e18/100, and a
+    double-based ceiling drifts by one past 2^53 (ADVICE r7). The
+    integral division uses SQL ``div`` (exact on decimals), so the only
+    IEEE operation left is the final ``top_share`` divide. Beyond 38
+    digits of total value sum Spark's decimal sum returns NULL (loud,
+    not wrapped).
     """
+    _DEC = "decimal(38,0)"
     vals = df.groupBy(F.col(value_col).alias("_v")).agg(
         F.count("*").alias("_c"),
-        (F.col(value_col) * F.count("*")).alias("_r"),
+        (F.col(value_col).cast(_DEC) * F.count("*")).alias("_r"),
     )
     wd = Window.orderBy(F.col("_v").desc()).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -332,20 +342,29 @@ def pareto_prefix(
         .orderBy(F.col("_v").desc())
         .limit(1)
     )
-    k = F.floor(
-        (
-            pct * F.col("_t")
-            - 100 * (F.col("_cum_r") - F.col("_r"))
-            + 100 * F.col("_v")
-            - 1
+    # Minimal rows needed from the crossing tie-group: ceil(a/b) over
+    # positive integers as (a + b - 1) div b, all decimal — `a` is the
+    # remaining mass to cover, strictly positive at the FIRST crossing row.
+    vd = F.col("_v").cast(_DEC)
+    num = (
+        pct * F.col("_t")
+        - 100 * (F.col("_cum_r") - F.col("_r"))
+        + 100 * vd
+        - 1
+    )
+    return (
+        crossing.withColumn("_num", num)
+        .withColumn("_den", 100 * vd)
+        .withColumn("_k", F.expr("_num div _den"))
+        .select(
+            F.col("_n").cast("long").alias("n_rows"),
+            (F.col("_cum_c") - F.col("_c") + F.col("_k"))
+            .cast("long")
+            .alias("top_n"),
+            (
+                (F.col("_cum_r") - F.col("_r") + F.col("_k") * vd)
+                .cast("double")
+                / F.col("_t").cast("double")
+            ).alias("top_share"),
         )
-        / (100.0 * F.col("_v"))
-    ).cast("long")
-    return crossing.select(
-        F.col("_n").cast("long").alias("n_rows"),
-        (F.col("_cum_c") - F.col("_c") + k).cast("long").alias("top_n"),
-        (
-            (F.col("_cum_r") - F.col("_r") + k * F.col("_v")).cast("double")
-            / F.col("_t").cast("double")
-        ).alias("top_share"),
     )

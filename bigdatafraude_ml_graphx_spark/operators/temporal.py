@@ -228,9 +228,34 @@ def interval_union_coverage(
     arithmetic exact); ``tie_cols`` complete the total order for equal
     starts. One shuffle on the key; two windows + two aggregates, all
     key-partitioned.
+
+    PRECONDITION: every interval must satisfy ``end >= start`` — a
+    malformed interval would silently corrupt the ``covered`` sum with a
+    negative per-island length, so it fails the JOB loudly instead
+    (``raise_error`` guard on the scan; one branch-free comparison per
+    row, negligible next to the window shuffle). Callers that construct
+    ``end = start + TTL`` (q219) satisfy it by construction.
     """
     keys = list(key_cols)
     order = [start_col, *tie_cols]
+    # The guard rides end_col itself (not a throwaway column Catalyst
+    # would prune, taking the raise_error with it).
+    df = df.withColumn(
+        end_col,
+        F.when(F.col(end_col) >= F.col(start_col), F.col(end_col)).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "interval_union_coverage: end < start for interval ["
+                    ),
+                    F.col(start_col).cast("string"),
+                    F.lit(", "),
+                    F.col(end_col).cast("string"),
+                    F.lit(")"),
+                )
+            )
+        ),
+    )
     wprev = (
         Window.partitionBy(*keys)
         .orderBy(*order)

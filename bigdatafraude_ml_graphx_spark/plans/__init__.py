@@ -1,4 +1,5 @@
 from .inspect import (  # noqa: F401
+    executed_plan,
     formatted_plan,
     has_pushed_filters,
     parquet_scan_count,

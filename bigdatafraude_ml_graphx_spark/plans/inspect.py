@@ -71,3 +71,13 @@ def parquet_scan_count(df: DataFrame) -> int:
 def wholestage_codegen_spans(df: DataFrame) -> int:
     """Number of whole-stage-codegen regions — wider/fewer is better."""
     return len(set(re.findall(r"WholeStageCodegen \((\d+)\)", formatted_plan(df))))
+
+
+def executed_plan(df: DataFrame) -> str:
+    """String of the EXECUTED physical plan — after an action has run,
+    AQE re-planning is visible here (``isFinalPlan=true``, runtime
+    broadcast demotions, ``skew=true`` on re-split sort-merge joins)
+    where ``explain()`` before execution only shows the initial plan.
+    Call an action on ``df`` first; without one this returns the
+    pre-execution adaptive plan."""
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001

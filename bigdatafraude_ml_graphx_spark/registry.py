@@ -172,6 +172,9 @@ _DRIVER_CERTIFIED = frozenset({
     "q103_srp_near_pairs",        # r8: sigs persist → eager checkpoint (parallel-stage cache race)
     "q124_corpus_mixture",        # r8: mixture_sample counts checkpointed (min side replayed the rollup)
     "q70_contamination_overlap",  # r8: eval shingle frame checkpointed (sizes side replayed the scan)
+    # r8 ADVICE fixes — lineage changed:
+    "q222_pareto_coverage",       # r8: decimal cross-multiply + integral-div ceiling (exact past 2^53)
+    "q219_interval_coverage",     # r8: loud end>=start guard in interval_union_coverage
 })
 
 

@@ -18,7 +18,13 @@ def spark():
         app_name="engine-tests",
         master="local[4]",
         shuffle_partitions=8,
-        extra_conf={"spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse"},
+        extra_conf={
+            "spark.sql.warehouse.dir": "/tmp/spark_graft_warehouse",
+            # The scan-replay budget gate (tests/test_replay_budgets.py)
+            # reads the UI REST SQL metrics — keep the UI on in tests.
+            "spark.ui.enabled": "true",
+            "spark.ui.retainedExecutions": "5000",
+        },
     )
     yield spark
 

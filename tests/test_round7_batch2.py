@@ -125,3 +125,38 @@ def test_kmeans_partitions_the_corpus(spark, sf_dir):
     assert sum(r.n_vectors for r in out) == n  # every vector assigned once
     assert len(out) <= 8
     assert all(r.inertia >= 0.0 for r in out)
+
+
+def test_pareto_prefix_exact_beyond_double_precision(spark):
+    """ADVICE r7: the crossing cross-multiply and the tie-group ceiling
+    must stay exact past 2^53 — int64 cross-multiplies wrapped and the
+    double ceiling drifted by one. Values near 2^60 make any double
+    round-trip visible and any int64 multiply by 100 wrap."""
+    big = 1 << 60
+    # 3 rows of `big`, 5 rows of big-1 (a tie group the ceiling must cut
+    # mid-group), 2 rows of 1.
+    vals = [big] * 3 + [big - 1] * 5 + [1] * 2
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    total = sum(vals)
+    for pct in (50, 80, 95):
+        row = pareto_prefix(df, "v", pct).collect()[0]
+        acc, top_n = 0, 0
+        for v in sorted(vals, reverse=True):
+            if 100 * acc >= pct * total:
+                break
+            acc += v
+            top_n += 1
+        assert row.n_rows == len(vals)
+        assert row.top_n == top_n, pct
+        assert row.top_share == acc / total, pct
+
+
+def test_interval_union_rejects_malformed_intervals(spark):
+    """ADVICE r7: end < start must fail LOUDLY — a negative per-island
+    length silently corrupts the covered sum otherwise."""
+    import pytest
+
+    rows = [(0, 1, 10, 20), (1, 1, 30, 25)]
+    df = spark.createDataFrame(rows, ["rid", "key", "s", "f"])
+    with pytest.raises(Exception, match="end < start"):
+        interval_union_coverage(df, ["key"], "s", "f", ["rid"]).collect()
