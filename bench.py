@@ -119,19 +119,32 @@ def main() -> None:
     # steady-state for the same plan); min-of-2 reports steady-state cost
     # while the cache clear keeps each run's DATA path fully cold.
     timings: dict[str, float] = {}
-    for name in sorted(q.QUERIES):
+    # SPARK_GRAFT_BENCH_ONLY=q1,q2,... restricts the sweep (the sf1.0
+    # scale-validation run times only the most expensive queries).
+    only = {
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",") if n
+    }
+    names = sorted(only & set(q.QUERIES) if only else q.QUERIES)
+    errors: dict[str, str] = {}
+    for name in names:
         fn = q.QUERIES[name]
         best = float("inf")
-        for _ in range(2):
-            start = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - start)
-            df = None
+        try:
+            for _ in range(2):
+                start = time.perf_counter()
+                df = fn(spark, sf_dir)
+                df.write.format("noop").mode("overwrite").save()
+                best = min(best, time.perf_counter() - start)
+                df = None
+                _reset_session_cache(spark)
+            timings[name] = round(best, 4)
+        except Exception as exc:  # one broken query must not kill the sweep
+            errors[name] = str(exc)[:300]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             _reset_session_cache(spark)
-        timings[name] = round(best, 4)
 
-    _bench_bucketed_layouts(spark, sf_dir, timings)
+    if not only:
+        _bench_bucketed_layouts(spark, sf_dir, timings)
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
@@ -147,6 +160,7 @@ def main() -> None:
             # inflation — a stamped load lets the next round's diff decide
             # whether a regression is machine noise before believing it.
             "loadavg_1m_at_start": load_at_start,
+            **({"errors": errors} if errors else {}),
         }
     )
     print(payload)

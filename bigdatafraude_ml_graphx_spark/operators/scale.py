@@ -337,14 +337,12 @@ def pareto_prefix(
         F.sum("_r").over(wall).alias("_t"),
         F.sum("_c").over(wall).alias("_n"),
     )
-    crossing = (
-        cum.filter(100 * F.col("_cum_r") >= pct * F.col("_t"))
-        .orderBy(F.col("_v").desc())
-        .limit(1)
-    )
-    # Minimal rows needed from the crossing tie-group: ceil(a/b) over
+    # Minimal rows needed from a crossing tie-group: ceil(a/b) over
     # positive integers as (a + b - 1) div b, all decimal — `a` is the
-    # remaining mass to cover, strictly positive at the FIRST crossing row.
+    # remaining mass to cover, strictly positive at the FIRST crossing
+    # row. Computed BEFORE the top-1 cut so the sort+limit+project still
+    # compiles to TakeOrderedAndProject (the rows are the bounded
+    # per-value rollup, so the per-row div is free).
     vd = F.col("_v").cast(_DEC)
     num = (
         pct * F.col("_t")
@@ -352,19 +350,22 @@ def pareto_prefix(
         + 100 * vd
         - 1
     )
-    return (
-        crossing.withColumn("_num", num)
+    crossing = (
+        cum.filter(100 * F.col("_cum_r") >= pct * F.col("_t"))
+        .withColumn("_num", num)
         .withColumn("_den", 100 * vd)
         .withColumn("_k", F.expr("_num div _den"))
-        .select(
-            F.col("_n").cast("long").alias("n_rows"),
-            (F.col("_cum_c") - F.col("_c") + F.col("_k"))
-            .cast("long")
-            .alias("top_n"),
-            (
-                (F.col("_cum_r") - F.col("_r") + F.col("_k") * vd)
-                .cast("double")
-                / F.col("_t").cast("double")
-            ).alias("top_share"),
-        )
+        .orderBy(F.col("_v").desc())
+        .limit(1)
+    )
+    return crossing.select(
+        F.col("_n").cast("long").alias("n_rows"),
+        (F.col("_cum_c") - F.col("_c") + F.col("_k"))
+        .cast("long")
+        .alias("top_n"),
+        (
+            (F.col("_cum_r") - F.col("_r") + F.col("_k") * vd)
+            .cast("double")
+            / F.col("_t").cast("double")
+        ).alias("top_share"),
     )

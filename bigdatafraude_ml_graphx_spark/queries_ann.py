@@ -39,13 +39,26 @@ _RC_PCT = 25  # pinned recall floor (percent); empirical: 32% at sf0.001,
 # floor leaves headroom for data regeneration, like q151's 0.30 vs 0.235
 
 
+# Fixed CAP on the verification query sample. A pure 1% sample grows with
+# the corpus, so the brute-force exact side of the recall contracts is
+# O(n²/100) — measured 32× at the 10× sf1.0 bench (BENCH_SF1_r08.json).
+# `vec_id % 100 = 0 AND vec_id < 100·64` keeps at most 64 queries at ANY
+# scale: the exact side is O(64·n) and the range predicate is
+# min/max-prunable at the scan. At the certification scales the cap is
+# INERT (max vec_id is 20/200/2 000 at sf0.001/0.01/0.1 — at most 21
+# sampled ids, all < 6 400), so driver results are bit-identical; it
+# binds only on 10×+ corpora, where it converts the contract from
+# quadratic to linear.
+_RC_QCAP = 64
+
+
 @query(
     "q140_ivf_recall_contract",
     oracle=f"""
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            CAST(COUNT(*) * {_RC_K} AS BIGINT) AS n_exact,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id % 100 = 0
+    FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {100 * _RC_QCAP}
     """,
 )
 def q140_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,9 +72,17 @@ def q140_ivf_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract boolean; the hit count itself is centroid-dependent and
     stays engine-side, exactly like q81's sketch bounds. At 100 TB the
     brute-force verification runs on this same bounded query sample while
-    production traffic takes the probe path alone."""
+    production traffic takes the probe path alone. The sample is capped
+    at {_RC_QCAP} queries (see _RC_QCAP) and checkpointed once — it feeds
+    the probe search, the exact side, and the n_queries aggregate."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    qs = (
+        emb.filter(
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _RC_QCAP)
+        )
+        .select("vec_id", "embedding")
+        .localCheckpoint(eager=True)
+    )
     centroids, assigned = build_ivf_index(emb, n_cells=_RC_CELLS)
     approx = ivf_topk(
         assigned, centroids, qs, k=_RC_K, n_probe=_RC_PROBE
@@ -139,7 +160,7 @@ _PQ_PCT = 30  # pinned recall floor (percent); empirical 50-80% across
     SELECT CAST(COUNT(*) AS BIGINT) AS n_queries,
            CAST(COUNT(*) * {_PQ_TOPK} AS BIGINT) AS n_exact,
            TRUE AS recall_ok
-    FROM embeddings WHERE vec_id % 100 = 0
+    FROM embeddings WHERE vec_id % 100 = 0 AND vec_id < {100 * _RC_QCAP}
     """,
 )
 def q172_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,13 +187,16 @@ def q172_pq_recall_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     cb = pq_codebook(emb, m=_PQ_M, k=_PQ_K)
     enc = pq_encode(emb, cb).localCheckpoint(eager=True)
-    # The 1% query sample is consumed 4× (ADC shortlist, exact rerank,
-    # exact top-k, final n_queries agg); the %-filter is non-prunable, so
-    # each bare consumption re-scans the full embeddings parquet (9 opens
-    # measured at r7, REPLAY_AUDIT_r07.json — ~5 legitimate). Checkpoint it
-    # once: the sample is bounded at 1% of the corpus by construction.
+    # The query sample is consumed 4× (ADC shortlist, exact rerank,
+    # exact top-k, final n_queries agg); bare, each consumption re-scanned
+    # the full embeddings parquet (9 opens measured at r7,
+    # REPLAY_AUDIT_r07.json — ~5 legitimate). Checkpoint it once. The
+    # _RC_QCAP bound (inert at certification scales) keeps the exact
+    # rerank side O(cap·n) instead of O(n²/100) — the q140 sf1.0 finding.
     qs = (
-        emb.filter(F.col("vec_id") % 100 == 0)
+        emb.filter(
+            (F.col("vec_id") % 100 == 0) & (F.col("vec_id") < 100 * _RC_QCAP)
+        )
         .select("vec_id", "embedding")
         .localCheckpoint(eager=True)
     )

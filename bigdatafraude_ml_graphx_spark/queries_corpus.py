@@ -144,11 +144,14 @@ def q102_srp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select("vec_id", srp_signature("embedding", _SRP_SIGNS).alias("sig"))
 
 
-def _oracle_srp_pairs() -> str:
+def _oracle_srp_pairs(signs=None, n_bands=None, tau=None) -> str:
+    signs = signs if signs is not None else _SRP_SIGNS
+    n_bands = n_bands if n_bands is not None else _SRP_BANDS
+    tau = tau if tau is not None else _SRP_TAU
     dim = _SRP_DIM
-    bw = _SRP_BITS // _SRP_BANDS
+    bw = len(signs) // n_bands
     mask = (1 << bw) - 1
-    bands = ", ".join(str(b) for b in range(_SRP_BANDS))
+    bands = ", ".join(str(b) for b in range(n_bands))
     dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> sa.q[i] * sb.q[i]))"
     na = f"list_sum(list_transform(range(1, {dim + 1}), i -> sa.q[i] * sa.q[i]))"
     nb = f"list_sum(list_transform(range(1, {dim + 1}), i -> sb.q[i] * sb.q[i]))"
@@ -158,7 +161,7 @@ def _oracle_srp_pairs() -> str:
              list_transform(range(1, {dim + 1}),
                  i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
                            AS BIGINT)) AS q,
-             {oracle_srp_signature_sql(_SRP_SIGNS)} AS sig
+             {oracle_srp_signature_sql(signs)} AS sig
       FROM embeddings
     ), bands AS (
       SELECT vec_id, b AS band, (sig >> (b * {bw})) & {mask} AS bval
@@ -174,7 +177,7 @@ def _oracle_srp_pairs() -> str:
                / sqrt(CAST({na} AS DOUBLE))
                / sqrt(CAST({nb} AS DOUBLE)) AS cosine_q
       FROM cand JOIN s sa ON sa.vec_id = a_id JOIN s sb ON sb.vec_id = b_id)
-    WHERE cosine_q >= {_SRP_TAU}
+    WHERE cosine_q >= {tau}
     """
 
 
@@ -192,6 +195,45 @@ def q103_srp_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return srp_banded_pairs(
         e, "vec_id", "embedding", _SRP_SIGNS,
         n_bands=_SRP_BANDS, min_cosine=_SRP_TAU,
+    )
+
+
+# The PRODUCTION band configuration: 32-bit signatures in 4 bands of 8
+# bits. Collision rate per band for unrelated vectors is 2^-8, so the
+# candidate volume is ~4·n²/256 instead of q103's ~4·n²/16 — the knob the
+# q103/srp docstrings document as data-dependent, pinned here as a
+# certified query. Found the hard way: benching q103's 4-bit demo bands
+# against a 10×-tiled sf1.0 corpus (20k vectors, every one with 9 exact
+# duplicates) produced ~50M candidate pairs, each carrying two 512-byte
+# quantized vectors through the verify joins — >80 GB of shuffle spill.
+_SRP32_SIGNS = srp_signs(32, _SRP_DIM)
+_SRP32_BANDS = 4
+
+
+@query(
+    "q229_srp_near_pairs_scaled",
+    oracle=_oracle_srp_pairs(signs=_SRP32_SIGNS, n_bands=_SRP32_BANDS),
+)
+def q229_srp_near_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q103's SRP near-pair sweep under the PRODUCTION band width (4×8-bit
+    bands from a 32-bit signature): same exact-verify semantics, same
+    helper, but the per-band random-collision rate drops 16× (2⁻⁸ vs
+    2⁻⁴), which is the difference between ~linear and quadratic candidate
+    volume on a duplicate-heavy corpus. Recall at the τ=0.4 operating
+    point is lower by design (banding recall curves steepen with band
+    width); exact duplicates and very-high-cosine pairs still collide on
+    every band. The certification corpus is small enough that the demo
+    and production configurations are BOTH exactly oracle-checked — scale
+    behavior is measured by the sf1.0 bench (BENCH_SF1_r08.json), where
+    this variant replaces q103.
+
+    Reference parity: same SRP family as q102/q103
+    (`/root/reference/` has no vector ops; SURVEY §2.14 beyond-reference
+    inventory)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return srp_banded_pairs(
+        e, "vec_id", "embedding", _SRP32_SIGNS,
+        n_bands=_SRP32_BANDS, min_cosine=_SRP_TAU,
     )
 
 

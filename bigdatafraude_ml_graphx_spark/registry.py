@@ -175,6 +175,11 @@ _DRIVER_CERTIFIED = frozenset({
     # r8 ADVICE fixes — lineage changed:
     "q222_pareto_coverage",       # r8: decimal cross-multiply + integral-div ceiling (exact past 2^53)
     "q219_interval_coverage",     # r8: loud end>=start guard in interval_union_coverage
+    # r8 sf1.0 scale findings — lineage changed:
+    "q102_srp_signatures",        # r8: signature widened int->long (32-bit sigs overflow int32)
+    "q146_stream_stream_join",    # r8: adaptive sentinel flush_ts (fixed ts rejected 10-month datasets)
+    "q164_stream_outer_join",     # r8: same adaptive flush_ts derivation
+    "q140_ivf_recall_contract",   # r8: fixed-count query-sample cap (contract was O(n^2/100), 32x at sf1.0) + qs checkpoint
 })
 
 

@@ -75,13 +75,15 @@ def quantize_embedding(emb: Column | str, scale: int = _QSCALE) -> Column:
 
 
 def srp_signature(emb: Column | str, signs: list[list[int]]) -> Column:
-    """b-bit SRP signature as an INT: bit j = (Σ_d q_d · sign(j,d) ≥ 0).
+    """b-bit SRP signature as a LONG: bit j = (Σ_d q_d · sign(j,d) ≥ 0).
 
     One ``zip_with`` + integer ``aggregate`` per bit — all JVM-side, all
     exact. b is small (8–32), so the expression stays inside codegen.
+    LONG, not INT: a 32-bit signature with bit 31 set (value up to
+    2³²−1) overflows a signed int32 cast.
     """
     q = quantize_embedding(emb)
-    sig = F.lit(0)
+    sig = F.lit(0).cast("long")
     for j, row in enumerate(signs):
         w = F.array(*[F.lit(s) for s in row])
         dot = F.aggregate(
@@ -89,8 +91,10 @@ def srp_signature(emb: Column | str, signs: list[list[int]]) -> Column:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        sig = sig + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return sig.cast("int")
+        sig = sig + F.when(dot >= 0, F.lit(1 << j).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return sig.cast("long")
 
 
 def oracle_srp_signature_sql(signs: list[list[int]], emb: str = "embedding") -> str:
@@ -109,7 +113,7 @@ def oracle_srp_signature_sql(signs: list[list[int]], emb: str = "embedding") -> 
             f" * ({arr})[i]))"
         )
         terms.append(f"CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END")
-    return "CAST(" + " + ".join(terms) + " AS INT)"
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
 def srp_banded_pairs(

@@ -54,10 +54,13 @@ def _staged_dir(sf_dir: str) -> str:
     return d
 
 
+DEFAULT_FLUSH_TS = "2024-03-01 00:00:00"
+
+
 def events_stream_flushed(
     spark: SparkSession,
     sf_dir: str,
-    flush_ts: str = "2024-03-01 00:00:00",
+    flush_ts: str | None = None,
     flush_types: tuple[str, ...] = ("purchase", "click"),
 ) -> DataFrame:
     """``events_stream`` plus far-future SENTINEL rows (one per
@@ -75,12 +78,21 @@ def events_stream_flushed(
     this. Sentinels carry ``user_id = -1``: they pass event-type filters
     (a row dropped BEFORE withWatermark would not advance the watermark)
     and are filtered from results by the caller.
+
+    ``flush_ts=None`` (the default) derives the sentinel time at cache
+    build: the certification default if the data ends before it, else a
+    first-of-month ≥2 months past the data's max event time — so the
+    same query runs unchanged against datasets spanning ANY time range
+    (the sf1.0 scale bench spans 10 months where the driver testdata
+    spans one). An EXPLICIT flush_ts keeps the loud must-postdate guard.
     """
     probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     native = dict(probe.dtypes).get("ts") not in ("bigint", "long")
     import hashlib
 
-    key = hashlib.md5(f"{sf_dir}|{flush_ts}|{flush_types}".encode()).hexdigest()[:8]
+    key = hashlib.md5(
+        f"{sf_dir}|{flush_ts or 'adaptive'}|{flush_types}".encode()
+    ).hexdigest()[:8]
     d = f"/tmp/spark_graft_stream_flush_{key}"
     # Cache validity = the sentinel file itself, NOT dir-non-empty: a crash
     # between the symlink and the sentinel os.replace would otherwise leave
@@ -89,20 +101,32 @@ def events_stream_flushed(
     if not os.path.exists(os.path.join(d, "sentinel.parquet")):
         # Build-time staleness guard: the sentinels only flush the
         # watermark if they postdate every real event. Fails loudly if the
-        # testdata is ever regenerated past flush_ts instead of silently
-        # reverting to swallowed tails. Runs only on cache (re)build.
+        # testdata is ever regenerated past an explicit flush_ts instead
+        # of silently reverting to swallowed tails. Runs only on cache
+        # (re)build.
+        from datetime import datetime, timezone
+
         if native:
             max_ts = probe.agg(F.max("ts").alias("m")).collect()[0]["m"]
-            stale = max_ts is not None and str(max_ts) >= flush_ts
+            max_dt = max_ts
         else:
             max_ns = probe.agg(F.max("ts").alias("m")).collect()[0]["m"]
-            flush_ns = (
-                spark.sql(
-                    f"SELECT unix_micros(TIMESTAMP '{flush_ts}') * 1000 AS n"
-                ).collect()[0]["n"]
+            max_dt = (
+                None
+                if max_ns is None
+                else datetime.fromtimestamp(
+                    max_ns / 1e9, tz=timezone.utc
+                ).replace(tzinfo=None)
             )
-            stale = max_ns is not None and max_ns >= flush_ns
-        if stale:
+        if flush_ts is None:
+            default_dt = datetime.fromisoformat(DEFAULT_FLUSH_TS)
+            if max_dt is None or max_dt < default_dt:
+                flush_ts = DEFAULT_FLUSH_TS
+            else:
+                y, m = max_dt.year, max_dt.month + 3
+                y, m = y + (m - 1) // 12, (m - 1) % 12 + 1
+                flush_ts = f"{y:04d}-{m:02d}-01 00:00:00"
+        elif max_dt is not None and str(max_dt) >= flush_ts:
             raise ValueError(
                 f"events_stream_flushed: flush_ts {flush_ts!r} does not "
                 f"postdate the real events in {sf_dir} — sentinels would "

@@ -210,7 +210,9 @@ def test_flushed_cache_sentinel_gates_validity(spark, sf_dir):
     import hashlib
 
     key = hashlib.md5(
-        f"{sf_dir}|2024-03-01 00:00:00|{types}".encode()
+        # default flush_ts is now adaptive — the cache key uses the
+        # 'adaptive' marker, not the derived timestamp
+        f"{sf_dir}|adaptive|{types}".encode()
     ).hexdigest()[:8]
     d = f"/tmp/spark_graft_stream_flush_{key}"
     sentinel = os.path.join(d, "sentinel.parquet")
