@@ -74,18 +74,52 @@ def q132_fuzzy_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # eager/non-recoverable contract of the dedup pair builders).
     p = p.localCheckpoint(eager=True)
     p = drop_hot_buckets(p, ["lang", "w1"], 100_000)
-    a = p.select(
-        F.col("doc_id").alias("doc_a"), "lang", "w1", F.col("pre").alias("pa")
+    # Candidate-volume discipline (r8 sf1.0 sweep: 57× at 10× data on a
+    # duplicate-heavy corpus before this — 11M candidate pairs from 150
+    # coarse (lang, first-token) blocks): the DP and the join both run on
+    # DISTINCT prefixes, not documents. Exact duplicates — precisely what
+    # a dup-heavy corpus piles into each block — collapse to one group
+    # row before the self-join (a 10-copy group contributes 1 candidate
+    # row, not 10), the surviving prefix pairs run the BANDED Levenshtein
+    # (threshold arg, O(k·m), −1 past the bound), and doc pairs expand
+    # back afterwards: within-group pairs at distance 0, cross-group
+    # pairs at the group distance. Output is identical to the per-doc
+    # join — the expansion is the true answer's size, which no algorithm
+    # avoids — but the quadratic join/DP work scales with distinct
+    # prefixes, not copies.
+    g = p.groupBy("lang", "w1", "pre").agg(F.collect_list("doc_id").alias("ids"))
+    ga = g.select(
+        "lang", "w1", F.col("pre").alias("pa"), F.col("ids").alias("ids_a")
     )
-    b = p.select(
-        F.col("doc_id").alias("doc_b"), "lang", "w1", F.col("pre").alias("pb")
+    gb = g.select(
+        "lang", "w1", F.col("pre").alias("pb"), F.col("ids").alias("ids_b")
     )
+    lev = F.when(F.col("pa") == F.col("pb"), F.lit(0)).otherwise(
+        F.levenshtein("pa", "pb", _FZ_MAXLEV)
+    )
+    kept = (
+        ga.join(gb, ["lang", "w1"])
+        .filter(F.col("pa") <= F.col("pb"))
+        .withColumn("lev", lev)
+        .filter((F.col("lev") >= 0) & (F.col("lev") <= _FZ_MAXLEV))
+    )
+    # Expansion: same-group explode² emits each unordered pair twice —
+    # keep doc_a < doc_b; distinct-group pairs appear once — orient with
+    # least/greatest.
     return (
-        a.join(b, ["lang", "w1"])
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .withColumn("lev", F.levenshtein("pa", "pb"))
-        .filter(F.col("lev") <= _FZ_MAXLEV)
-        .select("doc_a", "doc_b", "lev")
+        kept.select(
+            "pa", "pb", "lev", F.explode("ids_a").alias("da"), "ids_b"
+        )
+        .select("pa", "pb", "lev", "da", F.explode("ids_b").alias("db"))
+        .filter(
+            ((F.col("pa") != F.col("pb")) & (F.col("da") != F.col("db")))
+            | (F.col("da") < F.col("db"))
+        )
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "lev",
+        )
     )
 
 

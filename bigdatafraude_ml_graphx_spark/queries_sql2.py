@@ -258,6 +258,13 @@ def q173_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         eager=True
     )
     e0.createOrReplaceTempView("q173_edges")
+    # Spark's recursion safety valve defaults to 1M rows ACROSS iterations
+    # — the 10× sf1.0 closure exceeds it (RECURSION_ROW_LIMIT_EXCEEDED)
+    # even though this recursion is structurally bounded (3 hops, fan-out
+    # cap). Size the valve to the bound the query already enforces:
+    # ≤ |edges|·cap² paths. The level limit stays at its default — the
+    # hop bound in the SQL terminates the recursion, not the valve.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     return spark.sql(_REACH_RECURSE_SQL)
 
 

@@ -180,6 +180,9 @@ _DRIVER_CERTIFIED = frozenset({
     "q146_stream_stream_join",    # r8: adaptive sentinel flush_ts (fixed ts rejected 10-month datasets)
     "q164_stream_outer_join",     # r8: same adaptive flush_ts derivation
     "q140_ivf_recall_contract",   # r8: fixed-count query-sample cap (contract was O(n^2/100), 32x at sf1.0) + qs checkpoint
+    "q173_recursive_reachability",# r8: recursion row-limit valve sized to the query's own bound (1M default tripped at sf1.0)
+    "q132_fuzzy_prefix_pairs",    # r8: DP+join on DISTINCT prefixes, expand after (57x at sf1.0 -> 1.5x)
+    "q46_embedding_near_dups",    # r8: norms per vector, not per candidate pair (32x at sf1.0 -> 10x)
 })
 
 

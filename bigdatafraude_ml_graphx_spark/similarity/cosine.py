@@ -114,14 +114,23 @@ def embedding_near_dup_pairs(
         "",
         *[_hyperplane_bit(F.col(vec_col), p, dim).cast("string") for p in range(num_planes)],
     )
+    # Norm per VECTOR, not per pair: a bucket of b rows yields b·(b−1)/2
+    # candidates, and computing both norms inside the pair projection ran
+    # THREE array folds per candidate instead of one (the dot). On a
+    # duplicate-heavy corpus the buckets are exactly where the dups land,
+    # so the per-pair constant is the whole game (r8 sf1.0 sweep: 32× at
+    # 10× data before this). Same IEEE expression on the same vector →
+    # bit-identical cosines, oracle text unchanged.
     bucketed = df.select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"), sig.alias("bucket")
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("vec"),
+        sig.alias("bucket"),
+    ).withColumn(
+        "nrm", F.sqrt(_qsum_array(_pos_products(F.col("vec"), F.col("vec"))))
     )
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     dot = _qsum_array(_pos_products(F.col("a.vec"), F.col("b.vec")))
-    na = F.sqrt(_qsum_array(_pos_products(F.col("a.vec"), F.col("a.vec"))))
-    nb = F.sqrt(_qsum_array(_pos_products(F.col("b.vec"), F.col("b.vec"))))
     return (
         a.join(
             b,
@@ -130,7 +139,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            (dot / (na * nb)).alias("cosine"),
+            (dot / (F.col("a.nrm") * F.col("b.nrm"))).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )

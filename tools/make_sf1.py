@@ -39,16 +39,20 @@ OUT = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0"
 COPIES = 10
 
 # key column -> stride (max key at sf0.1 rounded up; shifts keep copies
-# disjoint AND consistent between PK and FK sides)
+# disjoint AND consistent between PK and FK sides). Strides must also
+# clear the synthetic-key offsets queries construct from real keys
+# (q108 inserts at c_custkey + 1e6, q84 at event_id + 1e7) — a 1e6
+# customer stride collided copy 0's synthetic inserts with copy 1's real
+# keys and tripped merge_upsert's duplicate-source guard at sf1.0.
 STRIDES = {
-    "c_custkey": 1_000_000,
+    "c_custkey": 10_000_000,
     "s_suppkey": 1_000_000,
     "p_partkey": 1_000_000,
     "o_orderkey": 10_000_000,
     "l_orderkey": 10_000_000,
     "l_partkey": 1_000_000,
     "l_suppkey": 1_000_000,
-    "o_custkey": 1_000_000,
+    "o_custkey": 10_000_000,
     "event_id": 100_000_000,
     "user_id": 10_000_000,
     "doc_id": 1_000_000,
