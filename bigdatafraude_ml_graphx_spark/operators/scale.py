@@ -313,9 +313,14 @@ def pareto_prefix(
     silently wraps once the total value sum exceeds ~9.2e18/100, and a
     double-based ceiling drifts by one past 2^53 (ADVICE r7). The
     integral division uses SQL ``div`` (exact on decimals), so the only
-    IEEE operation left is the final ``top_share`` divide. Beyond 38
-    digits of total value sum Spark's decimal sum returns NULL (loud,
-    not wrapped).
+    IEEE operation left is the final ``top_share`` divide. Decimal
+    overflow past 38 digits (in the value sums or the ×100/×pct
+    cross-multiplies) raises loudly in BOTH ANSI and legacy modes: ANSI
+    raises natively, and in legacy mode — where overflow yields NULL,
+    which would make the crossing filter drop every row and silently
+    return an empty frame — coalesce-wrapped raise_error branches on the
+    filter predicate and the tie-group ceiling turn the NULL into an
+    error (ADVICE r8).
     """
     _DEC = "decimal(38,0)"
     vals = df.groupBy(F.col(value_col).alias("_v")).agg(
@@ -350,11 +355,46 @@ def pareto_prefix(
         + 100 * vd
         - 1
     )
+    # Overflow anywhere in the crossing arithmetic (the decimal(38,0)
+    # value sums OR the ×100 / ×pct cross-multiplies — legacy mode turns
+    # both into NULL) must be LOUD, never a silently empty result: a NULL
+    # comparison would drop every row, and a plain side-guard is skippable
+    # (the comparison short-circuits to NULL on its left operand without
+    # evaluating the guarded right side — measured in r9). coalesce cannot
+    # skip: a NULL predicate forces the raising branch. assert_true(false)
+    # always raises when reached.
+    _cmp = 100 * F.col("_cum_r") >= pct * F.col("_t")
+    _loud_cmp = F.coalesce(
+        _cmp,
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                "pareto_prefix: decimal(38,0) overflow in the value sums "
+                "or crossing cross-multiply — total value mass too large; "
+                "pre-scale value_col"
+            ),
+        ).cast("boolean"),
+    )
+    # Same discipline for the tie-group ceiling: `num` adds pct·total and
+    # 100·value terms, so it can overflow even when the filter's operands
+    # did not; a NULL _k would surface as NULL top_n on an otherwise valid
+    # row.
+    _k_raw = F.expr("_num div _den")
+    _k_loud = F.coalesce(
+        _k_raw,
+        F.assert_true(
+            F.lit(False),
+            F.lit(
+                "pareto_prefix: decimal(38,0) overflow in the tie-group "
+                "ceiling; pre-scale value_col"
+            ),
+        ).cast(_DEC),
+    )
     crossing = (
-        cum.filter(100 * F.col("_cum_r") >= pct * F.col("_t"))
+        cum.filter(_loud_cmp)
         .withColumn("_num", num)
         .withColumn("_den", 100 * vd)
-        .withColumn("_k", F.expr("_num div _den"))
+        .withColumn("_k", _k_loud)
         .orderBy(F.col("_v").desc())
         .limit(1)
     )

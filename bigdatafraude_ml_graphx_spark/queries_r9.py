@@ -1,0 +1,65 @@
+"""Round-9 batch: operator-level bag algebra on Spark's built-ins.
+
+q120 certifies MULTISET semantics in the scale-safe one-pass multiplicity
+form (1 fact scan + 1 key-sized shuffle); this module keeps a certified
+driver row on the built-in ``exceptAll`` / ``intersectAll`` operators
+THEMSELVES (SURVEY §2.7's "EXCEPT ALL / INTERSECT ALL" row), exercised
+where the built-ins are the right plan: a dim-sized input, where the
+extra scans and bag shuffles are noise. The reference's set-op surface is
+``distinct``-flavoured (Spark SQL UNION/EXCEPT over small frames); the
+bag variants are the §2.14 beyond-reference completion.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .queries import query
+
+# ---------------------------------------------------------------------------
+# q230 — built-in exceptAll / intersectAll on a dim-sized input
+# ---------------------------------------------------------------------------
+
+@query(
+    "q230_bag_ops_builtin",
+    oracle="""
+    WITH a AS (SELECT s_nationkey AS k FROM supplier WHERE s_acctbal >= 2000),
+         b AS (SELECT s_nationkey AS k FROM supplier WHERE s_acctbal < 6000),
+    ex AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+    ix AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    SELECT op, k, mult FROM (
+      SELECT 'except_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS mult
+      FROM ex GROUP BY k
+      UNION ALL
+      SELECT 'intersect_all' AS op, k, CAST(COUNT(*) AS BIGINT) AS mult
+      FROM ix GROUP BY k)
+    ORDER BY op, k
+    """,
+)
+def q230_bag_ops_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``DataFrame.exceptAll`` / ``intersectAll`` (bag
+    EXCEPT ALL / INTERSECT ALL), certified on the operators themselves:
+    two overlapping account-balance bands of the supplier dim produce
+    multiset bags of nation keys; the result is each bag operator's
+    per-key multiplicity, which pins the max(m_a − m_b, 0) / min(m_a,
+    m_b) semantics value-by-value (q120 pins only the four global
+    statistics). Supplier is dim-sized at every SF (10 k rows/SF), so
+    the built-ins' plan — two scans per operator plus a bag shuffle —
+    is the right one here; at fact scale the q120 one-pass multiplicity
+    rewrite remains the form that survives 100 TB."""
+    s = load_table(spark, sf_dir, "supplier")
+    a = s.filter(F.col("s_acctbal") >= 2000).select(
+        F.col("s_nationkey").alias("k")
+    )
+    b = s.filter(F.col("s_acctbal") < 6000).select(
+        F.col("s_nationkey").alias("k")
+    )
+    ex = a.exceptAll(b).groupBy("k").agg(F.count("*").alias("mult"))
+    ix = a.intersectAll(b).groupBy("k").agg(F.count("*").alias("mult"))
+    return (
+        ex.select(F.lit("except_all").alias("op"), "k", "mult")
+        .unionAll(ix.select(F.lit("intersect_all").alias("op"), "k", "mult"))
+        .orderBy("op", "k")
+    )

@@ -264,8 +264,25 @@ def q173_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cap). Size the valve to the bound the query already enforces:
     # ≤ |edges|·cap² paths. The level limit stays at its default — the
     # hop bound in the SQL terminates the recursion, not the valve.
-    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
-    return spark.sql(_REACH_RECURSE_SQL)
+    #
+    # The raised valve must not leak to the shared session (it would
+    # silently defuse the 1M safety limit for every later recursive query
+    # the driver runs). The limit is read at EXECUTION time, not at
+    # ``spark.sql()`` time, so restore-after-build alone would re-arm the
+    # default before the driver ever collects — instead the recursion is
+    # materialized eagerly (localCheckpoint, same discipline as the edge
+    # list above; the reachable-pair closure is answer-sized) inside the
+    # try/finally, and the session conf is restored either way.
+    _valve = "spark.sql.cteRecursionRowLimit"
+    _prev = spark.conf.get(_valve, None)
+    spark.conf.set(_valve, str(200_000_000))
+    try:
+        return spark.sql(_REACH_RECURSE_SQL).localCheckpoint(eager=True)
+    finally:
+        if _prev is None:
+            spark.conf.unset(_valve)
+        else:
+            spark.conf.set(_valve, _prev)
 
 
 # ---------------------------------------------------------------------------

@@ -533,13 +533,20 @@ def q120_multiset_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.sum("in_a").alias("m_a"), F.sum("in_b").alias("m_b"))
     )
+    # The d_* statistics mirror the oracle's COUNT(DISTINCT k), which
+    # excludes NULL — but groupBy("k") keeps a NULL-key group (set-op bag
+    # semantics treat NULLs as equal, so the n_* totals correctly include
+    # it). Inert on TPC-H (l_suppkey is NOT NULL); exact on any schema.
+    _k_ok = F.col("k").isNotNull()
     return m.agg(
         F.sum(F.greatest(F.col("m_a") - F.col("m_b"), F.lit(0))).alias(
             "n_except_all"
         ),
-        F.count_if(F.col("m_a") > F.col("m_b")).alias("d_except_all"),
+        F.count_if(_k_ok & (F.col("m_a") > F.col("m_b"))).alias(
+            "d_except_all"
+        ),
         F.sum(F.least("m_a", "m_b")).alias("n_intersect_all"),
-        F.count_if((F.col("m_a") > 0) & (F.col("m_b") > 0)).alias(
+        F.count_if(_k_ok & (F.col("m_a") > 0) & (F.col("m_b") > 0)).alias(
             "d_intersect_all"
         ),
     ).select(

@@ -41,6 +41,7 @@ from . import queries_r7b  # noqa: F401  (perplexity filter / DSIR / boilerplate
 from . import queries_r7c  # noqa: F401  (z-order / compaction / interval coverage / zone maps)
 from . import queries_r7d  # noqa: F401  (RFM / Pareto / mode / autocorrelation)
 from . import queries_r7e  # noqa: F401  (k-means / target encoding / feature hashing / TextRank)
+from . import queries_r9  # noqa: F401  (built-in bag operators on dim-sized input)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a
@@ -158,31 +159,25 @@ _DRIVER_CERTIFIED = frozenset({
     "q224_revenue_autocorrelation", "q225_kmeans_lloyd",
     "q226_target_encoding", "q227_feature_hashing",
     "q228_textrank_keywords",
+    # ... round-8 driver rows (CORRECTNESS_r08.json — 50/50 green: the 19
+    # lineage-changed/new names of the r8 subtract-set all re-certified, plus
+    # the alphabetical backfill — which happened to include
+    # q121_ann_topk_exact, so the ADVICE-flagged srp_signature int→long
+    # lineage change in q121's shared helper carries its own green r8 driver
+    # row; no exemption needed):
+    "q229_srp_near_pairs_scaled",
 }) - frozenset({
     # ... MINUS queries whose lineage changed since their last driver row —
-    # these must re-enter the 50-entry prefix so round 8 certifies the code
+    # these must re-enter the 50-entry prefix so round 9 certifies the code
     # that actually ships (the round-close rotation discipline,
     # .claude/skills/verify/SKILL.md):
-    "q172_pq_recall_contract",  # r8: localCheckpointed qs 1%-sample frame (VERDICT item 2)
-    "q15_set_union_except",     # r8: checkpointed big/building set-op intermediates (VERDICT item 3)
-    # r8 replay-candidate adjudications (VERDICT item 4) — lineage changed:
-    "q108_merge_upsert",          # r8: checkpointed dim snapshot (4 same-column scans → 1)
-    "q120_multiset_ops",          # r8: one-pass multiplicity agg (4 fact scans + 2 set-op shuffles → 1 + 1)
-    "q162_personalized_pagerank", # r8: seed set checkpointed in personalized_pagerank (3 events replays → 1)
-    "q103_srp_near_pairs",        # r8: sigs persist → eager checkpoint (parallel-stage cache race)
-    "q124_corpus_mixture",        # r8: mixture_sample counts checkpointed (min side replayed the rollup)
-    "q70_contamination_overlap",  # r8: eval shingle frame checkpointed (sizes side replayed the scan)
-    # r8 ADVICE fixes — lineage changed:
-    "q222_pareto_coverage",       # r8: decimal cross-multiply + integral-div ceiling (exact past 2^53)
-    "q219_interval_coverage",     # r8: loud end>=start guard in interval_union_coverage
-    # r8 sf1.0 scale findings — lineage changed:
-    "q102_srp_signatures",        # r8: signature widened int->long (32-bit sigs overflow int32)
-    "q146_stream_stream_join",    # r8: adaptive sentinel flush_ts (fixed ts rejected 10-month datasets)
-    "q164_stream_outer_join",     # r8: same adaptive flush_ts derivation
-    "q140_ivf_recall_contract",   # r8: fixed-count query-sample cap (contract was O(n^2/100), 32x at sf1.0) + qs checkpoint
-    "q173_recursive_reachability",# r8: recursion row-limit valve sized to the query's own bound (1M default tripped at sf1.0)
-    "q132_fuzzy_prefix_pairs",    # r8: DP+join on DISTINCT prefixes, expand after (57x at sf1.0 -> 1.5x)
-    "q46_embedding_near_dups",    # r8: norms per vector, not per candidate pair (32x at sf1.0 -> 10x)
+    # (r8 subtract-set fully re-certified in CORRECTNESS_r08.json and folded
+    # back in above; r9 changes accumulate here as they land.)
+    "q173_recursive_reachability",  # r9: recursion valve save/restore + eager materialization (conf no longer leaks to the shared session)
+    "q120_multiset_ops",            # r9: d_* counts exclude the NULL-key group, exact parity with COUNT(DISTINCT k)
+    "q222_pareto_coverage",         # r9: assert_true guard turns decimal-overflow NULL total into a loud error
+    "q146_stream_stream_join",      # r9: sentinel cache key folds in an events.parquet data fingerprint
+    "q164_stream_outer_join",       # r9: same sentinel cache-key fingerprint
 })
 
 

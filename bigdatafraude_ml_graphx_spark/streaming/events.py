@@ -57,6 +57,42 @@ def _staged_dir(sf_dir: str) -> str:
 DEFAULT_FLUSH_TS = "2024-03-01 00:00:00"
 
 
+def _flush_cache_dir(
+    sf_dir: str, flush_ts: str | None, flush_types: tuple[str, ...]
+) -> str:
+    """Staging-dir path for ``events_stream_flushed``'s sentinel cache.
+
+    The key folds in a data fingerprint (total size + newest mtime of the
+    events.parquet part files): if the data at the same sf_dir is
+    regenerated with a longer time span, adaptive sentinels derived from
+    the OLD max ts must not be reused — a stale 'adaptive' cache has no
+    postdate guard at all (the explicit-flush_ts path at least raises on
+    rebuild), so it would silently revert to swallowed stream tails
+    (ADVICE r8)."""
+    import hashlib
+
+    ev_path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
+    if os.path.isdir(ev_path):
+        parts = [
+            os.path.join(r, f)
+            for r, _, fs in os.walk(ev_path)
+            for f in fs
+            if not f.startswith((".", "_"))
+        ]
+    else:
+        parts = [ev_path]
+    stats = [os.stat(p) for p in parts]
+    fingerprint = (
+        f"{sum(s.st_size for s in stats)}|"
+        f"{max((s.st_mtime_ns for s in stats), default=0)}"
+    )
+    key = hashlib.md5(
+        f"{sf_dir}|{flush_ts or 'adaptive'}|{flush_types}|{fingerprint}"
+        .encode()
+    ).hexdigest()[:8]
+    return f"/tmp/spark_graft_stream_flush_{key}"
+
+
 def events_stream_flushed(
     spark: SparkSession,
     sf_dir: str,
@@ -88,12 +124,7 @@ def events_stream_flushed(
     """
     probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
     native = dict(probe.dtypes).get("ts") not in ("bigint", "long")
-    import hashlib
-
-    key = hashlib.md5(
-        f"{sf_dir}|{flush_ts or 'adaptive'}|{flush_types}".encode()
-    ).hexdigest()[:8]
-    d = f"/tmp/spark_graft_stream_flush_{key}"
+    d = _flush_cache_dir(sf_dir, flush_ts, flush_types)
     # Cache validity = the sentinel file itself, NOT dir-non-empty: a crash
     # between the symlink and the sentinel os.replace would otherwise leave
     # a permanently "valid" cache whose replays silently swallow every

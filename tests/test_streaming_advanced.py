@@ -204,17 +204,14 @@ def test_flushed_cache_sentinel_gates_validity(spark, sf_dir):
         events_stream_flushed,
     )
 
+    from bigdatafraude_ml_graphx_spark.streaming.events import (
+        _flush_cache_dir,
+    )
+
     # Distinct flush_types → distinct md5 cache key → isolated cache dir.
     types = ("purchase", "view")
     events_stream_flushed(spark, sf_dir, flush_types=types)
-    import hashlib
-
-    key = hashlib.md5(
-        # default flush_ts is now adaptive — the cache key uses the
-        # 'adaptive' marker, not the derived timestamp
-        f"{sf_dir}|adaptive|{types}".encode()
-    ).hexdigest()[:8]
-    d = f"/tmp/spark_graft_stream_flush_{key}"
+    d = _flush_cache_dir(sf_dir, None, types)
     sentinel = os.path.join(d, "sentinel.parquet")
     assert os.path.exists(sentinel)
 
@@ -227,6 +224,40 @@ def test_flushed_cache_sentinel_gates_validity(spark, sf_dir):
     rows = spark.read.parquet(sentinel).collect()
     assert sorted(r["event_type"] for r in rows) == sorted(types)
     assert all(r["user_id"] == -1 for r in rows)
+
+
+def test_flushed_cache_key_tracks_data_fingerprint(tmp_path, sf_dir):
+    """ADVICE r8: regenerating events.parquet at the same sf_dir must
+    invalidate the adaptive-sentinel cache — the key folds in a data
+    fingerprint (part-file sizes + newest mtime), so stale sentinels
+    derived from the old max ts are never reused."""
+    import shutil
+
+    from bigdatafraude_ml_graphx_spark.streaming.events import (
+        _flush_cache_dir,
+    )
+
+    staged = str(tmp_path / "sfcopy")
+    os.makedirs(staged)
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = os.path.join(staged, "events.parquet")
+    (shutil.copytree if os.path.isdir(src) else shutil.copy2)(src, dst)
+
+    types = ("purchase",)
+    k1 = _flush_cache_dir(staged, None, types)
+    assert k1 == _flush_cache_dir(staged, None, types)  # stable when unchanged
+
+    # "Regenerate" the data: same path, different bytes/mtime.
+    part = dst
+    if os.path.isdir(dst):
+        part = next(
+            os.path.join(r, f)
+            for r, _, fs in os.walk(dst)
+            for f in fs
+            if f.endswith(".parquet")
+        )
+    os.utime(part, ns=(os.stat(part).st_mtime_ns + 10**9,) * 2)
+    assert _flush_cache_dir(staged, None, types) != k1
 
 
 def test_flushed_cache_stale_flush_ts_raises(spark, sf_dir):
