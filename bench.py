@@ -148,13 +148,17 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = os.path.basename(sf_dir.rstrip("/")).replace("sf", "")
+    try:
+        sf = float(sf)
+    except ValueError:
+        pass  # variant dirs like sf1.0-skew: keep the string label
     payload = json.dumps(
         {
             "metric": "total_query_wall_sec",
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "sf": float(sf) if sf else None,
+            "sf": sf if sf else None,
             # Idleness as evidence, not assertion (VERDICT r6 item 2): runs
             # started above 1-min load 0.3 measured 1.09-1.15x uniform
             # inflation — a stamped load lets the next round's diff decide
