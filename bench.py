@@ -171,10 +171,17 @@ def main() -> None:
     # The driver captures only a stdout TAIL — with ~90 timed queries the
     # r3 artifact truncated mid-JSON ("parsed": null). Persist the complete
     # line to a file so the artifact is always parseable.
-    out_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_OUT",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"),
+    # Subset runs (SPARK_GRAFT_BENCH_ONLY) must never clobber the
+    # full-suite close artifact the next round diffs against — default
+    # their output to a scratch path instead.
+    default_out = (
+        "/tmp/BENCH_SUBSET.json"
+        if only
+        else os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_LAST.json"
+        )
     )
+    out_path = os.environ.get("SPARK_GRAFT_BENCH_OUT", default_out)
     try:
         with open(out_path, "w") as fh:
             fh.write(payload + "\n")

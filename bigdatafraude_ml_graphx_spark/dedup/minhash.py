@@ -130,3 +130,77 @@ def lsh_candidate_pairs(
     )
     exploded.unpersist()
     return pairs
+
+
+def lsh_probe_pairs(
+    index_sigs: DataFrame,
+    probe_sigs: DataFrame,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket: int = 100_000,
+) -> DataFrame:
+    """Incremental-ingest LSH: candidate pairs between a PROBE batch and an
+    existing INDEX, ``(doc_probe, doc_index, n_shared_bands)`` — the daily
+    crawl-ingestion shape, where a new batch is deduplicated against a
+    standing corpus WITHOUT re-pairing the corpus with itself.
+
+    Scale shape: both sides band-explode once (``bands`` rows per doc) and
+    meet in a single equi join on ``(band, band_key)`` — work is
+    probe-size × collision rate, never index × index. At 100 TB the index
+    side's signatures/bands are a stored artifact (computed once at
+    ingest); recomputing them here stands in for that read. The hot-bucket
+    cap applies to the INDEX side only (a bucket that popular has no
+    discriminating power; true near-dups still meet in their other,
+    selective bands — the ``lsh_candidate_pairs`` argument), while probe
+    docs emit at most ``bands`` rows each and need no cap.
+
+    The banding expressions deliberately mirror ``lsh_candidate_pairs``
+    verbatim (kept separate so this addition leaves that operator's
+    certified lineage untouched).
+    """
+    from ..operators.skew import drop_hot_buckets
+
+    rows_per_band = num_hashes // bands
+
+    def _banded(sigs: DataFrame) -> DataFrame:
+        structs = []
+        for band in range(bands):
+            cols = [
+                F.col(f"mh_{i:02d}")
+                for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+            ]
+            structs.append(
+                F.struct(
+                    F.lit(band).alias("band"),
+                    F.md5(
+                        F.concat_ws("|", *[c.cast("string") for c in cols])
+                    ).alias("band_key"),
+                )
+            )
+        return sigs.select("doc", F.explode(F.array(*structs)).alias("bk")).select(
+            "doc",
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+
+    # The cap's count pass and the join both read the index bands; persist
+    # so the signature lineage runs once (unpersisted before returning —
+    # the lsh_candidate_pairs cache-hygiene contract).
+    ib = _banded(index_sigs).persist()
+    index_buckets = drop_hot_buckets(ib, ["band", "band_key"], max_bucket)
+    pairs = (
+        _banded(probe_sigs)
+        .alias("p")
+        .join(
+            index_buckets.alias("i"),
+            (F.col("p.band") == F.col("i.band"))
+            & (F.col("p.band_key") == F.col("i.band_key")),
+        )
+        .groupBy(
+            F.col("p.doc").alias("doc_probe"), F.col("i.doc").alias("doc_index")
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+        .localCheckpoint(eager=True)
+    )
+    ib.unpersist()
+    return pairs

@@ -63,3 +63,57 @@ def q230_bag_ops_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(ix.select(F.lit("intersect_all").alias("op"), "k", "mult"))
         .orderBy("op", "k")
     )
+
+
+# ---------------------------------------------------------------------------
+# q231 — incremental-ingest dedup: probe a new batch against a standing
+# MinHash-LSH index (daily crawl-ingestion shape)
+# ---------------------------------------------------------------------------
+
+def _probe_oracle(num_hashes: int = 8, bands: int = 4) -> str:
+    from .queries_text import _SHINGLES_CTE, _hash_sql
+
+    rows = num_hashes // bands
+    mins = ", ".join(
+        f"MIN({_hash_sql('shingle', i)}) AS mh_{i:02d}" for i in range(num_hashes)
+    )
+    band_selects = []
+    for band in range(bands):
+        cols = [f"mh_{i:02d}" for i in range(band * rows, (band + 1) * rows)]
+        key = " || '|' || ".join(f"CAST({c} AS VARCHAR)" for c in cols)
+        band_selects.append(
+            f"SELECT doc, {band} AS band, md5({key}) AS band_key FROM sig"
+        )
+    buckets = " UNION ALL ".join(band_selects)
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sig AS (SELECT doc, {mins} FROM sh GROUP BY doc),
+    buckets AS ({buckets})
+    SELECT p.doc AS doc_probe, i.doc AS doc_index, COUNT(*) AS n_shared_bands
+    FROM buckets p
+    JOIN buckets i ON p.band = i.band AND p.band_key = i.band_key
+    WHERE p.doc % 10 = 0 AND i.doc % 10 != 0
+    GROUP BY 1, 2
+    """
+
+
+@query("q231_incremental_ingest_dedup", oracle=_probe_oracle())
+def q231_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus ingestion: the docs with ``doc_id % 10 = 0`` play
+    a newly crawled batch, the rest the standing corpus; each new doc is
+    probed against the corpus's banded MinHash index
+    (``dedup.lsh_probe_pairs``) for near-dup candidates. The 100 TB shape
+    this certifies: dedup of a daily batch costs batch × collision-rate
+    work against a STORED index — never a corpus self-join (q29 covers
+    the one-time self-pairing; this covers every ingest after it).
+    Signatures are computed once over the full table and checkpointed
+    (one scan), then split; in production the index side is a stored
+    artifact. Shared hash/banding math with q29's oracle — identical md5
+    signature and band-key expressions on both engines."""
+    from .dedup.minhash import lsh_probe_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=8).localCheckpoint(eager=True)
+    probe = sigs.filter(F.col("doc") % 10 == 0)
+    index = sigs.filter(F.col("doc") % 10 != 0)
+    return lsh_probe_pairs(index, probe, num_hashes=8, bands=4)

@@ -114,3 +114,35 @@ def test_q230_bag_builtin_multiplicities(spark, sf_dir):
         if min(ma, mb) > 0:
             expect[("intersect_all", k)] = min(ma, mb)
     assert out == expect
+
+
+def test_q231_probe_equals_self_join_cross_pairs(spark, sf_dir):
+    """lsh_probe_pairs(index, probe) must produce EXACTLY the cross-side
+    subset of the full self-join's candidate pairs (same bands, same
+    hashes): probing a batch against a standing index loses nothing
+    relative to re-pairing the whole corpus — the property that makes
+    incremental ingestion sound."""
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+    from bigdatafraude_ml_graphx_spark.dedup.minhash import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=8).localCheckpoint(eager=True)
+    full = {
+        (r["doc_a"], r["doc_b"]): r["n_shared_bands"]
+        for r in lsh_candidate_pairs(sigs, num_hashes=8, bands=4).collect()
+    }
+    cross = {
+        k: v
+        for k, v in full.items()
+        if (k[0] % 10 == 0) != (k[1] % 10 == 0)  # exactly one side in batch
+    }
+    got = {
+        (min(r["doc_probe"], r["doc_index"]), max(r["doc_probe"], r["doc_index"])): r[
+            "n_shared_bands"
+        ]
+        for r in q.QUERIES["q231_incremental_ingest_dedup"](spark, sf_dir).collect()
+    }
+    assert got == cross
