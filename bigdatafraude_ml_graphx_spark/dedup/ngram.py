@@ -193,3 +193,57 @@ def ngram_jaccard_pairs(
     )
     shingles.unpersist()
     return pairs
+
+
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Asymmetric near-duplicate pairs by n-gram CONTAINMENT:
+    ``c_a_in_b = |A∩B| / |A|`` and ``c_b_in_a = |A∩B| / |B|``, keeping
+    pairs where either direction reaches ``threshold``. Catches the
+    subset-duplicates symmetric Jaccard misses — a short document quoted
+    or embedded whole inside a longer one has near-1 containment but low
+    Jaccard (the union is dominated by the host document). The standard
+    LLM-corpus use: drop documents mostly contained in another (quote
+    farms, boilerplate-wrapped reposts).
+
+    Same inverted-shingle-index join shape as ``ngram_jaccard_pairs``
+    (work ∝ shared shingles, never O(N²)); same eager + non-recoverable
+    cache-hygiene contract (see ``lsh_candidate_pairs``)."""
+    shingles = _doc_shingles(df, text_col, id_col, n).persist()
+    sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_shingles"))
+
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
+    pairs = (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "c_a_in_b", F.col("shared").cast("double") / F.col("na").cast("double")
+        )
+        .withColumn(
+            "c_b_in_a", F.col("shared").cast("double") / F.col("nb").cast("double")
+        )
+        .filter(
+            (F.col("c_a_in_b") >= threshold) | (F.col("c_b_in_a") >= threshold)
+        )
+        .select("doc_a", "doc_b", "c_a_in_b", "c_b_in_a")
+        .localCheckpoint(eager=True)
+    )
+    shingles.unpersist()
+    return pairs

@@ -117,3 +117,43 @@ def q231_incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame
     probe = sigs.filter(F.col("doc") % 10 == 0)
     index = sigs.filter(F.col("doc") % 10 != 0)
     return lsh_probe_pairs(index, probe, num_hashes=8, bands=4)
+
+
+# ---------------------------------------------------------------------------
+# q232 — asymmetric containment dedup (subset-duplicate detection)
+# ---------------------------------------------------------------------------
+
+def _containment_oracle(threshold: float = 0.5) -> str:
+    from .queries_text import _SHINGLES_CTE
+
+    return f"""
+    WITH {_SHINGLES_CTE},
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM sh GROUP BY doc),
+    shared AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared
+               FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+               GROUP BY 1, 2)
+    SELECT s.doc_a, s.doc_b,
+           CAST(s.shared AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS c_a_in_b,
+           CAST(s.shared AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS c_b_in_a
+    FROM shared s
+    JOIN sizes sa ON s.doc_a = sa.doc
+    JOIN sizes sb ON s.doc_b = sb.doc
+    WHERE CAST(s.shared AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= {threshold}
+       OR CAST(s.shared AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) >= {threshold}
+    """
+
+
+@query("q232_containment_pairs", oracle=_containment_oracle())
+def q232_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dups — ``|A∩B|/|A|`` per direction,
+    pair kept when either direction ≥ 0.5. Catches subset-duplicates
+    symmetric Jaccard (q27) misses: a short doc quoted whole inside a
+    longer one has near-1 containment but a union-dominated Jaccard.
+    Same inverted-shingle-index join shape as q27 (work ∝ shared
+    shingles, never O(N²)); the exact double divisions of the same
+    integers make both engines bit-identical."""
+    from .dedup.ngram import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )

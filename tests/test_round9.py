@@ -146,3 +146,29 @@ def test_q231_probe_equals_self_join_cross_pairs(spark, sf_dir):
         for r in q.QUERIES["q231_incremental_ingest_dedup"](spark, sf_dir).collect()
     }
     assert got == cross
+
+
+def test_containment_catches_subset_duplicates_jaccard_misses(spark):
+    """A short doc embedded whole in a much longer one: containment ≈ 1,
+    Jaccard far below any dedup threshold — the asymmetric operator must
+    flag the pair and the directions must be oriented correctly."""
+    from bigdatafraude_ml_graphx_spark.dedup.ngram import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "the quick brown fox jumps over the lazy dog"
+    filler = " ".join(f"tok{i} word{i} item{i}" for i in range(40))
+    long_doc = filler + " " + short + " " + " ".join(
+        f"pad{i} extra{i}" for i in range(40)
+    )
+    df = spark.createDataFrame(
+        [(1, short), (2, long_doc)], "doc_id long, text string"
+    )
+    rows = containment_pairs(df, n=3, threshold=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["doc_a"], r["doc_b"]) == (1, 2)
+    assert r["c_a_in_b"] >= 0.9      # the short doc is inside the long one
+    assert r["c_b_in_a"] < 0.2       # but not vice versa
+    assert not ngram_jaccard_pairs(df, n=3, threshold=0.5).collect()
