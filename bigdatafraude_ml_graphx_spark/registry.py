@@ -166,18 +166,18 @@ _DRIVER_CERTIFIED = frozenset({
     # lineage change in q121's shared helper carries its own green r8 driver
     # row; no exemption needed):
     "q229_srp_near_pairs_scaled",
+    # ... round-9 driver rows (CORRECTNESS_r09.json — 50/50 green: the 5
+    # lineage-changed names of the r9 subtract-set all re-certified, plus
+    # these 3 new names and the longest-certified backfill):
+    "q230_bag_ops_builtin", "q231_incremental_ingest_dedup",
+    "q232_containment_pairs",
 }) - frozenset({
     # ... MINUS queries whose lineage changed since their last driver row —
-    # these must re-enter the 50-entry prefix so round 9 certifies the code
+    # these must re-enter the 50-entry prefix so round 10 certifies the code
     # that actually ships (the round-close rotation discipline,
     # .claude/skills/verify/SKILL.md):
-    # (r8 subtract-set fully re-certified in CORRECTNESS_r08.json and folded
-    # back in above; r9 changes accumulate here as they land.)
-    "q173_recursive_reachability",  # r9: recursion valve save/restore + eager materialization (conf no longer leaks to the shared session)
-    "q120_multiset_ops",            # r9: d_* counts exclude the NULL-key group, exact parity with COUNT(DISTINCT k)
-    "q222_pareto_coverage",         # r9: assert_true guard turns decimal-overflow NULL total into a loud error
-    "q146_stream_stream_join",      # r9: sentinel cache key folds in an events.parquet data fingerprint
-    "q164_stream_outer_join",       # r9: same sentinel cache-key fingerprint
+    # (r9 subtract-set fully re-certified in CORRECTNESS_r09.json and folded
+    # back in above; r10 changes accumulate here as they land.)
 })
 
 
