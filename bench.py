@@ -158,7 +158,9 @@ def main() -> None:
             "value": total,
             "unit": "sec",
             "queries": timings,
-            "sf": sf if sf else None,
+            # Explicit empty check: a falsy-but-real label (hypothetical
+            # 0.0 parse) must not be conflated with "no sf label" (ADVICE).
+            "sf": sf if sf != "" else None,
             # Idleness as evidence, not assertion (VERDICT r6 item 2): runs
             # started above 1-min load 0.3 measured 1.09-1.15x uniform
             # inflation — a stamped load lets the next round's diff decide

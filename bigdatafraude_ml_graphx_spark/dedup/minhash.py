@@ -154,6 +154,18 @@ def lsh_probe_pairs(
     selective bands — the ``lsh_candidate_pairs`` argument), while probe
     docs emit at most ``bands`` rows each and need no cap.
 
+    CAP ASYMMETRY vs the self-join: because only the index SPLIT is
+    capped, a bucket over ``max_bucket`` in the full corpus but under it
+    on the index side yields pairs the capped self-join would drop — the
+    cross-pair equivalence to ``lsh_candidate_pairs`` holds exactly only
+    while every shared bucket is under the cap on BOTH formulations
+    (pinned both ways in tests/test_round9.py: exact equivalence below
+    the cap, and the intended divergence above it).
+
+    Probe and index ids may overlap (e.g. a re-ingested batch): a doc
+    meeting ITSELF across the two sides is filtered out (``doc_probe !=
+    doc_index``) rather than reported as a trivially-perfect match.
+
     The banding expressions deliberately mirror ``lsh_candidate_pairs``
     verbatim (kept separate so this addition leaves that operator's
     certified lineage untouched).
@@ -194,7 +206,8 @@ def lsh_probe_pairs(
         .join(
             index_buckets.alias("i"),
             (F.col("p.band") == F.col("i.band"))
-            & (F.col("p.band_key") == F.col("i.band_key")),
+            & (F.col("p.band_key") == F.col("i.band_key"))
+            & (F.col("p.doc") != F.col("i.doc")),
         )
         .groupBy(
             F.col("p.doc").alias("doc_probe"), F.col("i.doc").alias("doc_index")

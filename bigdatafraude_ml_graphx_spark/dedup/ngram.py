@@ -139,7 +139,7 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | float | None = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs ``(doc_a, doc_b, jaccard)`` with
     ``doc_a < doc_b`` and n-gram Jaccard ≥ ``threshold``.
@@ -201,6 +201,7 @@ def containment_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
+    max_shingle_freq: int | float | None = None,
 ) -> DataFrame:
     """Asymmetric near-duplicate pairs by n-gram CONTAINMENT:
     ``c_a_in_b = |A∩B| / |A|`` and ``c_b_in_a = |A∩B| / |B|``, keeping
@@ -213,8 +214,26 @@ def containment_pairs(
 
     Same inverted-shingle-index join shape as ``ngram_jaccard_pairs``
     (work ∝ shared shingles, never O(N²)); same eager + non-recoverable
-    cache-hygiene contract (see ``lsh_candidate_pairs``)."""
-    shingles = _doc_shingles(df, text_col, id_col, n).persist()
+    cache-hygiene contract (see ``lsh_candidate_pairs``).
+
+    ``max_shingle_freq`` is the hot-content valve (same semantics as
+    ``ngram_jaccard_pairs``): shingles in more than that many documents
+    are dropped BEFORE the self-join and the containment denominators are
+    the per-doc sizes over the CAPPED universe. A boilerplate shingle
+    shared by B docs otherwise emits B·(B−1)/2 join rows — and because a
+    shared boilerplate block pushes a short doc's containment toward 1,
+    the uncapped ANSWER itself goes quadratic on boilerplate-heavy
+    corpora; capping is a semantic choice (boilerplate carries no
+    subset-duplicate signal), not just a plan optimization."""
+    shingles = _doc_shingles(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = shingles.groupBy("shingle").agg(F.count("*").alias("_f"))
+        shingles = (
+            shingles.join(freq, "shingle")
+            .filter(F.col("_f") <= max_shingle_freq)
+            .drop("_f")
+        )
+    shingles = shingles.persist()
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_shingles"))
 
     a = shingles.alias("a")

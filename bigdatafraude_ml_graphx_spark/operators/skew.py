@@ -53,7 +53,7 @@ def salted_agg(
 
 
 def drop_hot_buckets(
-    df: DataFrame, key_cols: Sequence[str], max_bucket: int
+    df: DataFrame, key_cols: Sequence[str], max_bucket: int | float
 ) -> DataFrame:
     """Drop every row whose key appears more than ``max_bucket`` times —
     the quadratic-blowup guard shared by all the banded self-joins

@@ -42,6 +42,7 @@ from . import queries_r7c  # noqa: F401  (z-order / compaction / interval covera
 from . import queries_r7d  # noqa: F401  (RFM / Pareto / mode / autocorrelation)
 from . import queries_r7e  # noqa: F401  (k-means / target encoding / feature hashing / TextRank)
 from . import queries_r9  # noqa: F401  (built-in bag operators on dim-sized input)
+from . import queries_r10  # noqa: F401  (df-capped hot-content-safe dedup configs)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a
@@ -178,6 +179,10 @@ _DRIVER_CERTIFIED = frozenset({
     # .claude/skills/verify/SKILL.md):
     # (r9 subtract-set fully re-certified in CORRECTNESS_r09.json and folded
     # back in above; r10 changes accumulate here as they land.)
+    "q231_incremental_ingest_dedup",  # r10: lsh_probe_pairs gains the doc_probe != doc_index self-pair guard (ADVICE)
+    "q146_stream_stream_join",        # r10: sentinel cache dir renamed to two-part key + stale-sibling pruning (ADVICE)
+    "q164_stream_outer_join",         # r10: same cache-dir change
+    "q232_containment_pairs",         # r10: containment_pairs gains the max_shingle_freq valve (no-op at default, but lineage touched)
 })
 
 

@@ -48,6 +48,11 @@ def get_spark(
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
         )
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        # Owned explicitly, not inherited: Spark 3.4+ defaults this on, but a
+        # cluster defaults file (or older Spark) can override it — the runtime
+        # bloom-filter join-pushdown plan contract (tests/test_plans.py) must
+        # test the engine's own configuration, not a deployment accident.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")

@@ -123,7 +123,7 @@ def srp_banded_pairs(
     signs: list[list[int]],
     n_bands: int = 4,
     min_cosine: float = 0.4,
-    bucket_cap: int = 100_000,
+    bucket_cap: int | float = 100_000,
 ) -> DataFrame:
     """Near-neighbour pairs: SRP-banded candidates verified by exact cosine.
 

@@ -68,8 +68,19 @@ def _flush_cache_dir(
     the OLD max ts must not be reused — a stale 'adaptive' cache has no
     postdate guard at all (the explicit-flush_ts path at least raises on
     rebuild), so it would silently revert to swallowed stream tails
-    (ADVICE r8)."""
+    (ADVICE r8).
+
+    The name is two-part — ``..._{source_key}_{fingerprint_key}`` — so
+    stale sibling caches for the SAME (sf_dir, flush config) but an older
+    data fingerprint are identifiable and pruned on each call: without
+    pruning, every data regeneration minted a new /tmp dir forever
+    (ADVICE r9). Pruning a sibling another live process still streams
+    from is safe in practice: fingerprints differ only when the data
+    changed, so that process was already reading a stale snapshot.
+    (Size+mtime is the fingerprint by design — an mtime-preserving copy
+    of byte-identical size is not a path the testdata generators take.)"""
     import hashlib
+    import shutil
 
     ev_path = os.path.abspath(os.path.join(sf_dir, "events.parquet"))
     if os.path.isdir(ev_path):
@@ -86,11 +97,18 @@ def _flush_cache_dir(
         f"{sum(s.st_size for s in stats)}|"
         f"{max((s.st_mtime_ns for s in stats), default=0)}"
     )
-    key = hashlib.md5(
-        f"{sf_dir}|{flush_ts or 'adaptive'}|{flush_types}|{fingerprint}"
-        .encode()
+    source_key = hashlib.md5(
+        f"{sf_dir}|{flush_ts or 'adaptive'}|{flush_types}".encode()
     ).hexdigest()[:8]
-    return f"/tmp/spark_graft_stream_flush_{key}"
+    fp_key = hashlib.md5(fingerprint.encode()).hexdigest()[:8]
+    prefix = f"/tmp/spark_graft_stream_flush_{source_key}_"
+    d = f"{prefix}{fp_key}"
+    import glob
+
+    for stale in glob.glob(f"{prefix}*"):
+        if stale != d:
+            shutil.rmtree(stale, ignore_errors=True)
+    return d
 
 
 def events_stream_flushed(

@@ -14,6 +14,15 @@ defect found so far added ≥2 opens (q172 5→9, q150 1→6, q103 1→4).
 A new query or a deliberate lineage change updates the JSON alongside
 the code — the diff shows the scan-cost change to the reviewer.
 
+Hermeticity (r9 verdict item 1): the sweep runs in a FRESH subprocess
+JVM (``tools/replay_audit.py --check``), never in the shared pytest
+session. In-suite runs were flaky — 400+ earlier tests leave persisted
+frames and cache state in the shared session, and the resulting memory
+pressure / block-eviction recompute added +1–2 opens on cache-heavy
+queries (q171, q194) with NO concurrent JVM involved. A fresh session
+has no inherited state, so a violation now means the lineage itself
+regressed, not that the suite ran in an unlucky order.
+
 Runs at sf0.01 (the driver-gate scale: every table is one parquet file,
 so opens count table-scan events).
 """
@@ -22,40 +31,44 @@ from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 
-import pytest
-
-sys.path.insert(
-    0,
-    os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tools"
-    ),
-)
-
-from replay_audit import audit_queries, check_budgets, load_budgets  # noqa: E402
-
-SF01 = "/root/testdata/sf0.01"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+BUDGET_FILE = os.path.join(REPO, "tools", "replay_budgets.json")
 
 
-def test_every_query_within_scan_budget(spark):
-    if spark.sparkContext.uiWebUrl is None:
-        pytest.skip("Spark UI disabled — REST metrics unavailable")
-
+def test_budget_file_covers_every_declared_query():
+    """Cheap completeness check — no Spark needed: every registered query
+    must carry a budget row (a new query adds its row in the same commit)."""
+    sys.path.insert(0, REPO)
     from bigdatafraude_ml_graphx_spark.registry import QUERIES
 
-    budgets = load_budgets()
+    with open(BUDGET_FILE) as f:
+        budgets = json.load(f)
     missing = sorted(set(QUERIES) - set(budgets))
     assert not missing, (
         f"queries with no scan budget (add them to tools/replay_budgets.json "
         f"from a tools/replay_audit.py run): {missing}"
     )
 
-    rows = audit_queries(spark, QUERIES, SF01)
-    violations, unbudgeted = check_budgets(rows, budgets)
-    assert not violations, (
+
+def test_every_query_within_scan_budget():
+    """Full sweep in a hermetic subprocess: fresh JVM, fresh SparkSession,
+    zero shared-suite cache/persist state. Exit 1 = budget violation."""
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "replay_audit.py"),
+         "--check"],
+        capture_output=True,
+        text=True,
+        timeout=2400,
+        cwd=REPO,
+        env={**os.environ, "REPLAY_AUDIT_SF": "/root/testdata/sf0.01"},
+    )
+    tail = proc.stderr[-4000:]
+    assert proc.returncode == 0, (
         "scan-replay budget violations (files opened > budget — a shared "
         "frame is probably re-deriving per consumer; see "
-        f"tools/replay_audit.py's interpretation notes): {violations}"
+        f"tools/replay_audit.py's interpretation notes):\n{tail}"
     )
-    assert not unbudgeted
+    assert "UNBUDGETED" not in proc.stderr, f"unbudgeted queries:\n{tail}"

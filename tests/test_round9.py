@@ -121,7 +121,11 @@ def test_q231_probe_equals_self_join_cross_pairs(spark, sf_dir):
     subset of the full self-join's candidate pairs (same bands, same
     hashes): probing a batch against a standing index loses nothing
     relative to re-pairing the whole corpus — the property that makes
-    incremental ingestion sound."""
+    incremental ingestion sound. CAP-DEPENDENT: exact equivalence holds
+    only while every shared bucket is under max_bucket on BOTH
+    formulations (here: no sf0.001 bucket approaches the 100k default);
+    above the cap the two deliberately diverge — pinned by
+    tests/test_round10.py::test_probe_pairs_cap_divergence_above_max_bucket."""
     from bigdatafraude_ml_graphx_spark.catalog import load_table
     from bigdatafraude_ml_graphx_spark.dedup.minhash import (
         lsh_candidate_pairs,
