@@ -1,0 +1,93 @@
+"""Prove hot-content caps do not cost non-hot recall (VERDICT r9 item 6).
+
+The hot-content fixture (tools/make_sf1_hotcontent.py) modifies only docs/
+vectors with id % 3 != 0 (boilerplate append / hot-cluster collapse); ids
+with id % 3 == 0 are byte-identical to the base corpus. For each capped
+pair query this tool runs the query on BOTH corpora, restricts both
+answers to pairs where BOTH ids are untouched, and diffs them: the caps
+must drop only degenerate mass — pairs among untouched content must be
+IDENTICAL (the boilerplate tokens are disjoint from the generator
+vocabulary, so untouched docs' shingles/signatures are unchanged, and a
+relative cap computed over the same corpus size keeps the same threshold).
+
+One caveat is expected and REPORTED rather than hidden: an untouched item
+that happens to share a (band, bucket) with the hot mass can lose that
+band's collisions when the bucket is dropped; if the pair collides on no
+other band it disappears. The per-query `lost`/`gained` counts make that
+visible — 0/0 is the clean result.
+
+Usage: python tools/hotcontent_recall.py [base_dir hot_dir] > out.json
+       (defaults /tmp/sf1.0 /tmp/sf1.0-hotcontent)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BASE = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1.0"
+HOT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0-hotcontent"
+
+# query -> (id_col_a, id_col_b)
+CHECKS = {
+    "q233_jaccard_df_capped": ("doc_a", "doc_b"),
+    "q234_containment_df_capped": ("doc_a", "doc_b"),
+    "q235_srp_pairs_bucket_capped": ("a_id", "b_id"),
+    "q29_lsh_candidates": ("doc_a", "doc_b"),
+}
+
+
+def untouched_pairs(spark, name, sf_dir, a_col, b_col):
+    from bigdatafraude_ml_graphx_spark import registry as q
+    from pyspark.sql import functions as F
+
+    df = q.QUERIES[name](spark, sf_dir)
+    rows = df.filter(
+        (F.col(a_col) % 3 == 0) & (F.col(b_col) % 3 == 0)
+    ).collect()
+    cols = df.columns
+    return {tuple(str(r[c]) for c in cols) for r in rows}
+
+
+def main() -> int:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '16')}]"
+        )
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "24g")
+        .appName("hotcontent-recall")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    out = {"metric": "hotcontent_nonhot_recall", "base": BASE, "hot": HOT,
+           "queries": {}}
+    clean = True
+    for name, (a_col, b_col) in CHECKS.items():
+        base = untouched_pairs(spark, name, BASE, a_col, b_col)
+        hot = untouched_pairs(spark, name, HOT, a_col, b_col)
+        lost, gained = base - hot, hot - base
+        out["queries"][name] = {
+            "base_nonhot_pairs": len(base),
+            "hot_nonhot_pairs": len(hot),
+            "lost": len(lost),
+            "gained": len(gained),
+            "identical": not lost and not gained,
+        }
+        clean = clean and not lost and not gained
+        print(f"{name}: base={len(base)} hot={len(hot)} "
+              f"lost={len(lost)} gained={len(gained)}", file=sys.stderr)
+    out["all_identical"] = clean
+    print(json.dumps(out, indent=1))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

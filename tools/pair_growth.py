@@ -97,6 +97,15 @@ def measure(spark: SparkSession, sf_dir: str) -> dict:
     )
     out["q27_output_pairs"] = q.QUERIES["q27_ngram_jaccard_pairs"](spark, sf_dir).count()
     out["q27_sec"] = round(time.time() - t0, 2)
+    # q232 containment shares q27's inverted-index EXACTLY (same shingle
+    # stream, same self-join — only the final ratio/filter differs), so its
+    # work metric IS q27_join_rows / q27_distinct_candidates; measure only
+    # its output size here (VERDICT r9 item 4: measured, not argued).
+    t0 = time.time()
+    out["q232_output_pairs"] = q.QUERIES["q232_containment_pairs"](
+        spark, sf_dir
+    ).count()
+    out["q232_sec"] = round(time.time() - t0, 2)
     return out
 
 
@@ -133,6 +142,12 @@ def main() -> None:
             summary[f"{qn}_work_per_output_drift"] = round(cand / outp, 3)
         summary["q27_distinct_candidate_ratio"] = round(
             b["q27_distinct_candidates"] / max(a["q27_distinct_candidates"], 1), 2
+        )
+        # q232: same join work as q27, its own answer
+        q232_out = b["q232_output_pairs"] / max(a["q232_output_pairs"], 1)
+        summary["q232_output_ratio"] = round(q232_out, 2)
+        summary["q232_work_per_output_drift"] = round(
+            (b["q27_join_rows"] / max(a["q27_join_rows"], 1)) / q232_out, 3
         )
         # rows-per-candidate = avg |A∩B| over candidates; bounded above by
         # max_doc_shingles at EVERY scale
