@@ -23,7 +23,11 @@ bit-identical.
 
 from __future__ import annotations
 
+import os
+import uuid
+
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .queries import query
@@ -182,3 +186,144 @@ def q235_srp_pairs_bucket_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         e, "vec_id", "embedding", _SRP32_SIGNS,
         n_bands=_SRP32_BANDS, min_cosine=_SRP_TAU, bucket_cap=cap,
     )
+
+
+# ---------------------------------------------------------------------------
+# q236 — STREAMING incremental-ingest dedup (q231's production daily loop)
+# ---------------------------------------------------------------------------
+
+_DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def _staged_docs_dir(sf_dir: str) -> str:
+    """File-stream staging dir for documents.parquet (the events-stream
+    symlink trick — streaming/events.py:_staged_dir — applied to the
+    documents table; read-only testdata is never touched)."""
+    import hashlib
+
+    key = hashlib.md5(f"docs|{sf_dir}".encode()).hexdigest()[:8]
+    d = f"/tmp/spark_graft_stream_docs_{key}"
+    os.makedirs(d, exist_ok=True)
+    link = os.path.join(d, "documents.parquet")
+    target = os.path.abspath(os.path.join(sf_dir, "documents.parquet"))
+    if not os.path.islink(link):
+        os.symlink(target, link)
+    return d
+
+
+def _band_rows(sigs: DataFrame, num_hashes: int, bands: int) -> DataFrame:
+    """(doc, band, band_key) rows — the exact banding expressions of
+    ``dedup.minhash`` (md5 over '|'-joined per-band minhash strings),
+    inlined so the streaming query shares no lineage with the certified
+    batch operators. Works identically on batch and streaming frames
+    (stateless: one explode, no aggregation)."""
+    rows_per_band = num_hashes // bands
+    structs = []
+    for band in range(bands):
+        cols = [
+            F.col(f"mh_{i:02d}")
+            for i in range(band * rows_per_band, (band + 1) * rows_per_band)
+        ]
+        structs.append(
+            F.struct(
+                F.lit(band).alias("band"),
+                F.md5(
+                    F.concat_ws("|", *[c.cast("string") for c in cols])
+                ).alias("band_key"),
+            )
+        )
+    return sigs.select("doc", F.explode(F.array(*structs)).alias("bk")).select(
+        "doc",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+
+
+def _q236_oracle() -> str:
+    from .queries_r9 import _probe_oracle
+
+    return _probe_oracle()
+
+
+@query("q236_stream_ingest_dedup", oracle=_q236_oracle())
+def q236_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q231's incremental-ingest dedup as a REAL Structured Streaming
+    pipeline — the shape a daily crawl actually runs: new documents
+    arrive as a stream, each micro-batch is probed against the standing
+    corpus's banded MinHash index via a stateless STREAM-STATIC equi
+    join, and the candidate-pair counts aggregate across batches. The
+    streamed result hash-matches q231's batch answer (same md5 hash and
+    banding math; the oracle IS q231's oracle) — the stream/batch
+    equivalence proof for the ingest-dedup loop.
+
+    The probe-side signature is computed PER ROW (``array_min`` over the
+    hashed shingle array — no groupBy), which is what makes the
+    pre-aggregation pipeline stateless: a streaming groupBy("doc") before
+    a join would be an unsupported multi-stage stateful topology in one
+    query. Statelessness costs re-evaluating the shingle expression once
+    per hash function inside whole-stage codegen (k=8 passes over a
+    ~50-token array per doc); the batch kernel (q231) amortizes that
+    through the exploded shuffle instead — at 100 TB the index is a
+    stored artifact either way, and the stream side is one day's batch.
+
+    Docs with no trigrams are filtered explicitly (the batch kernel's
+    groupBy drops them by construction; the per-row form must match)."""
+    from .dedup.minhash import _hash64, minhash_signatures
+    from .dedup.ngram import ngrams_from_tokens
+    from .functions.text import tokens
+    from .streaming.sinks import memory_sink, run_available_now
+
+    num_hashes, bands = 8, 4
+
+    # Standing index: batch signatures, one scan, checkpointed — in
+    # production this is a stored artifact updated by each ingest.
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=num_hashes).localCheckpoint(
+        eager=True
+    )
+    index_bands = _band_rows(
+        sigs.filter(F.col("doc") % 10 != 0), num_hashes, bands
+    ).localCheckpoint(eager=True)
+
+    # Probe stream: per-row stateless signature.
+    stream = (
+        spark.readStream.schema(_DOCS_SCHEMA)
+        .parquet(_staged_docs_dir(sf_dir))
+        .filter(F.col("doc_id") % 10 == 0)
+        .select(F.col("doc_id").alias("doc"), tokens("text").alias("_toks"))
+        .select("doc", ngrams_from_tokens(F.col("_toks"), 3).alias("_grams"))
+        .filter(F.size("_grams") > 0)
+    )
+    # NOTE: the salt must be bound through a function parameter — a
+    # two-argument lambda (`lambda s, _i=i`) would be interpreted by
+    # F.transform as its (element, index) form and the array INDEX would
+    # silently replace the salt (found the hard way: every signature
+    # disagreed with the batch kernel).
+    def _mh(salt: int):
+        return F.array_min(
+            F.transform("_grams", lambda s: _hash64(s, salt))
+        ).alias(f"mh_{salt:02d}")
+
+    mh = [_mh(i) for i in range(num_hashes)]
+    probe_bands = _band_rows(stream.select("doc", *mh), num_hashes, bands)
+
+    pairs = (
+        probe_bands.alias("p")
+        .join(
+            index_bands.alias("i"),
+            (F.col("p.band") == F.col("i.band"))
+            & (F.col("p.band_key") == F.col("i.band_key"))
+            & (F.col("p.doc") != F.col("i.doc")),
+        )
+        .groupBy(
+            F.col("p.doc").alias("doc_probe"),
+            F.col("i.doc").alias("doc_index"),
+        )
+        .agg(F.count("*").alias("n_shared_bands"))
+    )
+    name = f"q236_sink_{uuid.uuid4().hex[:8]}"
+    q = memory_sink(pairs, name, output_mode="complete", available_now=True)
+    run_available_now(q)
+    return spark.table(name).select("doc_probe", "doc_index", "n_shared_bands")
