@@ -327,3 +327,133 @@ def q236_stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = memory_sink(pairs, name, output_mode="complete", available_now=True)
     run_available_now(q)
     return spark.table(name).select("doc_probe", "doc_index", "n_shared_bands")
+
+
+# ---------------------------------------------------------------------------
+# q237 — incremental ANN ingest (probe batch vs standing SRP index)
+# ---------------------------------------------------------------------------
+
+def _oracle_srp_probe() -> str:
+    """SRP probe-vs-index oracle: same signature/banding SQL as q229/q235,
+    split on vec_id % 10, index-side relative bucket cap."""
+    from .queries_corpus import _SRP32_BANDS, _SRP32_SIGNS, _SRP_DIM, _SRP_TAU
+    from .similarity.srp import oracle_srp_signature_sql
+
+    signs, n_bands, tau, dim = _SRP32_SIGNS, _SRP32_BANDS, _SRP_TAU, _SRP_DIM
+    bw = len(signs) // n_bands
+    mask = (1 << bw) - 1
+    bands = ", ".join(str(b) for b in range(n_bands))
+    dot = f"list_sum(list_transform(range(1, {dim + 1}), i -> sp.q[i] * si.q[i]))"
+    np_ = f"list_sum(list_transform(range(1, {dim + 1}), i -> sp.q[i] * sp.q[i]))"
+    ni = f"list_sum(list_transform(range(1, {dim + 1}), i -> si.q[i] * si.q[i]))"
+    return f"""
+    WITH s AS (
+      SELECT vec_id,
+             list_transform(range(1, {dim + 1}),
+                 i -> CAST(FLOOR(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                           AS BIGINT)) AS q,
+             {oracle_srp_signature_sql(signs)} AS sig
+      FROM embeddings
+    ), bands AS (
+      SELECT vec_id, b AS band, (sig >> (b * {bw})) & {mask} AS bval
+      FROM s, UNNEST([{bands}]) AS t(b)
+    ), keep AS (
+      SELECT band, bval FROM bands WHERE vec_id % 10 != 0 GROUP BY band, bval
+      HAVING COUNT(*) <= 0.02 * (SELECT COUNT(*) FROM embeddings
+                                 WHERE vec_id % 10 != 0)
+    ), cand AS (
+      SELECT DISTINCT p.vec_id AS id_probe, i.vec_id AS id_index
+      FROM bands p
+      JOIN bands i ON p.band = i.band AND p.bval = i.bval
+      JOIN keep k ON i.band = k.band AND i.bval = k.bval
+      WHERE p.vec_id % 10 = 0 AND i.vec_id % 10 != 0
+        AND p.vec_id != i.vec_id
+    )
+    SELECT id_probe, id_index, cosine_q FROM (
+      SELECT id_probe, id_index,
+             CAST({dot} AS DOUBLE)
+               / sqrt(CAST({np_} AS DOUBLE))
+               / sqrt(CAST({ni} AS DOUBLE)) AS cosine_q
+      FROM cand
+      JOIN s sp ON sp.vec_id = id_probe
+      JOIN s si ON si.vec_id = id_index)
+    WHERE cosine_q >= {tau}
+    """
+
+
+@query("q237_srp_ingest_probe", oracle=_oracle_srp_probe())
+def q237_srp_ingest_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest — the embedding-space q231: vectors with
+    ``vec_id % 10 = 0`` play a newly embedded batch, probed against the
+    standing corpus's SRP-banded index (``similarity.srp_probe_pairs``)
+    with exact cosine verification. The 100 TB shape: a day's vectors
+    cost batch × collision-rate work against a STORED banded index —
+    never index × index (q229/q235 cover the one-time self-pairing).
+    The index-side bucket cap is corpus-relative (2% of the index — the
+    q235 lesson: absolute caps don't engage at any fixed test scale),
+    and the oracle mirrors signature, banding, cap, split, and quantized
+    cosine bit-for-bit."""
+    from .queries_corpus import _SRP32_BANDS, _SRP32_SIGNS, _SRP_TAU
+    from .similarity.srp import srp_probe_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") % 10 == 0)
+    index = e.filter(F.col("vec_id") % 10 != 0)
+    cap = _DF_FRAC * index.count()
+    return srp_probe_pairs(
+        index, probe, "vec_id", "embedding", _SRP32_SIGNS,
+        n_bands=_SRP32_BANDS, min_cosine=_SRP_TAU, bucket_cap=cap,
+    )
+
+
+# ---------------------------------------------------------------------------
+# q238 — per-document duplicate-shingle fraction (dedup diagnostics)
+# ---------------------------------------------------------------------------
+
+@query(
+    "q238_duplicate_shingle_fraction",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    df AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY shingle)
+    SELECT sh.doc,
+           CAST(COUNT(*) AS BIGINT) AS n_sh,
+           CAST(SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup,
+           CAST(SUM(CASE WHEN df.c >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS dup_frac
+    FROM sh JOIN df USING (shingle)
+    GROUP BY sh.doc
+    """,
+)
+def q238_duplicate_shingle_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-n-gram fraction — the corpus-level dedup
+    DIAGNOSTIC that decides whether near-dup removal is worth running at
+    all (the quantity Lee et al. 2022, "Deduplicating Training Data
+    Makes Language Models Better", reports per corpus): for each doc,
+    the share of its distinct trigrams that appear in at least one OTHER
+    position in the corpus. Unlike the pair finders this is LINEAR —
+    each (doc, shingle) row joins exactly one document-frequency row, so
+    there is no quadratic regime even on boilerplate-heavy data (a hot
+    shingle makes its df row hot, which the broadcast/AQE join absorbs;
+    posting lists are never self-joined).
+
+    Note df counts (doc, shingle) DISTINCT pairs, so df ≥ 2 means "in ≥2
+    documents" — within-doc repetition is q67's repetition metric, not
+    this one."""
+    from .dedup.ngram import _doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    sh = _doc_shingles(docs, "text", "doc_id", 3)
+    df = sh.groupBy("shingle").agg(F.count("*").alias("c"))
+    return (
+        sh.join(df, "shingle")
+        .groupBy("doc")
+        .agg(
+            F.count("*").cast("long").alias("n_sh"),
+            F.sum((F.col("c") >= 2).cast("int")).cast("long").alias("n_dup"),
+        )
+        .withColumn(
+            "dup_frac",
+            F.col("n_dup").cast("double") / F.col("n_sh").cast("double"),
+        )
+    )

@@ -235,3 +235,116 @@ def srp_banded_pairs(
         .localCheckpoint(eager=True)
     )
     return out
+
+
+def srp_probe_pairs(
+    index_df: DataFrame,
+    probe_df: DataFrame,
+    id_col: str,
+    emb_col: str,
+    signs: list[list[int]],
+    n_bands: int = 4,
+    min_cosine: float = 0.4,
+    bucket_cap: int | float = 100_000,
+) -> DataFrame:
+    """Incremental-ingest ANN: exact-verified near-neighbour pairs between
+    a PROBE batch and a standing INDEX — ``(id_probe, id_index,
+    cosine_q)`` — the embedding-space sibling of
+    ``dedup.minhash.lsh_probe_pairs``: a day's new vectors are checked
+    against the standing corpus WITHOUT re-pairing the corpus with
+    itself.
+
+    Scale shape: both sides band-explode once and meet in ONE equi join
+    on (band, value) — work is probe-size × collision rate, never
+    index × index. The bucket cap applies to the INDEX side only (a
+    degenerate index bucket has no discriminating power; true neighbours
+    still meet in their other bands), probe rows are ``n_bands`` each and
+    need no cap. Overlapping ids (a re-ingested batch) are guarded:
+    ``id_probe != id_index``. At 100 TB the index signatures/bands are a
+    stored artifact; recomputing them here stands in for that read.
+
+    Same EAGER + NON-RECOVERABLE contract as ``srp_banded_pairs``.
+    """
+    n_bits = len(signs)
+    assert n_bits % n_bands == 0, "bands must tile the signature"
+    bw = n_bits // n_bands
+    mask = (1 << bw) - 1
+
+    def _sigs(df: DataFrame) -> DataFrame:
+        return (
+            df.select(
+                F.col(id_col),
+                quantize_embedding(emb_col).alias("q"),
+                srp_signature(emb_col, signs).alias("sig"),
+            )
+            .withColumn(
+                "nrm",
+                F.sqrt(
+                    F.aggregate(
+                        F.transform("q", lambda x: x * x),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).cast("double")
+                ),
+            )
+            .localCheckpoint(eager=True)  # one scan per side, guaranteed
+        )
+
+    def _bands(sigs: DataFrame) -> DataFrame:
+        return sigs.select(
+            id_col,
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(b).alias("band"),
+                            F.shiftright("sig", b * bw)
+                            .bitwiseAND(F.lit(mask))
+                            .alias("bval"),
+                        )
+                        for b in range(n_bands)
+                    ]
+                )
+            ).alias("bb"),
+        ).select(
+            id_col,
+            F.col("bb.band").alias("band"),
+            F.col("bb.bval").alias("bval"),
+        )
+
+    isigs, psigs = _sigs(index_df), _sigs(probe_df)
+    ibands = drop_hot_buckets(_bands(isigs), ["band", "bval"], bucket_cap)
+    cand = (
+        _bands(psigs)
+        .withColumnRenamed(id_col, "id_probe")
+        .join(
+            ibands.withColumnRenamed(id_col, "id_index"),
+            ["band", "bval"],
+        )
+        .filter(F.col("id_probe") != F.col("id_index"))
+        .select("id_probe", "id_index")
+        .distinct()
+    )
+    qp = psigs.select(
+        F.col(id_col).alias("id_probe"),
+        F.col("q").alias("qp"),
+        F.col("nrm").alias("np"),
+    )
+    qi = isigs.select(
+        F.col(id_col).alias("id_index"),
+        F.col("q").alias("qi"),
+        F.col("nrm").alias("ni"),
+    )
+    dot = F.aggregate(
+        F.zip_with("qp", "qi", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        cand.join(qp, "id_probe")
+        .join(qi, "id_index")
+        .withColumn("cosine_q", dot.cast("double") / F.col("np") / F.col("ni"))
+        .filter(F.col("cosine_q") >= min_cosine)
+        .select("id_probe", "id_index", "cosine_q")
+        .localCheckpoint(eager=True)
+    )

@@ -97,3 +97,93 @@ def test_flushed_cache_prunes_stale_siblings(tmp_path, sf_dir):
     # Unrelated flush configs share nothing: their dirs survive.
     other = _flush_cache_dir(staged, None, ("view",))
     assert os.path.dirname(other) == os.path.dirname(k2)
+
+
+def test_srp_probe_pairs_matches_self_join_cross_subset(spark, sf_dir):
+    """srp_probe_pairs(index, probe) must produce EXACTLY the cross-side
+    subset of srp_banded_pairs' answer (same signs, bands, threshold)
+    while every shared bucket is under the cap on both formulations —
+    the q231-style no-loss contract, in embedding space."""
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+    from bigdatafraude_ml_graphx_spark.similarity.srp import (
+        srp_banded_pairs,
+        srp_probe_pairs,
+        srp_signs,
+    )
+
+    e = load_table(spark, sf_dir, "embeddings")
+    signs = srp_signs(16, 64)
+    full = {
+        (r["a_id"], r["b_id"]): r["cosine_q"]
+        for r in srp_banded_pairs(
+            e, "vec_id", "embedding", signs, n_bands=4, min_cosine=0.3
+        ).collect()
+    }
+    cross = {
+        k: v
+        for k, v in full.items()
+        if (k[0] % 10 == 0) != (k[1] % 10 == 0)
+    }
+    got = {
+        (min(r["id_probe"], r["id_index"]), max(r["id_probe"], r["id_index"])): r[
+            "cosine_q"
+        ]
+        for r in srp_probe_pairs(
+            e.filter("vec_id % 10 != 0"),
+            e.filter("vec_id % 10 = 0"),
+            "vec_id",
+            "embedding",
+            signs,
+            n_bands=4,
+            min_cosine=0.3,
+        ).collect()
+    }
+    # Same PAIRS exactly; cosine values may differ in the last ulp because
+    # the two operators divide by the norms in different orders (probe-first
+    # vs lower-id-first) — q237's oracle mirrors the probe-first order, so
+    # the driver gate pins the exact values; this contract pins the SET.
+    assert set(got) == set(cross)
+    assert all(abs(got[k] - cross[k]) <= 1e-12 * abs(cross[k]) for k in cross)
+
+
+def test_srp_probe_pairs_overlapping_ids_emit_no_self_pairs(spark):
+    from bigdatafraude_ml_graphx_spark.similarity.srp import (
+        srp_probe_pairs,
+        srp_signs,
+    )
+
+    vec = [0.5] * 64
+    df = spark.createDataFrame(
+        [(1, vec), (2, vec), (3, vec)], "vec_id long, embedding array<float>"
+    )
+    signs = srp_signs(16, 64)
+    rows = srp_probe_pairs(
+        df, df, "vec_id", "embedding", signs, n_bands=4, min_cosine=0.9
+    ).collect()
+    assert rows, "identical vectors must collide cross-id"
+    assert all(r["id_probe"] != r["id_index"] for r in rows)
+
+
+def test_duplicate_shingle_fraction_small_corpus(spark):
+    """Two docs sharing one trigram exactly; a third disjoint doc."""
+    from bigdatafraude_ml_graphx_spark import registry as q
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),      # trigrams: abg, bgd
+            (2, "alpha beta gamma epsilon"),    # trigrams: abg, bge
+            (3, "one two three four"),          # trigrams: ott, ttf
+        ],
+        "doc_id long, text string",
+    ).withColumn("lang", F.lit("en")) \
+     .withColumn("source", F.lit("t")) \
+     .withColumn("n_chars", F.length("text")) \
+     .coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["doc"]: (r["n_sh"], r["n_dup"], round(r["dup_frac"], 3))
+        for r in q.QUERIES["q238_duplicate_shingle_fraction"](spark, d).collect()
+    }
+    assert out == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (2, 0, 0.0)}
