@@ -152,12 +152,14 @@ def ngram_jaccard_pairs(
     """
     shingles = _doc_shingles(df, text_col, id_col, n)
     if max_shingle_freq is not None:
-        freq = shingles.groupBy("shingle").agg(F.count("*").alias("_f"))
-        shingles = (
-            shingles.join(freq, "shingle")
-            .filter(F.col("_f") <= max_shingle_freq)
-            .drop("_f")
-        )
+        # Anti join against the HOT shingles only (df > cap) — the hot list
+        # is tiny by construction (≤ |rows|/cap keys; Zipf makes it a
+        # handful), so AQE broadcasts it: NEVER a corpus × corpus-sized
+        # freq-frame shuffle join (the keep-side formulation joined every
+        # (doc, shingle) row against the full df frame).
+        from ..operators.skew import drop_hot_buckets
+
+        shingles = drop_hot_buckets(shingles, ["shingle"], max_shingle_freq)
     # The shingle frame feeds three consumers (sizes + both join sides);
     # persist so the tokenize/explode/distinct lineage runs once.
     shingles = shingles.persist()
@@ -227,12 +229,12 @@ def containment_pairs(
     subset-duplicate signal), not just a plan optimization."""
     shingles = _doc_shingles(df, text_col, id_col, n)
     if max_shingle_freq is not None:
-        freq = shingles.groupBy("shingle").agg(F.count("*").alias("_f"))
-        shingles = (
-            shingles.join(freq, "shingle")
-            .filter(F.col("_f") <= max_shingle_freq)
-            .drop("_f")
-        )
+        # Hot-list anti join, not a keep-side freq join — see
+        # ngram_jaccard_pairs (the hot set is broadcast-tiny; the keep
+        # set is the whole corpus).
+        from ..operators.skew import drop_hot_buckets
+
+        shingles = drop_hot_buckets(shingles, ["shingle"], max_shingle_freq)
     shingles = shingles.persist()
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_shingles"))
 
