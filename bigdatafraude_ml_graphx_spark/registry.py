@@ -44,6 +44,7 @@ from . import queries_r7e  # noqa: F401  (k-means / target encoding / feature ha
 from . import queries_r9  # noqa: F401  (built-in bag operators on dim-sized input)
 from . import queries_r10  # noqa: F401  (df-capped hot-content-safe dedup configs)
 from . import queries_r10b  # noqa: F401  (source quota / duplicate spans / source overlap)
+from . import queries_r10c  # noqa: F401  (chunk dedup / dup-rate / kNN graph / curation pipeline)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a
