@@ -37,6 +37,12 @@ CHECKS = {
     "q234_containment_df_capped": ("doc_a", "doc_b"),
     "q235_srp_pairs_bucket_capped": ("a_id", "b_id"),
     "q29_lsh_candidates": ("doc_a", "doc_b"),
+    # r10 batch 2/3: the tf/df cosine pairs are df-capped like q233, and
+    # untouched docs' duplicate SPANS must be identical (boilerplate tokens
+    # are vocabulary-disjoint, so natural gram document frequencies — and
+    # hence the dup list restricted to natural grams — are unchanged).
+    "q243_tfdf_cosine_pairs": ("doc_a", "doc_b"),
+    "q240_duplicate_spans": ("doc", "doc"),
 }
 
 
