@@ -798,3 +798,21 @@ def test_runtime_bloom_filter_injects_on_selective_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_round10_new_query_plan_shapes(spark, sf_dir):
+    """Round-10 batch 2/3 plan contracts: the quota (q239), the kNN top-k
+    (q246), and the curation pipeline's quota stage (q247) all compile to
+    WindowGroupLimit (per-group state O(k) at any corpus size); the span
+    finders' duplicate-gram reduction is a semi join (LeftSemi in the
+    plan, never an inner join that would duplicate gram rows)."""
+    from bigdatafraude_ml_graphx_spark.plans import (
+        formatted_plan,
+        uses_window_group_limit,
+    )
+
+    for name in ("q239_source_quota", "q246_knn_graph",
+                 "q247_curation_pipeline"):
+        assert uses_window_group_limit(q.QUERIES[name](spark, sf_dir)), name
+    for name in ("q240_duplicate_spans", "q242_cut_duplicate_spans"):
+        assert "LeftSemi" in formatted_plan(q.QUERIES[name](spark, sf_dir)), name

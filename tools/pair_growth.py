@@ -106,6 +106,30 @@ def measure(spark: SparkSession, sf_dir: str) -> dict:
         spark, sf_dir
     ).count()
     out["q232_sec"] = round(time.time() - t0, 2)
+
+    # q243 (tf/df-weighted shingle cosine): its inverted index runs over
+    # the DF-CAPPED (doc, term) universe, so its join-work bound is the
+    # capped posting lists' Σ c(c-1)/2 — measure that against its outputs.
+    from bigdatafraude_ml_graphx_spark.queries_r10 import _DF_FRAC
+
+    t0 = time.time()
+    n_docs = docs.count()
+    tfc = (
+        _doc_shingles(docs, "text", "doc_id", 3, distinct=False)
+        .groupBy("doc", "shingle")
+        .agg(F.count("*").alias("tf"))
+    )
+    capped_posting = (
+        tfc.groupBy("shingle")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") <= F.lit(_DF_FRAC) * n_docs)
+    )
+    row = capped_posting.agg(F.sum(_PAIRS).alias("join_rows")).collect()[0]
+    out["q243_join_rows"] = row["join_rows"]
+    out["q243_output_pairs"] = q.QUERIES["q243_tfdf_cosine_pairs"](
+        spark, sf_dir
+    ).count()
+    out["q243_sec"] = round(time.time() - t0, 2)
     return out
 
 
@@ -149,6 +173,12 @@ def main() -> None:
         summary["q232_work_per_output_drift"] = round(
             (b["q27_join_rows"] / max(a["q27_join_rows"], 1)) / q232_out, 3
         )
+        # q243: df-capped inverted index, its own join-work measurement
+        q243_cand = b["q243_join_rows"] / max(a["q243_join_rows"], 1)
+        q243_out = b["q243_output_pairs"] / max(a["q243_output_pairs"], 1)
+        summary["q243_candidate_ratio"] = round(q243_cand, 2)
+        summary["q243_output_ratio"] = round(q243_out, 2)
+        summary["q243_work_per_output_drift"] = round(q243_cand / q243_out, 3)
         # rows-per-candidate = avg |A∩B| over candidates; bounded above by
         # max_doc_shingles at EVERY scale
         for r in rows:
