@@ -52,6 +52,19 @@ def main() -> None:
         load_at_start = round(os.getloadavg()[0], 2)
     except OSError:
         load_at_start = None
+    # Host-speed fingerprint: the driver may run each round on a DIFFERENT
+    # VM instance, and a slower host inflates every query uniformly in a
+    # way the load stamp cannot see (r10: a fully idle close bench came in
+    # 1.39x over the r9 idle close with zero lineage changes; solo reruns
+    # reproduced the inflation, fingering the host, not the code). A fixed
+    # single-thread arithmetic loop gives cross-round runs a common ruler:
+    # diff calib_sec first; if it moved with the totals, it's the machine.
+    t0 = time.perf_counter()
+    acc = 0.0
+    for i in range(5_000_000):
+        acc += i * 1e-9
+    calib_sec = round(time.perf_counter() - t0, 4)
+    del acc
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark(app_name="engine-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -166,6 +179,8 @@ def main() -> None:
             # inflation — a stamped load lets the next round's diff decide
             # whether a regression is machine noise before believing it.
             "loadavg_1m_at_start": load_at_start,
+            # Single-thread ruler for cross-round host variance (see main).
+            "calib_sec": calib_sec,
             **({"errors": errors} if errors else {}),
         }
     )
