@@ -283,3 +283,93 @@ def q247_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.join(afterdedup, "source").join(final, "source").select(
         "source", "docs_in", "docs_dedup", "docs_final", "tokens_final"
     )
+
+
+@query(
+    "q248_source_token_tvd",
+    oracle=f"""
+    WITH tks AS (SELECT source, unnest({_TOKS}) AS term FROM documents),
+    tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS a
+           FROM tks GROUP BY 1, 2),
+    g AS (SELECT term, CAST(SUM(a) AS BIGINT) AS gct FROM tf GROUP BY term),
+    ts AS (SELECT source, CAST(SUM(a) AS BIGINT) AS tsum
+           FROM tf GROUP BY source),
+    tot AS (SELECT CAST(SUM(gct) AS BIGINT) AS t FROM g),
+    j AS (SELECT tf.source, tf.a, g.gct, ts.tsum, tot.t
+          FROM tf JOIN g USING (term) JOIN ts USING (source) CROSS JOIN tot),
+    agg AS (SELECT source,
+                   ANY_VALUE(tsum) AS tsum, ANY_VALUE(t) AS t,
+                   SUM(CAST(abs(a * t - gct * tsum) AS DECIMAL(38,0)))
+                     AS num1,
+                   CAST(SUM(gct) AS BIGINT) AS sumg,
+                   CAST(COUNT(*) AS BIGINT) AS n_terms
+            FROM j GROUP BY source)
+    SELECT source, n_terms, tsum AS n_src_tokens,
+           CAST(num1 + tsum * (t - sumg) AS DOUBLE)
+             / CAST(2 * tsum * t AS DOUBLE) AS tvd
+    FROM agg
+    """,
+)
+def q248_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical divergence: total-variation distance between
+    each source's token distribution and the whole-corpus distribution —
+    the diversity/contamination diagnostic that flags sources whose
+    vocabulary deviates (OCR garbage, spam, wrong-language feeds) before
+    they skew a training mixture. TVD rather than the textbook KL because
+    the certified cross-engine path is EXACT: with p_s = a/T_s and
+    q = g/T, each |p_s − q| term is |a·T − g·T_s| over the common
+    denominator T_s·T — pure integer products summed as DECIMAL(38,0)
+    (order-independent), and terms absent from the source contribute the
+    closed-form missing mass T_s·(T − Σ_{{t∈S}} g) without ever building a
+    sources×vocab grid. One double division at the very end, in a pinned
+    order; KL's log would put a transcendental inside the sum (the q243
+    rule: IEEE division is bit-deterministic, ln is not).
+
+    Scale shape: tf is one (source, term) shuffle; the per-source join
+    touches each source's OWN terms only (posting lists per term bounded
+    by |sources|), so everything is linear in Σ_s|vocab_s|. At 100 TB
+    token counts approach 10¹³, so the integer products must be computed
+    in DECIMAL(38,0) BEFORE the multiply (they fit BIGINT at any test
+    scale; the cast placement is the one thing to move)."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select("source", F.explode(tokens("text")).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count("*").alias("a"))
+    )
+    tf = tf.persist()  # feeds g, ts, and the final join
+    g = tf.groupBy("term").agg(F.sum("a").alias("gct"))
+    ts = tf.groupBy("source").agg(F.sum("a").alias("tsum"))
+    tot = g.agg(F.sum("gct").alias("t"))
+    j = (
+        tf.join(g, "term")
+        .join(F.broadcast(ts), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    agg = j.groupBy("source").agg(
+        F.first("tsum").alias("tsum"),
+        F.first("t").alias("t"),
+        F.sum(
+            F.abs(F.col("a") * F.col("t") - F.col("gct") * F.col("tsum")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("num1"),
+        F.sum("gct").alias("sumg"),
+        F.count("*").cast("long").alias("n_terms"),
+    )
+    return agg.select(
+        "source",
+        "n_terms",
+        F.col("tsum").alias("n_src_tokens"),
+        (
+            (
+                F.col("num1")
+                + (F.col("tsum") * (F.col("t") - F.col("sumg"))).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / (F.lit(2) * F.col("tsum") * F.col("t")).cast("double")
+        ).alias("tvd"),
+    )

@@ -116,3 +116,24 @@ def test_curation_pipeline_accounting(spark, tmp_path):
     # Final 10 by n_chars desc: "copy of this" (12 chars, 3 tokens) beats
     # the 9-or-10-char "tok a bN" docs; each doc has 3 tokens.
     assert r["tokens_final"] == 30
+
+
+def test_source_token_tvd_exact_values(spark, tmp_path):
+    """Hand-computed distributions: corpus = x:5/8 y:1/8 z:2/8; a pure-x
+    source and the x/y source both sit at TVD 0.375, the disjoint-vocab
+    source at 0.75 (missing-mass closed form)."""
+    rows = [
+        (1, "x x x x", "sa"),
+        (2, "x y", "sb"),
+        (3, "z z", "sc"),
+    ]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {
+        r["source"]: (r["n_terms"], r["n_src_tokens"], r["tvd"])
+        for r in q.QUERIES["q248_source_token_tvd"](spark, d).collect()
+    }
+    assert out == {
+        "sa": (1, 4, 0.375),
+        "sb": (2, 2, 0.375),
+        "sc": (1, 2, 0.75),
+    }
