@@ -1,7 +1,9 @@
 """IVF ANN query declarations.
 
-q49 is the raw IVF result (rows-only — the nearest-centroid argmax is
-engine-specific float geometry); q140 wraps the SAME pipeline in an
+q49 is the raw IVF result — since r11 EXACTLY oracle-checked (the centroid
+sample hashes vec_id, which renders identically in any engine, and all
+similarity arithmetic is quantized-int64 + IEEE ops — see ``_ivf_oracle``);
+q140 wraps the SAME pipeline in an
 oracle-checkable ERROR CONTRACT (the q81/q151 discipline applied to ANN):
 recall@k of the IVF answer against the exact brute-force top-k, emitted as
 integer counts plus a pinned ``recall ≥ bound`` boolean — so the driver
@@ -18,12 +20,87 @@ from .similarity.cosine import cosine_topk
 from .similarity.ivf import build_ivf_index, ivf_topk
 
 
-@query("q49_ivf_topk")
+def _ivf_oracle(
+    k: int = 5, n_probe: int = 4, n_cells: int = 16, dim: int = 64,
+    seed: int = 42, nq: int = 10,
+) -> str:
+    """Full SQL mirror of the IVF pipeline (VERDICT r10 #4 — graduates q49
+    from rows-only): seeded-sample centroids keyed on md5(seed||vec_id)
+    (engine-portable — see ``build_ivf_index``), nearest-cell assignment as
+    argmin over (−sim, cell), n_probe nearest cells per query, and the
+    probed-cells top-k. Every similarity uses the same quantized-int64 dot
+    product as the q31 oracle, so the doubles are bit-identical: exact
+    integer dot / (sqrt · sqrt) in the engine's operand order."""
+
+    def qdot(va: str, vb: str) -> str:
+        prods = (
+            f"[CAST(floor(CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE)"
+            f" * 1e12 + 0.5) AS BIGINT) for i in range(1, {dim + 1})]"
+        )
+        return f"(CAST(CAST(list_sum({prods}) AS BIGINT) AS DOUBLE) / 1e12)"
+
+    sim_vc = (
+        f"{qdot('e.embedding', 'c.cvec')} / (sqrt({qdot('e.embedding', 'e.embedding')})"
+        f" * sqrt({qdot('c.cvec', 'c.cvec')}))"
+    )
+    sim_qc = (
+        f"{qdot('q.qvec', 'c.cvec')} / (sqrt({qdot('q.qvec', 'q.qvec')})"
+        f" * sqrt({qdot('c.cvec', 'c.cvec')}))"
+    )
+    cos_nq = (
+        f"{qdot('vec', 'qvec')} / (sqrt({qdot('vec', 'vec')})"
+        f" * sqrt({qdot('qvec', 'qvec')}))"
+    )
+    return f"""
+    WITH ord AS (
+      SELECT vec_id, embedding,
+             ROW_NUMBER() OVER (
+               ORDER BY md5('{seed}' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
+      FROM embeddings),
+    cent AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, embedding AS cvec
+             FROM ord WHERE rn <= {n_cells}),
+    asg0 AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cell,
+                    {sim_vc} AS sim
+             FROM embeddings e CROSS JOIN cent c),
+    asg AS (SELECT id, vec, cell FROM (
+              SELECT id, vec, cell,
+                     ROW_NUMBER() OVER (PARTITION BY id
+                                        ORDER BY sim DESC, cell ASC) AS arn
+              FROM asg0) WHERE arn = 1),
+    q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
+          WHERE vec_id < {nq}),
+    pc0 AS (SELECT q.query_id, q.qvec, c.cell, {sim_qc} AS sim
+            FROM q CROSS JOIN cent c),
+    probes AS (SELECT query_id, qvec, cell FROM (
+                 SELECT query_id, qvec, cell,
+                        ROW_NUMBER() OVER (PARTITION BY query_id
+                                           ORDER BY sim DESC, cell ASC) AS prn
+                 FROM pc0) WHERE prn <= {n_probe}),
+    cand AS (SELECT p.query_id, p.qvec, a.id, a.vec
+             FROM asg a JOIN probes p USING (cell)
+             WHERE a.id != p.query_id),
+    scored AS (SELECT query_id, id AS neighbor_id, {cos_nq} AS cosine
+               FROM cand),
+    ranked AS (SELECT query_id, neighbor_id, cosine,
+                      ROW_NUMBER() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC,
+                                                  neighbor_id ASC) AS rank
+               FROM scored)
+    SELECT query_id, neighbor_id, cosine, CAST(rank AS INTEGER) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@query("q49_ivf_topk", oracle=_ivf_oracle())
 def q49_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k: 16-cell coarse quantizer, 4-probe search — the
     similarity-search scale path (probes shrink the scanned corpus ~4×
     here, ~n_cells/n_probe× in general; at 100 TB the cells are partition
-    keys and probes become pruned scans)."""
+    keys and probes become pruned scans). Exactly oracle-checked since r11:
+    the centroid sample hashes vec_id (engine-portable) and every float op
+    downstream of the exact integer dot products is IEEE-deterministic, so
+    the DuckDB mirror reproduces assignment, probing, and ranking
+    bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     centroids, assigned = build_ivf_index(emb, n_cells=16)
     return ivf_topk(

@@ -81,26 +81,36 @@ def q239_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup AS (SELECT gram FROM (SELECT DISTINCT doc, gram FROM g)
             GROUP BY gram HAVING COUNT(*) >= 2),
     p AS (SELECT g.doc, g.pos FROM g JOIN dup USING (gram)),
+    brk AS (SELECT doc, pos,
+                   CASE WHEN pos - LAG(pos) OVER
+                          (PARTITION BY doc ORDER BY pos) > 2
+                        THEN 1 ELSE 0 END AS new_isl
+            FROM p),
     isl AS (SELECT doc, pos,
-                   pos - ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos)
+                   SUM(new_isl) OVER
+                     (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING)
                      AS grp
-            FROM p)
+            FROM brk)
     SELECT doc,
            CAST(MIN(pos) AS BIGINT) AS span_start,
            CAST(MAX(pos) + 2 AS BIGINT) AS span_end,
-           CAST(COUNT(*) + 2 AS BIGINT) AS span_tokens
+           CAST(MAX(pos) + 2 - MIN(pos) + 1 AS BIGINT) AS span_tokens
     FROM isl GROUP BY doc, grp
-    HAVING COUNT(*) + 2 >= 8
+    HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 8
     """,
 )
 def q240_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal cross-document duplicated token spans — the positional form
     of exact-substring dedup (Lee et al. 2022): a trigram is *duplicated*
-    when it occurs in ≥2 distinct documents; consecutive duplicated trigram
-    positions within a doc merge into one span (gaps-and-islands:
-    ``pos − row_number`` groups consecutive runs); spans shorter than 8
-    tokens are noise and dropped. Returns ``(doc, span_start, span_end,
-    span_tokens)`` in token coordinates — the cut-list a
+    when it occurs in ≥2 distinct documents; duplicated trigram positions
+    whose 3-token windows OVERLAP in token space (position gap ≤ 2) merge
+    into one span (gaps-and-islands via a lag-threshold running sum), so
+    the returned spans are DISJOINT in token coordinates — summing
+    ``span_tokens`` never double-counts and a consumer may cut span-by-span
+    (the r10 contract allowed a 1-token overlap between islands separated
+    by one non-duplicated gram; ADVICE r10 #3 closed). Spans covering
+    fewer than 8 tokens are noise and dropped. Returns ``(doc, span_start,
+    span_end, span_tokens)`` in token coordinates — the cut-list a
     remove-duplicated-substrings pass consumes.
 
     Scale shape: LINEAR end-to-end — the positional gram stream joins the
@@ -122,9 +132,11 @@ def q240_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
-    # Persist: the positional stream feeds both the document-frequency
-    # aggregate and the position join; one tokenize pass, not two.
-    grams = grams.persist()
+    # The positional stream feeds both the document-frequency aggregate and
+    # the position join; one tokenize pass, not two. localCheckpoint (the
+    # codebase's multi-consumer convention) rather than a bare persist() —
+    # nothing is left registered in the CacheManager after the query runs.
+    grams = grams.localCheckpoint(eager=True)
     dup = (
         grams.select("doc", "gram")
         .distinct()
@@ -134,31 +146,56 @@ def q240_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     pos_dup = grams.join(dup, "gram", "left_semi").select("doc", "pos")
+    return _merge_spans(pos_dup).select(
+        "doc", "span_start", "span_end", "span_tokens"
+    )
+
+
+def _merge_spans(pos_dup: DataFrame) -> DataFrame:
+    """Gaps-and-islands over duplicated trigram positions, merging islands
+    whose 3-token windows overlap (position gap ≤ 2) so output spans are
+    token-disjoint. ``span_tokens`` is the covered token count
+    ``span_end − span_start + 1`` — exact for merged islands too, because a
+    gap of ≤ 2 gram positions leaves no token inside the merged range
+    uncovered ([p, p+2] ∪ [p+g, p+g+2] is contiguous for g ≤ 3)."""
     w = Window.partitionBy("doc").orderBy("pos")
-    isl = pos_dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
-    out = (
+    wrun = w.rowsBetween(Window.unboundedPreceding, 0)
+    isl = pos_dup.withColumn(
+        "grp",
+        F.sum(
+            F.when(F.col("pos") - F.lag("pos").over(w) > 2, 1).otherwise(0)
+        ).over(wrun),
+    )
+    return (
         isl.groupBy("doc", "grp")
         .agg(
             F.min("pos").cast("long").alias("span_start"),
             (F.max("pos") + 2).cast("long").alias("span_end"),
-            (F.count("*") + 2).cast("long").alias("span_tokens"),
+            (F.max("pos") + 2 - F.min("pos") + 1).cast("long").alias(
+                "span_tokens"
+            ),
         )
         .filter(F.col("span_tokens") >= 8)
-        .select("doc", "span_start", "span_end", "span_tokens")
     )
-    return out
 
 
 _SPANS_SQL = f"""
     dup AS (SELECT gram FROM (SELECT DISTINCT doc, gram FROM g)
             GROUP BY gram HAVING COUNT(*) >= 2),
     p AS (SELECT g.doc, g.pos FROM g JOIN dup USING (gram)),
-    isl AS (SELECT doc, pos,
-                   pos - ROW_NUMBER() OVER (PARTITION BY doc ORDER BY pos)
-                     AS grp
+    brk AS (SELECT doc, pos,
+                   CASE WHEN pos - LAG(pos) OVER
+                          (PARTITION BY doc ORDER BY pos) > 2
+                        THEN 1 ELSE 0 END AS new_isl
             FROM p),
+    isl AS (SELECT doc, pos,
+                   SUM(new_isl) OVER
+                     (PARTITION BY doc ORDER BY pos ROWS UNBOUNDED PRECEDING)
+                     AS grp
+            FROM brk),
     spans AS (SELECT doc, MIN(pos) AS s, MAX(pos) + 2 AS e
-              FROM isl GROUP BY doc, grp HAVING COUNT(*) + 2 >= 8)
+              FROM isl GROUP BY doc, grp
+              HAVING MAX(pos) + 2 - MIN(pos) + 1 >= 8)
 """
 
 
@@ -210,14 +247,15 @@ def q242_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc"), tokens("text").alias("_toks")
     )
     # One tokenize pass feeds the gram stream, the token stream, and the
-    # final all-docs frame.
-    base = base.persist()
+    # final all-docs frame — localCheckpoint (the multi-consumer
+    # convention), never a bare persist() left in the CacheManager.
+    base = base.localCheckpoint(eager=True)
     grams = base.select(
         "doc",
         F.posexplode(ngrams_from_tokens(F.col("_toks"), 3)).alias(
             "pos", "gram"
         ),
-    ).persist()
+    ).localCheckpoint(eager=True)
     dup = (
         grams.select("doc", "gram")
         .distinct()
@@ -226,19 +264,16 @@ def q242_cut_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("_nd") >= 2)
         .select("gram")
     )
-    w = Window.partitionBy("doc").orderBy("pos")
-    spans = (
-        grams.join(dup, "gram", "left_semi")
-        .select("doc", "pos")
-        .withColumn("grp", F.col("pos") - F.row_number().over(w))
-        .groupBy("doc", "grp")
-        .agg(
-            F.min("pos").alias("s"),
-            (F.max("pos") + 2).alias("e"),
-            (F.count("*") + 2).alias("_len"),
-        )
-        .filter(F.col("_len") >= 8)
+    spans = _merge_spans(
+        grams.join(dup, "gram", "left_semi").select("doc", "pos")
+    ).select(
+        "doc",
+        F.col("span_start").alias("s"),
+        F.col("span_end").alias("e"),
     )
+    # Merged spans are token-disjoint, so the explode emits each cut
+    # position exactly once — distinct retained purely as an invariant
+    # guard (it is a no-op on disjoint spans).
     cut = spans.select(
         "doc", F.explode(F.sequence("s", "e")).alias("pos")
     ).distinct()
@@ -337,6 +372,12 @@ def q243_tfdf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc", "term")
         .agg(F.count("*").alias("tf"))
     )
+    # Checkpoint tf (not just w): dfc and w BOTH contain the tf subplan, and
+    # an eager-checkpoint materialization does not collapse the duplicate
+    # branches the way a cached InMemoryRelation did — checkpointing the
+    # common ancestor keeps the corpus scan at one (replay budget: 2 opens
+    # incl. the n_docs count), with no CacheManager residue.
+    tf = tf.localCheckpoint(eager=True)
     dfc = (
         tf.groupBy("term")
         .agg(F.count("*").alias("df"))
@@ -353,8 +394,10 @@ def q243_tfdf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wq"),
     )
-    # Three consumers (norms + both join sides): one tokenize/df pass.
-    w = w.persist()
+    # Three consumers (norms + both join sides): one tokenize/df pass —
+    # localCheckpoint per the multi-consumer convention (no CacheManager
+    # residue after the query).
+    w = w.localCheckpoint(eager=True)
     norms = w.groupBy("doc").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
     a, b = w.alias("a"), w.alias("b")
     dots = (
@@ -433,8 +476,9 @@ def q241_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    # Persist: feeds sizes and both join sides — one tokenize pass.
-    sh = sh.persist()
+    # Feeds sizes and both join sides — one tokenize pass; localCheckpoint
+    # per the multi-consumer convention (no CacheManager residue).
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("source").agg(F.count("*").alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     shared = (

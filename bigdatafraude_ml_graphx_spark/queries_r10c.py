@@ -255,7 +255,9 @@ def q247_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         fingerprint("text").alias("fp"),
         token_count("text").cast("long").alias("n_toks"),
     )
-    h = h.persist()  # feeds the docs_in aggregate AND the dedup window
+    # Feeds the docs_in aggregate AND the dedup window — localCheckpoint
+    # per the multi-consumer convention (no CacheManager residue).
+    h = h.localCheckpoint(eager=True)
     keep = (
         h.withColumn("canon", F.min("doc_id").over(Window.partitionBy("fp")))
         .filter(F.col("doc_id") == F.col("canon"))
@@ -295,16 +297,17 @@ def q247_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts AS (SELECT source, CAST(SUM(a) AS BIGINT) AS tsum
            FROM tf GROUP BY source),
     tot AS (SELECT CAST(SUM(gct) AS BIGINT) AS t FROM g),
-    j AS (SELECT tf.source, tf.a, g.gct, ts.tsum, tot.t
+    j AS (SELECT tf.source,
+                 CAST(tf.a AS HUGEINT) AS a, CAST(g.gct AS HUGEINT) AS gct,
+                 CAST(ts.tsum AS HUGEINT) AS tsum, CAST(tot.t AS HUGEINT) AS t
           FROM tf JOIN g USING (term) JOIN ts USING (source) CROSS JOIN tot),
     agg AS (SELECT source,
                    ANY_VALUE(tsum) AS tsum, ANY_VALUE(t) AS t,
-                   SUM(CAST(abs(a * t - gct * tsum) AS DECIMAL(38,0)))
-                     AS num1,
-                   CAST(SUM(gct) AS BIGINT) AS sumg,
+                   SUM(abs(a * t - gct * tsum)) AS num1,
+                   SUM(gct) AS sumg,
                    CAST(COUNT(*) AS BIGINT) AS n_terms
             FROM j GROUP BY source)
-    SELECT source, n_terms, tsum AS n_src_tokens,
+    SELECT source, n_terms, CAST(tsum AS BIGINT) AS n_src_tokens,
            CAST(num1 + tsum * (t - sumg) AS DOUBLE)
              / CAST(2 * tsum * t AS DOUBLE) AS tvd
     FROM agg
@@ -328,9 +331,12 @@ def q248_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: tf is one (source, term) shuffle; the per-source join
     touches each source's OWN terms only (posting lists per term bounded
     by |sources|), so everything is linear in Σ_s|vocab_s|. At 100 TB
-    token counts approach 10¹³, so the integer products must be computed
-    in DECIMAL(38,0) BEFORE the multiply (they fit BIGINT at any test
-    scale; the cast placement is the one thing to move)."""
+    token counts approach 10¹³ and the integer products reach ~10²⁶
+    ≫ 2⁶³, so every product — |a·T − g·T_s|, the missing-mass term
+    T_s·(T − Σg), AND the denominator 2·T_s·T — is computed with the
+    factors cast to DECIMAL(38,0) first (engine) / HUGEINT (oracle);
+    ``tests/test_round11.py`` pins no-wraparound with synthetic ~10¹⁰
+    counts whose products exceed 2⁶³ (the q222 overflow-guard model)."""
     from .functions.text import tokens
 
     docs = load_table(spark, sf_dir, "documents")
@@ -339,7 +345,17 @@ def q248_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "term")
         .agg(F.count("*").alias("a"))
     )
-    tf = tf.persist()  # feeds g, ts, and the final join
+    return source_token_tvd_from_tf(tf)
+
+
+def source_token_tvd_from_tf(tf: DataFrame) -> DataFrame:
+    """q248's arithmetic core over a ``(source, term, a)`` count table —
+    factored out so the overflow property test can feed synthetic ~10¹⁰
+    counts. All integer products run in DECIMAL(38,0): factors are cast
+    to decimal(20,0) (lossless for any BIGINT) BEFORE multiplying, so
+    products up to ~10³⁸ are exact; the single double rounding happens at
+    the final cast, identically in both engines."""
+    tf = tf.localCheckpoint(eager=True)  # feeds g, ts, and the final join
     g = tf.groupBy("term").agg(F.sum("a").alias("gct"))
     ts = tf.groupBy("source").agg(F.sum("a").alias("tsum"))
     tot = g.agg(F.sum("gct").alias("t"))
@@ -348,28 +364,26 @@ def q248_source_token_tvd(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(ts), "source")
         .crossJoin(F.broadcast(tot))
     )
+    aD = F.col("a").cast("decimal(20,0)")
+    gD = F.col("gct").cast("decimal(20,0)")
+    sD = F.col("tsum").cast("decimal(20,0)")
+    tD = F.col("t").cast("decimal(20,0)")
     agg = j.groupBy("source").agg(
         F.first("tsum").alias("tsum"),
         F.first("t").alias("t"),
-        F.sum(
-            F.abs(F.col("a") * F.col("t") - F.col("gct") * F.col("tsum")).cast(
-                "decimal(38,0)"
-            )
-        ).alias("num1"),
+        F.sum(F.abs(aD * tD - gD * sD)).alias("num1"),
         F.sum("gct").alias("sumg"),
         F.count("*").cast("long").alias("n_terms"),
     )
+    sD2 = F.col("tsum").cast("decimal(20,0)")
+    tD2 = F.col("t").cast("decimal(20,0)")
+    gsumD = F.col("sumg").cast("decimal(20,0)")
     return agg.select(
         "source",
         "n_terms",
         F.col("tsum").alias("n_src_tokens"),
         (
-            (
-                F.col("num1")
-                + (F.col("tsum") * (F.col("t") - F.col("sumg"))).cast(
-                    "decimal(38,0)"
-                )
-            ).cast("double")
-            / (F.lit(2) * F.col("tsum") * F.col("t")).cast("double")
+            (F.col("num1") + sD2 * (tD2 - gsumD)).cast("double")
+            / (F.lit(2).cast("decimal(20,0)") * sD2 * tD2).cast("double")
         ).alias("tvd"),
     )

@@ -45,6 +45,7 @@ from . import queries_r9  # noqa: F401  (built-in bag operators on dim-sized inp
 from . import queries_r10  # noqa: F401  (df-capped hot-content-safe dedup configs)
 from . import queries_r10b  # noqa: F401  (source quota / duplicate spans / source overlap)
 from . import queries_r10c  # noqa: F401  (chunk dedup / dup-rate / kNN graph / curation pipeline)
+from . import queries_r11  # noqa: F401  (df-capped contamination + r11 additions)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a
@@ -174,17 +175,31 @@ _DRIVER_CERTIFIED = frozenset({
     # these 3 new names and the longest-certified backfill):
     "q230_bag_ops_builtin", "q231_incremental_ingest_dedup",
     "q232_containment_pairs",
+    # ... round-10 driver rows (CORRECTNESS_r10.json — 50/50 green: the 4
+    # lineage-changed names of the r10 subtract-set all re-certified
+    # (q146/q164/q231/q232 folded back in above), plus these 16 new names):
+    "q233_jaccard_df_capped", "q234_containment_df_capped",
+    "q235_srp_pairs_bucket_capped", "q236_stream_ingest_dedup",
+    "q237_srp_ingest_probe", "q238_duplicate_shingle_fraction",
+    "q239_source_quota", "q240_duplicate_spans", "q241_source_overlap",
+    "q242_cut_duplicate_spans", "q243_tfdf_cosine_pairs", "q244_chunk_dedup",
+    "q245_source_dup_rate", "q246_knn_graph", "q247_curation_pipeline",
+    "q248_source_token_tvd",
 }) - frozenset({
     # ... MINUS queries whose lineage changed since their last driver row —
-    # these must re-enter the 50-entry prefix so round 10 certifies the code
+    # these must re-enter the 50-entry prefix so round 11 certifies the code
     # that actually ships (the round-close rotation discipline,
     # .claude/skills/verify/SKILL.md):
-    # (r9 subtract-set fully re-certified in CORRECTNESS_r09.json and folded
-    # back in above; r10 changes accumulate here as they land.)
-    "q231_incremental_ingest_dedup",  # r10: lsh_probe_pairs gains the doc_probe != doc_index self-pair guard (ADVICE)
-    "q146_stream_stream_join",        # r10: sentinel cache dir renamed to two-part key + stale-sibling pruning (ADVICE)
-    "q164_stream_outer_join",         # r10: same cache-dir change
-    "q232_containment_pairs",         # r10: containment_pairs gains the max_shingle_freq valve (no-op at default, but lineage touched)
+    # (r10 subtract-set fully re-certified in CORRECTNESS_r10.json and folded
+    # back in above; r11 changes accumulate here as they land.)
+    "q248_source_token_tvd",  # r11: decimal(38,0) casts moved BEFORE the integer products (VERDICT r10 #1 / ADVICE)
+    "q240_duplicate_spans",   # r11: overlapping span islands merged — spans now token-disjoint (ADVICE #3)
+    "q242_cut_duplicate_spans",  # r11: shares q240's merged-span lineage + persist→localCheckpoint hygiene
+    "q241_source_overlap",    # r11: persist→localCheckpoint hygiene (VERDICT r10 #3)
+    "q243_tfdf_cosine_pairs", # r11: persist→localCheckpoint hygiene (VERDICT r10 #3)
+    "q247_curation_pipeline", # r11: persist→localCheckpoint hygiene (VERDICT r10 #3)
+    "q49_ivf_topk",           # r11: gains a real DuckDB oracle (VERDICT r10 #4); centroid sample now hashes vec_id (engine-portable)
+    "q140_ivf_recall_contract",  # r11: shares build_ivf_index's changed centroid-sample lineage
 })
 
 

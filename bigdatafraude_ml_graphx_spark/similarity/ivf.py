@@ -69,11 +69,20 @@ def build_ivf_index(
     if method == "kmeans":
         centroids = _kmeans_centroids(df, n_cells, vec_col, seed)
     elif method == "sample":
+        # Seeded sample keyed on md5(seed || id): the id's string rendering
+        # is engine-portable (array→string float rendering is NOT), so a SQL
+        # oracle can reproduce the exact centroid set — q49's DuckDB oracle
+        # mirrors this ordering verbatim. Tie-broken on id (md5 collisions
+        # notwithstanding) for a total order.
         centroids = (
-            df.select(F.col(vec_col).alias("cvec"))
-            .orderBy(F.md5(F.concat(F.lit(str(seed)), F.col("cvec").cast("string"))))
+            df.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("cvec"))
+            .orderBy(
+                F.md5(F.concat(F.lit(str(seed)), F.col("_cid").cast("string"))),
+                F.col("_cid"),
+            )
             .limit(n_cells)
             .withColumn("cell", F.monotonically_increasing_id())
+            .drop("_cid")
             .localCheckpoint(eager=True)
         )
     else:

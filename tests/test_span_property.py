@@ -48,10 +48,14 @@ def _ref(texts: list[str]):
     for i, gs in grams.items():
         pos = [p for p, g in enumerate(gs) if g in dup]
         run: list[int] = []
+        # Islands merge when position gap <= 2 (3-token windows overlap in
+        # token space), so emitted spans are token-disjoint; span_tokens is
+        # the covered count e - s + 1 (ADVICE r10 #3 semantics).
         for p in pos + [None]:
-            if run and (p is None or p != run[-1] + 1):
-                if len(run) + 2 >= 8:
-                    spans[i].append((run[0], run[-1] + 2, len(run) + 2))
+            if run and (p is None or p - run[-1] > 2):
+                s, e = run[0], run[-1] + 2
+                if e - s + 1 >= 8:
+                    spans[i].append((s, e, e - s + 1))
                 run = []
             if p is not None:
                 run.append(p)

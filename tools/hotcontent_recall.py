@@ -43,10 +43,18 @@ CHECKS = {
     # hence the dup list restricted to natural grams — are unchanged).
     "q243_tfdf_cosine_pairs": ("doc_a", "doc_b"),
     "q240_duplicate_spans": ("doc", "doc"),
+    # r11: the composed artifacts (VERDICT r10 items 5/7).
+    # q246 composes q235's capped pairs into per-node top-k: for untouched
+    # nodes the EDGE SET restricted to untouched neighbors is the recall
+    # number (compare (src, dst, cosine_q) only — `rk` may legitimately
+    # shift when touched neighbors enter/leave a node's top-k, and that is
+    # not a recall loss among untouched content).
+    "q246_knn_graph": ("src", "dst", ("src", "dst", "cosine_q")),
+    "q249_contamination_df_capped": ("doc", "eval_doc"),
 }
 
 
-def untouched_pairs(spark, name, sf_dir, a_col, b_col):
+def untouched_pairs(spark, name, sf_dir, a_col, b_col, cols=None):
     from bigdatafraude_ml_graphx_spark import registry as q
     from pyspark.sql import functions as F
 
@@ -54,7 +62,7 @@ def untouched_pairs(spark, name, sf_dir, a_col, b_col):
     rows = df.filter(
         (F.col(a_col) % 3 == 0) & (F.col(b_col) % 3 == 0)
     ).collect()
-    cols = df.columns
+    cols = list(cols) if cols else df.columns
     return {tuple(str(r[c]) for c in cols) for r in rows}
 
 
@@ -75,9 +83,11 @@ def main() -> int:
     out = {"metric": "hotcontent_nonhot_recall", "base": BASE, "hot": HOT,
            "queries": {}}
     clean = True
-    for name, (a_col, b_col) in CHECKS.items():
-        base = untouched_pairs(spark, name, BASE, a_col, b_col)
-        hot = untouched_pairs(spark, name, HOT, a_col, b_col)
+    for name, spec in CHECKS.items():
+        a_col, b_col = spec[0], spec[1]
+        cols = spec[2] if len(spec) > 2 else None
+        base = untouched_pairs(spark, name, BASE, a_col, b_col, cols)
+        hot = untouched_pairs(spark, name, HOT, a_col, b_col, cols)
         lost, gained = base - hot, hot - base
         out["queries"][name] = {
             "base_nonhot_pairs": len(base),
