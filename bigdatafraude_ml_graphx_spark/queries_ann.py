@@ -20,39 +20,26 @@ from .similarity.cosine import cosine_topk
 from .similarity.ivf import build_ivf_index, ivf_topk
 
 
-def _ivf_oracle(
-    k: int = 5, n_probe: int = 4, n_cells: int = 16, dim: int = 64,
-    seed: int = 42, nq: int = 10,
-) -> str:
-    """Full SQL mirror of the IVF pipeline (VERDICT r10 #4 — graduates q49
-    from rows-only): seeded-sample centroids keyed on md5(seed||vec_id)
-    (engine-portable — see ``build_ivf_index``), nearest-cell assignment as
-    argmin over (−sim, cell), n_probe nearest cells per query, and the
-    probed-cells top-k. Every similarity uses the same quantized-int64 dot
-    product as the q31 oracle, so the doubles are bit-identical: exact
-    integer dot / (sqrt · sqrt) in the engine's operand order."""
+def _qdot_sql(va: str, vb: str, dim: int = 64) -> str:
+    """DuckDB mirror of the engine's quantized-int64 dot product (q31's)."""
+    prods = (
+        f"[CAST(floor(CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE)"
+        f" * 1e12 + 0.5) AS BIGINT) for i in range(1, {dim + 1})]"
+    )
+    return f"(CAST(CAST(list_sum({prods}) AS BIGINT) AS DOUBLE) / 1e12)"
 
-    def qdot(va: str, vb: str) -> str:
-        prods = (
-            f"[CAST(floor(CAST({va}[i] AS DOUBLE) * CAST({vb}[i] AS DOUBLE)"
-            f" * 1e12 + 0.5) AS BIGINT) for i in range(1, {dim + 1})]"
-        )
-        return f"(CAST(CAST(list_sum({prods}) AS BIGINT) AS DOUBLE) / 1e12)"
 
+def _ivf_assign_cte(n_cells: int = 16, dim: int = 64, seed: int = 42) -> str:
+    """CTE body (``ord``/``cent``/``asg0``/``asg``) mirroring the IVF index
+    build: seeded-sample centroids keyed on md5(seed||vec_id) and
+    nearest-cell assignment as argmin over (−sim, cell) — shared by the
+    q49 oracle and the q252 cell-diagnostics oracle."""
     sim_vc = (
-        f"{qdot('e.embedding', 'c.cvec')} / (sqrt({qdot('e.embedding', 'e.embedding')})"
-        f" * sqrt({qdot('c.cvec', 'c.cvec')}))"
+        f"{_qdot_sql('e.embedding', 'c.cvec', dim)}"
+        f" / (sqrt({_qdot_sql('e.embedding', 'e.embedding', dim)})"
+        f" * sqrt({_qdot_sql('c.cvec', 'c.cvec', dim)}))"
     )
-    sim_qc = (
-        f"{qdot('q.qvec', 'c.cvec')} / (sqrt({qdot('q.qvec', 'q.qvec')})"
-        f" * sqrt({qdot('c.cvec', 'c.cvec')}))"
-    )
-    cos_nq = (
-        f"{qdot('vec', 'qvec')} / (sqrt({qdot('vec', 'vec')})"
-        f" * sqrt({qdot('qvec', 'qvec')}))"
-    )
-    return f"""
-    WITH ord AS (
+    return f"""ord AS (
       SELECT vec_id, embedding,
              ROW_NUMBER() OVER (
                ORDER BY md5('{seed}' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
@@ -66,7 +53,33 @@ def _ivf_oracle(
               SELECT id, vec, cell,
                      ROW_NUMBER() OVER (PARTITION BY id
                                         ORDER BY sim DESC, cell ASC) AS arn
-              FROM asg0) WHERE arn = 1),
+              FROM asg0) WHERE arn = 1)"""
+
+
+def _ivf_oracle(
+    k: int = 5, n_probe: int = 4, n_cells: int = 16, dim: int = 64,
+    seed: int = 42, nq: int = 10,
+) -> str:
+    """Full SQL mirror of the IVF pipeline (VERDICT r10 #4 — graduates q49
+    from rows-only): the shared assignment CTE plus n_probe nearest cells
+    per query and the probed-cells top-k. Every similarity uses the same
+    quantized-int64 dot product as the q31 oracle, so the doubles are
+    bit-identical: exact integer dot / (sqrt · sqrt) in the engine's
+    operand order."""
+
+    def qdot(va: str, vb: str) -> str:
+        return _qdot_sql(va, vb, dim)
+
+    sim_qc = (
+        f"{qdot('q.qvec', 'c.cvec')} / (sqrt({qdot('q.qvec', 'q.qvec')})"
+        f" * sqrt({qdot('c.cvec', 'c.cvec')}))"
+    )
+    cos_nq = (
+        f"{qdot('vec', 'qvec')} / (sqrt({qdot('vec', 'vec')})"
+        f" * sqrt({qdot('qvec', 'qvec')}))"
+    )
+    return f"""
+    WITH {_ivf_assign_cte(n_cells, dim, seed)},
     q AS (SELECT vec_id AS query_id, embedding AS qvec FROM embeddings
           WHERE vec_id < {nq}),
     pc0 AS (SELECT q.query_id, q.qvec, c.cell, {sim_qc} AS sim

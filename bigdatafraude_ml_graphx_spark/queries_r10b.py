@@ -119,10 +119,20 @@ def q240_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     go quadratic — contrast q27), and the islands window partitions by doc
     with an O(spans) aggregate. The duplicated-gram list is df-filtered
     AFTER a map-side-combinable distinct+count, never collected."""
+    docs = load_table(spark, sf_dir, "documents")
+    return duplicate_spans(docs).select(
+        "doc", "span_start", "span_end", "span_tokens"
+    )
+
+
+def duplicate_spans(docs: DataFrame) -> DataFrame:
+    """q240's pipeline over an arbitrary documents frame — factored so
+    composition queries (q251 per-source savings) reuse the exact
+    certified lineage. Returns token-disjoint ``(doc, span_start,
+    span_end, span_tokens)`` spans (≥ 8 covered tokens)."""
     from .dedup.ngram import ngrams_from_tokens
     from .functions.text import tokens
 
-    docs = load_table(spark, sf_dir, "documents")
     grams = (
         docs.select(F.col("doc_id").alias("doc"), tokens("text").alias("_toks"))
         .select(
@@ -146,9 +156,7 @@ def q240_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("gram")
     )
     pos_dup = grams.join(dup, "gram", "left_semi").select("doc", "pos")
-    return _merge_spans(pos_dup).select(
-        "doc", "span_start", "span_end", "span_tokens"
-    )
+    return _merge_spans(pos_dup)
 
 
 def _merge_spans(pos_dup: DataFrame) -> DataFrame:

@@ -1,4 +1,5 @@
-"""Round-11 batch: closing the VERDICT r10 watch items.
+"""Round-11 batch: closing the VERDICT r10 watch items + the release-report
+artifacts a dedup/index deployment publishes.
 
 - q249: df-capped contamination sweep — q70's benchmark-overlap check in
   the boilerplate-safe production config (q233's 2%-of-corpus cap applied
@@ -6,6 +7,14 @@
   left in the hot-content sweep (q70: 50.9× answer growth under the
   hot-CONTENT fixture because every doc "contaminates" every eval doc
   through the shared boilerplate block).
+- q250: duplicate-CLUSTER statistics — the dedup report (cluster-size
+  histogram + removable-doc counts) over the df-capped Jaccard graph.
+- q251: per-source token savings of exact-substring span dedup — composes
+  q240's (now token-disjoint) spans with source attribution; exact sums
+  are only correct because spans no longer overlap.
+- q252: IVF index-health diagnostics — per-cell population and load share
+  of the coarse quantizer (the balance check run before deploying an IVF
+  index); exactly oracle-checked against the shared assignment CTE.
 """
 
 from __future__ import annotations
@@ -15,7 +24,9 @@ from pyspark.sql import functions as F
 
 from .catalog import load_table
 from .queries import query
-from .queries_r10 import _DF_FRAC
+from .queries_r10 import _DF_FRAC, _capped_shingles_cte
+from .queries_ann import _ivf_assign_cte
+from .queries_r10b import _POS_GRAMS_CTE, _SPANS_SQL, duplicate_spans
 from .queries_text import _SHINGLES_CTE
 
 _EVAL_MOD = 50  # every 50th doc stands in for the benchmark set (q70's)
@@ -89,4 +100,189 @@ def q249_contamination_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eval_doc",
         F.col("n_shared").cast("long").alias("n_shared"),
         (F.col("n_shared") / F.col("_eval_n")).alias("overlap_frac"),
+    )
+
+
+_JACC_TAU = 0.04  # q233's certified threshold
+
+
+@query(
+    "q250_dup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_capped_shingles_cte()},
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shc GROUP BY doc),
+    shared AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared
+               FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
+               GROUP BY 1, 2),
+    pairs AS (SELECT s.doc_a AS src, s.doc_b AS dst
+              FROM shared s
+              JOIN sizes sa ON s.doc_a = sa.doc
+              JOIN sizes sb ON s.doc_b = sb.doc
+              WHERE CAST(s.shared AS DOUBLE)
+                      / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE)
+                    >= {_JACC_TAU}),
+    sym AS (SELECT src AS u, dst AS v FROM pairs
+            UNION SELECT dst, src FROM pairs),
+    reach(a, bnode) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.bnode = s.u),
+    comp AS (SELECT a AS doc, MIN(bnode) AS cluster FROM reach GROUP BY a),
+    csize AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY cluster)
+    SELECT cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS docs_total,
+           CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS docs_removable
+    FROM csize GROUP BY cluster_size
+    """,
+)
+def q250_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup report a release pipeline publishes BEFORE cutting docs:
+    connected components over the df-capped Jaccard graph (q233's exact
+    capped pairs at the same 0.04 threshold), rolled into a cluster-size
+    histogram — how many clusters of each size, how many docs they hold,
+    and how many are removable (size − 1 per cluster under keep-one
+    canonicalization). Singleton docs appear as cluster_size = 1 (the
+    honest denominator: removable / total is the corpus dup rate).
+
+    Scale shape: the pair graph is the already-certified capped join
+    (posting lists ≤ 2%·N); components run min-label propagation over the
+    candidate graph only (O(diameter) rounds, lineage-checkpointed); the
+    histogram is two tiny aggregates. The recursive-CTE oracle mirrors
+    the same transitive closure (the q64 model)."""
+    from .dedup.ngram import ngram_jaccard_pairs
+    from .graph.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = _DF_FRAC * docs.count()
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(
+        edges,
+        vertices=docs.select(F.col("doc_id").alias("id")),
+        dedup_edges=False,
+    )
+    csize = cc.groupBy("component").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    return csize.groupBy("cluster_size").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).cast("long").alias("docs_total"),
+        (F.count("*") * (F.col("cluster_size") - 1))
+        .cast("long")
+        .alias("docs_removable"),
+    )
+
+
+@query(
+    "q251_span_savings_by_source",
+    oracle=f"""
+    WITH {_POS_GRAMS_CTE},
+    {_SPANS_SQL},
+    src AS (SELECT doc_id, source FROM documents),
+    tot AS (SELECT s.source,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(d.toks)) AS BIGINT) AS tokens_total
+            FROM d JOIN src s USING (doc_id) GROUP BY s.source),
+    sp AS (SELECT s.source,
+                  CAST(COUNT(DISTINCT sp.doc) AS BIGINT) AS docs_with_spans,
+                  CAST(COUNT(*) AS BIGINT) AS n_spans,
+                  CAST(SUM(sp.e - sp.s + 1) AS BIGINT) AS tokens_cut
+           FROM spans sp JOIN src s ON sp.doc = s.doc_id
+           GROUP BY s.source)
+    SELECT t.source, t.n_docs,
+           COALESCE(sp.docs_with_spans, 0) AS docs_with_spans,
+           COALESCE(sp.n_spans, 0) AS n_spans,
+           COALESCE(sp.tokens_cut, 0) AS tokens_cut,
+           t.tokens_total,
+           CAST(COALESCE(sp.tokens_cut, 0) AS DOUBLE)
+             / CAST(t.tokens_total AS DOUBLE) AS frac_cut
+    FROM tot t LEFT JOIN sp ON t.source = sp.source
+    """,
+)
+def q251_span_savings_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token savings of exact-substring span dedup — which
+    sources are bringing copied text, and how much of each source's token
+    mass a remove-duplicated-substrings pass (q242) would cut. The sums
+    are exact ONLY because q240's spans are token-disjoint since r11
+    (overlapping islands merged — ADVICE r10 #3): summing span_tokens
+    over overlapping spans would over-count the cut.
+
+    Scale shape: q240's linear span pipeline (one corpus scan,
+    checkpointed gram stream) plus one slim (doc_id, source, n_toks)
+    metadata pass that feeds both the source attach and the totals —
+    checkpointed once, so the query stays at two corpus opens."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    spans = duplicate_spans(docs)
+    meta = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("_n_toks"),
+    ).localCheckpoint(eager=True)  # feeds totals AND the span-source attach
+    tot = meta.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("_n_toks").cast("long").alias("tokens_total"),
+    )
+    sp = (
+        spans.join(meta, spans["doc"] == meta["doc_id"])
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc").cast("long").alias("docs_with_spans"),
+            F.count("*").cast("long").alias("n_spans"),
+            F.sum("span_tokens").cast("long").alias("tokens_cut"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return tot.join(sp, "source", "left").select(
+        "source",
+        "n_docs",
+        F.coalesce("docs_with_spans", zero).alias("docs_with_spans"),
+        F.coalesce("n_spans", zero).alias("n_spans"),
+        F.coalesce("tokens_cut", zero).alias("tokens_cut"),
+        "tokens_total",
+        (
+            F.coalesce("tokens_cut", zero).cast("double")
+            / F.col("tokens_total").cast("double")
+        ).alias("frac_cut"),
+    )
+
+
+@query(
+    "q252_ivf_cell_stats",
+    oracle=f"""
+    WITH {_ivf_assign_cte()},
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings)
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(COUNT(*) AS DOUBLE) / CAST(tot.n AS DOUBLE) AS load_share
+    FROM asg CROSS JOIN tot
+    GROUP BY cell, tot.n
+    """,
+)
+def q252_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantizer health diagnostics: per-cell population and
+    load share — the balance check run before deploying an IVF index
+    (a degenerate hot cell means probes scan the corpus; the q121
+    hot-cluster lesson as a measurable artifact). Exactly oracle-checked:
+    cell assignment is the shared md5-seeded sample + quantized-cosine
+    argmin CTE the q49 oracle certifies.
+
+    Scale shape: assignment is a pure projection (inlined centroids, zero
+    shuffle); the diagnostic is one 16-group aggregate with map-side
+    combine — at 100 TB this is the cheapest possible full-corpus pass,
+    and the artifact it emits is k rows."""
+    from .similarity.ivf import build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    total = emb.count()
+    _centroids, assigned = build_ivf_index(emb, n_cells=16)
+    return assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        (F.count("*").cast("double") / F.lit(float(total))).alias("load_share"),
     )

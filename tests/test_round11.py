@@ -70,3 +70,47 @@ def test_q248_tvd_identical_sources_zero(spark):
     tf = spark.createDataFrame(rows, "source string, term string, a long")
     for r in source_token_tvd_from_tf(tf).collect():
         assert abs(r["tvd"]) < 1e-15
+
+
+def test_q250_cluster_histogram_accounts_for_every_doc(spark, sf_dir):
+    from bigdatafraude_ml_graphx_spark import registry as q
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+
+    rows = q.QUERIES["q250_dup_cluster_stats"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["docs_total"] for r in rows) == n_docs
+    for r in rows:
+        assert r["docs_total"] == r["cluster_size"] * r["n_clusters"]
+        assert r["docs_removable"] == (r["cluster_size"] - 1) * r["n_clusters"]
+        assert r["cluster_size"] >= 1
+
+
+def test_q251_savings_bounded_and_consistent_with_q242(spark, sf_dir):
+    from bigdatafraude_ml_graphx_spark import registry as q
+
+    rows = q.QUERIES["q251_span_savings_by_source"](spark, sf_dir).collect()
+    assert rows, "every source must appear"
+    for r in rows:
+        assert 0 <= r["tokens_cut"] <= r["tokens_total"]
+        assert 0.0 <= r["frac_cut"] <= 1.0
+        assert r["docs_with_spans"] <= r["n_docs"]
+    # cross-check: total tokens cut == q242's total n_removed (the span
+    # cut transform removes exactly the span-covered tokens; both are
+    # exact only because spans are token-disjoint since r11)
+    cut_total = sum(r["tokens_cut"] for r in rows)
+    removed_total = sum(
+        r["n_removed"]
+        for r in q.QUERIES["q242_cut_duplicate_spans"](spark, sf_dir).collect()
+    )
+    assert cut_total == removed_total
+
+
+def test_q252_cell_loads_partition_the_corpus(spark, sf_dir):
+    from bigdatafraude_ml_graphx_spark import registry as q
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+
+    rows = q.QUERIES["q252_ivf_cell_stats"](spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vectors"] for r in rows) == n
+    assert abs(sum(r["load_share"] for r in rows) - 1.0) < 1e-9
+    assert len(rows) <= 16
