@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from .catalog import load_table
 from .queries import query
 from .queries_r10 import _DF_FRAC
-from .queries_text import _TOKS
+from .queries_text import _TOKS, _hash_sql
 
 _QUOTA_K = 10
 
@@ -321,11 +321,12 @@ _TFDF_SCALE = 1_000_000.0
     "q243_tfdf_cosine_pairs",
     oracle=f"""
     WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-    tf AS (SELECT doc_id AS doc,
-                  unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
-                                        i -> array_to_string(toks[i:i+2], ' ')))
-                    AS term
-           FROM d),
+    tf0 AS (SELECT doc_id AS doc,
+                   unnest(list_transform(range(1, greatest(len(toks) - 1, 1)),
+                                         i -> array_to_string(toks[i:i+2], ' ')))
+                     AS term_s
+            FROM d),
+    tf AS (SELECT doc, {_hash_sql('term_s', 0)} AS term FROM tf0),
     tfc AS (SELECT doc, term, COUNT(*) AS tf FROM tf GROUP BY doc, term),
     dfc AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY term
             HAVING COUNT(*) <= {_DF_FRAC} * (SELECT COUNT(*) FROM documents)),
@@ -370,13 +371,22 @@ def q243_tfdf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the weight join is linear — one df row per (doc, term) row, the q238
     shape. Overflow headroom: wq ≤ tf·10⁶ ≤ ~10⁸ for any real document,
     so Σ wq² stays < 2⁶³ below ~10⁴⁶ tokens per doc."""
+    from .dedup.minhash import _hash64
     from .dedup.ngram import _doc_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     n_docs = docs.count()
+    # Terms are the portable 60-bit md5 hash of the trigram (oracle mirrors
+    # it via _hash_sql) — hashing BEFORE the first groupBy shrinks the
+    # (doc, term) shuffle, the checkpointed tf blocks, and every downstream
+    # join key from ~25-byte strings to longs (measured: the string-keyed
+    # form cost +14 s at sf1.0). Hash collisions merge two trigrams'
+    # counts; at 60 bits over a ≤10⁹-term vocabulary that is ~10⁻¹⁸ per
+    # pair, and BOTH engines hash identically, so exactness is preserved
+    # regardless.
     tf = (
         _doc_shingles(docs, "text", "doc_id", 3, distinct=False)
-        .withColumnRenamed("shingle", "term")
+        .select("doc", _hash64(F.col("shingle"), 0).alias("term"))
         .groupBy("doc", "term")
         .agg(F.count("*").alias("tf"))
     )
@@ -402,10 +412,10 @@ def q243_tfdf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("wq"),
     )
-    # Three consumers (norms + both join sides): one tokenize/df pass —
-    # localCheckpoint per the multi-consumer convention (no CacheManager
-    # residue after the query).
-    w = w.localCheckpoint(eager=True)
+    # w is deliberately NOT materialized: its three consumers (norms + both
+    # join sides) recompute the cheap capped join from tf's checkpoint
+    # blocks (zero file opens), which measured ~10 s faster at sf1.0 than a
+    # second eager materialization — tf is the only frame worth storing.
     norms = w.groupBy("doc").agg(F.sum(F.col("wq") * F.col("wq")).alias("n2"))
     a, b = w.alias("a"), w.alias("b")
     dots = (
