@@ -19,7 +19,7 @@ artifacts a dedup/index deployment publishes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .catalog import load_table
@@ -27,7 +27,7 @@ from .queries import query
 from .queries_r10 import _DF_FRAC, _capped_shingles_cte
 from .queries_ann import _ivf_assign_cte
 from .queries_r10b import _POS_GRAMS_CTE, _SPANS_SQL, duplicate_spans
-from .queries_text import _SHINGLES_CTE
+from .queries_text import _SHINGLES_CTE, _TOKS
 
 _EVAL_MOD = 50  # every 50th doc stands in for the benchmark set (q70's)
 _MIN_SHARED = 2
@@ -105,11 +105,10 @@ def q249_contamination_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACC_TAU = 0.04  # q233's certified threshold
 
-
-@query(
-    "q250_dup_cluster_stats",
-    oracle=f"""
-    WITH RECURSIVE {_capped_shingles_cte()},
+# Shared closure over the df-capped Jaccard graph: capped pairs (q233's
+# exact semantics) + recursive-CTE transitive closure (the q64 model) down
+# to `comp(doc, cluster)` — used by q250 (histogram) and q254 (split).
+_CAPPED_CLOSURE_SQL = f"""{_capped_shingles_cte()},
     sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shc GROUP BY doc),
     shared AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared
                FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
@@ -127,7 +126,35 @@ _JACC_TAU = 0.04  # q233's certified threshold
         SELECT doc_id, doc_id FROM documents
         UNION
         SELECT r.a, s.v FROM reach r JOIN sym s ON r.bnode = s.u),
-    comp AS (SELECT a AS doc, MIN(bnode) AS cluster FROM reach GROUP BY a),
+    comp AS (SELECT a AS doc, MIN(bnode) AS cluster FROM reach GROUP BY a)"""
+
+
+def _capped_jaccard_components(docs: DataFrame) -> DataFrame:
+    """``(id, component)`` over the df-capped Jaccard dup graph — q233's
+    exact capped pairs at the 0.04 threshold, connected-components labeled
+    (min doc id per cluster). Shared by q250 (histogram) and q254
+    (cluster-wise split)."""
+    from .dedup.ngram import ngram_jaccard_pairs
+    from .graph.components import connected_components
+
+    cap = _DF_FRAC * docs.count()
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    return connected_components(
+        edges,
+        vertices=docs.select(F.col("doc_id").alias("id")),
+        dedup_edges=False,
+    )
+
+
+@query(
+    "q250_dup_cluster_stats",
+    oracle=f"""
+    WITH RECURSIVE {_CAPPED_CLOSURE_SQL},
     csize AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
               FROM comp GROUP BY cluster)
     SELECT cluster_size,
@@ -151,22 +178,7 @@ def q250_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate graph only (O(diameter) rounds, lineage-checkpointed); the
     histogram is two tiny aggregates. The recursive-CTE oracle mirrors
     the same transitive closure (the q64 model)."""
-    from .dedup.ngram import ngram_jaccard_pairs
-    from .graph.components import connected_components
-
-    docs = load_table(spark, sf_dir, "documents")
-    cap = _DF_FRAC * docs.count()
-    pairs = ngram_jaccard_pairs(
-        docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap
-    )
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    cc = connected_components(
-        edges,
-        vertices=docs.select(F.col("doc_id").alias("id")),
-        dedup_edges=False,
-    )
+    cc = _capped_jaccard_components(load_table(spark, sf_dir, "documents"))
     csize = cc.groupBy("component").agg(
         F.count("*").cast("long").alias("cluster_size")
     )
@@ -285,4 +297,148 @@ def q252_ivf_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assigned.groupBy("cell").agg(
         F.count("*").cast("long").alias("n_vectors"),
         (F.count("*").cast("double") / F.lit(float(total))).alias("load_share"),
+    )
+
+
+_BUDGET_PCT = 50  # keep the best docs until 50% of the corpus token mass
+
+
+@query(
+    "q253_token_budget_fill",
+    oracle=f"""
+    WITH d AS (SELECT doc_id, source, n_chars,
+                      CAST(len({_TOKS}) AS BIGINT) AS n_toks
+               FROM documents),
+    tot AS (SELECT SUM(n_toks) AS t FROM d),
+    cum AS (SELECT doc_id, source, n_toks,
+                   SUM(n_toks) OVER (ORDER BY n_chars DESC, doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS c
+            FROM d),
+    kept AS (SELECT cum.* FROM cum CROSS JOIN tot
+             WHERE cum.c <= tot.t * {_BUDGET_PCT} // 100)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS docs_in,
+           CAST(SUM(d.n_toks) AS BIGINT) AS tokens_in,
+           CAST(COUNT(k.doc_id) AS BIGINT) AS docs_kept,
+           CAST(COALESCE(SUM(k.n_toks), 0) AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(SUM(k.n_toks), 0) AS DOUBLE)
+             / CAST(SUM(d.n_toks) AS DOUBLE) AS kept_token_frac
+    FROM d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    GROUP BY d.source
+    """,
+)
+def q253_token_budget_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy token-budget fill — the mixture-construction operator: rank
+    every document by quality (n_chars DESC, doc_id tiebreak — the q239
+    key) and keep documents while the running token total stays within
+    the budget (here 50% of the corpus token mass, exact
+    integer floor both engines mirror). Reports per source how much of
+    its mass survives — the table a data-mixture card publishes.
+
+    Scale shape: NO global window. The running total uses the two-phase
+    counting discipline (``operators/scale.py``): per-quality-VALUE token
+    sums (map-side combined, |distinct n_chars| rows) give each value's
+    starting offset via a window over that tiny rollup; each row's exact
+    global cumulative is offset + a within-value running sum (parallel
+    across values). Token sums stay in int64 — exact to 9.2e18 tokens,
+    three orders past the 100 TB target (docstring contract, not a
+    decimal cast)."""
+    from .functions.text import tokens
+    from .plans.hints import broadcast_if_small
+
+    docs = load_table(spark, sf_dir, "documents")
+    meta = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+    ).localCheckpoint(eager=True)  # feeds rollup, per-row cumsum, totals
+    per_v = meta.groupBy("n_chars").agg(
+        F.sum("n_toks").alias("_vt"),
+    )
+    wk = Window.orderBy(F.col("n_chars").desc())
+    wall = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    keys = per_v.select(
+        "n_chars",
+        (F.sum("_vt").over(wk) - F.col("_vt")).alias("_tstart"),
+        F.sum("_vt").over(wall).alias("_t"),
+    )
+    per_key = Window.partitionBy("n_chars").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = meta.withColumn("_run", F.sum("n_toks").over(per_key)).join(
+        broadcast_if_small(keys), "n_chars"
+    )
+    budget = F.floor(F.col("_t") * _BUDGET_PCT / 100)
+    kept = cum.withColumn(
+        "_kept", (F.col("_tstart") + F.col("_run")) <= budget
+    )
+    return kept.groupBy("source").agg(
+        F.count("*").cast("long").alias("docs_in"),
+        F.sum("n_toks").cast("long").alias("tokens_in"),
+        F.sum(F.when(F.col("_kept"), 1).otherwise(0))
+        .cast("long")
+        .alias("docs_kept"),
+        F.sum(F.when(F.col("_kept"), F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("tokens_kept"),
+        (
+            F.sum(F.when(F.col("_kept"), F.col("n_toks")).otherwise(0)).cast(
+                "double"
+            )
+            / F.sum("n_toks").cast("double")
+        ).alias("kept_token_frac"),
+    )
+
+
+_SPLIT_SALT = 7
+_HOLDOUT_MOD = 10  # 1/10 of clusters → holdout
+
+
+@query(
+    "q254_clusterwise_split",
+    oracle=f"""
+    WITH RECURSIVE {_CAPPED_CLOSURE_SQL}
+    SELECT comp.doc, comp.cluster,
+           CASE WHEN CAST('0x' || substr(md5('{_SPLIT_SALT}:'
+                          || CAST(comp.cluster AS VARCHAR)), 1, 15) AS BIGINT)
+                     % {_HOLDOUT_MOD} = 0
+                THEN 'holdout' ELSE 'train' END AS split
+    FROM comp
+    """,
+)
+def q254_clusterwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/holdout split: documents are split by DUP
+    CLUSTER, not individually — every member of a near-duplicate cluster
+    (q250's df-capped Jaccard components) lands on the same side, so no
+    near-duplicate of a holdout document can leak into training (q135's
+    doc-hash split cannot guarantee that; this is the split a
+    decontaminated eval requires). The assignment hashes the CLUSTER
+    label (min doc id — stable under re-runs) with the portable 60-bit
+    md5 hash: ~1/10 of clusters → holdout.
+
+    Scale shape: the component labeling is the certified capped-graph
+    propagation; the split itself is a pure projection on the label —
+    no extra shuffle, and the holdout fraction concentrates around
+    1/10 by cluster count (documented bias: it is a
+    per-cluster coin, so doc-weighted shares drift with cluster sizes —
+    exactly what leakage-safety requires)."""
+    from .dedup.minhash import _hash64
+
+    docs = load_table(spark, sf_dir, "documents")
+    cc = _capped_jaccard_components(docs)
+    split = F.when(
+        F.pmod(
+            _hash64(F.col("component").cast("string"), _SPLIT_SALT),
+            F.lit(_HOLDOUT_MOD),
+        )
+        == 0,
+        F.lit("holdout"),
+    ).otherwise(F.lit("train"))
+    return cc.select(
+        F.col("id").alias("doc"),
+        F.col("component").alias("cluster"),
+        split.alias("split"),
     )

@@ -114,3 +114,32 @@ def test_q252_cell_loads_partition_the_corpus(spark, sf_dir):
     assert sum(r["n_vectors"] for r in rows) == n
     assert abs(sum(r["load_share"] for r in rows) - 1.0) < 1e-9
     assert len(rows) <= 16
+
+
+def test_q253_budget_fill_invariants(spark, sf_dir):
+    from bigdatafraude_ml_graphx_spark import registry as q
+
+    rows = q.QUERIES["q253_token_budget_fill"](spark, sf_dir).collect()
+    t_in = sum(r["tokens_in"] for r in rows)
+    t_kept = sum(r["tokens_kept"] for r in rows)
+    # kept mass within budget, and the NEXT doc would exceed it (greedy
+    # maximality is per the global order, so only the budget bound is a
+    # per-source-agg invariant)
+    assert t_kept <= t_in * 50 // 100
+    for r in rows:
+        assert 0 <= r["docs_kept"] <= r["docs_in"]
+        assert 0 <= r["tokens_kept"] <= r["tokens_in"]
+
+
+def test_q254_split_is_cluster_consistent(spark, sf_dir):
+    from bigdatafraude_ml_graphx_spark import registry as q
+
+    rows = q.QUERIES["q254_clusterwise_split"](spark, sf_dir).collect()
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], set()).add(r["split"])
+    # every member of a cluster lands on the same side — the leakage-safety
+    # contract a doc-hash split cannot give
+    assert all(len(v) == 1 for v in by_cluster.values())
+    splits = {r["split"] for r in rows}
+    assert splits <= {"train", "holdout"}
