@@ -143,3 +143,55 @@ def test_q254_split_is_cluster_consistent(spark, sf_dir):
     assert all(len(v) == 1 for v in by_cluster.values())
     splits = {r["split"] for r in rows}
     assert splits <= {"train", "holdout"}
+
+
+def test_q253_two_phase_cumsum_matches_serial_reference(spark, tmp_path):
+    """The distributed budget fill (per-n_chars offsets + within-value
+    running sums) must equal the serial global-window semantics for
+    arbitrary corpora, including ties on n_chars."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdatafraude_ml_graphx_spark import registry as q
+
+    rows = []
+    # adversarial shape: heavy ties on n_chars (the two-phase partition
+    # key), zero-token docs, single-doc sources
+    texts = ["aa bb cc", "aa", "", "dd ee", "ff", "gg hh ii jj", "kk", "ll mm"]
+    for i, t in enumerate(texts):
+        rows.append((i, t, "s" + str(i % 3)))
+    df = (
+        spark.createDataFrame(rows, "doc_id long, text string, source string")
+        .withColumn("lang", F.lit("en"))
+        .withColumn("n_chars", (F.col("doc_id") % 2).cast("long"))  # ties!
+    )
+    d = str(tmp_path / "docs")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "documents.parquet")
+    )
+    got = {
+        r["source"]: (r["docs_kept"], r["tokens_kept"], r["tokens_in"])
+        for r in q.QUERIES["q253_token_budget_fill"](spark, d).collect()
+    }
+    # serial reference
+    toks = {i: len([w for w in t.split() if w]) for i, (t,) in
+            ((i, (t,)) for i, t in enumerate(texts))}
+    order = sorted(range(len(texts)), key=lambda i: (-(i % 2), i))
+    total = sum(toks.values())
+    budget = total * 50 // 100
+    cum, kept = 0, set()
+    for i in order:
+        cum += toks[i]
+        if cum <= budget:
+            kept.add(i)
+    want = {}
+    for i in range(len(texts)):
+        s = "s" + str(i % 3)
+        dk, tk, ti = want.get(s, (0, 0, 0))
+        want[s] = (
+            dk + (1 if i in kept else 0),
+            tk + (toks[i] if i in kept else 0),
+            ti + toks[i],
+        )
+    assert got == want
