@@ -17,7 +17,10 @@ sys.path.insert(
 
 import __spark_entry__ as E
 
-ROWS_ONLY = {"q32_gbt_confusion", "q49_ivf_topk"}
+# q49 graduated to an exact DuckDB oracle in r11 (engine-portable centroid
+# sample + quantized-arithmetic mirror); q32's GBT output is genuinely
+# library-version-dependent and stays the one rows-only query.
+ROWS_ONLY = {"q32_gbt_confusion"}
 
 
 def test_entry_runs_flagship(spark):
