@@ -185,21 +185,25 @@ _DRIVER_CERTIFIED = frozenset({
     "q242_cut_duplicate_spans", "q243_tfdf_cosine_pairs", "q244_chunk_dedup",
     "q245_source_dup_rate", "q246_knn_graph", "q247_curation_pipeline",
     "q248_source_token_tvd",
+    # ... round-11 driver rows (CORRECTNESS_r11.json — 50/50 green: the 8
+    # lineage-changed names of the r11 subtract-set all re-certified
+    # (q49/q140/q240–q243/q247/q248 folded back in above), plus these 6 new
+    # names):
+    "q249_contamination_df_capped", "q250_dup_cluster_stats",
+    "q251_span_savings_by_source", "q252_ivf_cell_stats",
+    "q253_token_budget_fill", "q254_clusterwise_split",
 }) - frozenset({
     # ... MINUS queries whose lineage changed since their last driver row —
-    # these must re-enter the 50-entry prefix so round 11 certifies the code
+    # these must re-enter the 50-entry prefix so round 12 certifies the code
     # that actually ships (the round-close rotation discipline,
     # .claude/skills/verify/SKILL.md):
-    # (r10 subtract-set fully re-certified in CORRECTNESS_r10.json and folded
-    # back in above; r11 changes accumulate here as they land.)
-    "q248_source_token_tvd",  # r11: decimal(38,0) casts moved BEFORE the integer products (VERDICT r10 #1 / ADVICE)
-    "q240_duplicate_spans",   # r11: overlapping span islands merged — spans now token-disjoint (ADVICE #3)
-    "q242_cut_duplicate_spans",  # r11: shares q240's merged-span lineage + persist→localCheckpoint hygiene
-    "q241_source_overlap",    # r11: persist→localCheckpoint hygiene (VERDICT r10 #3)
-    "q243_tfdf_cosine_pairs", # r11: persist→localCheckpoint hygiene (VERDICT r10 #3)
-    "q247_curation_pipeline", # r11: persist→localCheckpoint hygiene (VERDICT r10 #3)
-    "q49_ivf_topk",           # r11: gains a real DuckDB oracle (VERDICT r10 #4); centroid sample now hashes vec_id (engine-portable)
-    "q140_ivf_recall_contract",  # r11: shares build_ivf_index's changed centroid-sample lineage
+    # (r11 subtract-set fully re-certified in CORRECTNESS_r11.json and folded
+    # back in above; r12 changes accumulate here as they land.)
+    "q249_contamination_df_capped",  # r12: forced broadcast of the corpus-proportional eval slice → broadcast_if_small (VERDICT r11 #1 / ADVICE #3)
+    "q253_token_budget_fill",  # r12: budget threshold now exact integer DIV, not double division (VERDICT r11 #2 / ADVICE #2)
+    "q49_ivf_topk",            # r12: IVF centroid cell ids now explicit row_number-1, not monotonically_increasing_id (ADVICE #1)
+    "q140_ivf_recall_contract",  # r12: shares build_ivf_index's changed cell-id lineage
+    "q252_ivf_cell_stats",     # r12: shares build_ivf_index's changed cell-id lineage
 })
 
 

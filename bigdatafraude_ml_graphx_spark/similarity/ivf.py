@@ -73,15 +73,26 @@ def build_ivf_index(
         # is engine-portable (array→string float rendering is NOT), so a SQL
         # oracle can reproduce the exact centroid set — q49's DuckDB oracle
         # mirrors this ordering verbatim. Tie-broken on id (md5 collisions
-        # notwithstanding) for a total order.
+        # notwithstanding) for a total order. Cell ids are assigned
+        # EXPLICITLY as row_number-1 over the same (md5, id) ordering —
+        # never monotonically_increasing_id(), whose contiguity after a
+        # limit depends on the physical plan (TakeOrderedAndProject on one
+        # partition), an implementation detail a plan change would break.
+        # The window runs over the already-limited ≤n_cells rows, so the
+        # single-partition sort it implies is index METADATA, not a
+        # corpus-scale global window.
+        hkey = F.md5(F.concat(F.lit(str(seed)), F.col("_cid").cast("string")))
         centroids = (
             df.select(F.col(id_col).alias("_cid"), F.col(vec_col).alias("cvec"))
-            .orderBy(
-                F.md5(F.concat(F.lit(str(seed)), F.col("_cid").cast("string"))),
-                F.col("_cid"),
-            )
+            .orderBy(hkey, F.col("_cid"))
             .limit(n_cells)
-            .withColumn("cell", F.monotonically_increasing_id())
+            .withColumn(
+                "cell",
+                (
+                    F.row_number().over(Window.orderBy(hkey, F.col("_cid")))
+                    - F.lit(1)
+                ).cast("long"),
+            )
             .drop("_cid")
             .localCheckpoint(eager=True)
         )
