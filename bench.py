@@ -139,7 +139,12 @@ def main() -> None:
     }
     names = sorted(only & set(q.QUERIES) if only else q.QUERIES)
     errors: dict[str, str] = {}
-    for name in names:
+    # In-sweep JVM accumulation curve (VERDICT r11 watch item): sample
+    # metaspace / JIT code-cache / uptime every 50 queries so a long-session
+    # drift has a committed MEASUREMENT, not a named-but-unmeasured
+    # mechanism. Costs one MXBean read per sample — negligible.
+    jvm_curve: list[dict] = [dict(_jvm_stats(spark), after_n=0)]
+    for i, name in enumerate(names, start=1):
         fn = q.QUERIES[name]
         best = float("inf")
         try:
@@ -155,6 +160,8 @@ def main() -> None:
             errors[name] = str(exc)[:300]
             print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
             _reset_session_cache(spark)
+        if i % 50 == 0 or i == len(names):
+            jvm_curve.append(dict(_jvm_stats(spark), after_n=i))
 
     if not only:
         _bench_bucketed_layouts(spark, sf_dir, timings)
@@ -181,6 +188,10 @@ def main() -> None:
             "loadavg_1m_at_start": load_at_start,
             # Single-thread ruler for cross-round host variance (see main).
             "calib_sec": calib_sec,
+            # Metaspace/code-cache/uptime every 50 queries — the committed
+            # curve that adjudicates "long-session JVM accumulation" if an
+            # in-sweep total drifts (VERDICT r11 watch item).
+            "jvm_curve": jvm_curve,
             **({"errors": errors} if errors else {}),
         }
     )
@@ -205,6 +216,28 @@ def main() -> None:
     except OSError as exc:  # a read-only checkout must not fail the bench
         print(f"bench: could not write {out_path}: {exc}", file=sys.stderr)
     spark.stop()
+
+
+def _jvm_stats(spark) -> dict:
+    """Metaspace / JIT code-cache usage (MB) + JVM uptime, via the
+    management MXBeans — the accumulation metrics a long single-session
+    sweep can drift on (interpreted-fallback after code-cache pressure,
+    metaspace growth from per-plan generated classes)."""
+    out: dict[str, float] = {}
+    try:
+        mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory  # noqa: SLF001
+        pools = mf.getMemoryPoolMXBeans()
+        for i in range(pools.size()):
+            p = pools.get(i)
+            name = p.getName()
+            if "Metaspace" in name or "CodeHeap" in name or "Code Cache" in name:
+                key = name.lower().replace(" ", "_").replace("'", "")
+                out[key + "_mb"] = round(p.getUsage().getUsed() / (1 << 20), 1)
+        out["uptime_sec"] = round(mf.getRuntimeMXBean().getUptime() / 1000.0, 1)
+        out["loadavg_1m"] = round(os.getloadavg()[0], 2)
+    except Exception:  # instrumentation must never fail the bench
+        pass
+    return out
 
 
 def _bench_bucketed_layouts(spark, sf_dir: str, timings: dict) -> None:

@@ -1,0 +1,84 @@
+"""Near-duplicate cluster labeling as a STANDING artifact.
+
+A release pipeline consumes the same dup-cluster labeling several times —
+the cluster-size histogram (q250), the leakage-safe train/holdout split
+(q254), removable-doc accounting, canonical-doc election. Recomputing the
+pair graph + connected components per consumer multiplies the most
+expensive stage of the pipeline; the right shape at 100 TB is label ONCE,
+materialize, and let every downstream artifact be a cheap projection/
+aggregate over the labeling (VERDICT r11 next-round item #6).
+
+:func:`cluster_labels` computes ``(doc, cluster)`` over the df-capped
+n-gram Jaccard dup graph (the q233-certified capped pair semantics) and
+offers two materialization modes:
+
+- in-memory (default): ``localCheckpoint(eager=True)`` — one lineage,
+  every consumer reuses the computed blocks (the q247 composed-plan model);
+- standing table (``table=...``): a BUCKETED managed table keyed on
+  ``cluster`` (the ``write_bucketed_table`` primitive, `sources/io.py`) —
+  per-cluster aggregations over the read-back table need NO exchange
+  (bucketed scan already satisfies the hash distribution), and tomorrow's
+  pipeline run reads the labeling instead of re-running components
+  (asserted in tests/test_round12.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cluster_labels(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.04,
+    max_shingle_freq: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    table: str | None = None,
+    num_buckets: int = 16,
+) -> DataFrame:
+    """``(doc, cluster)`` labeling of the near-duplicate graph.
+
+    Pairs come from :func:`dedup.ngram.ngram_jaccard_pairs` (posting lists
+    capped at ``max_shingle_freq`` — the boilerplate-safe production
+    config); components are min-label propagation over the candidate graph
+    only, with every document (including singletons) labeled. ``cluster``
+    is the min doc id of the component — stable under re-runs.
+
+    With ``table`` set, the labeling is written as a managed table bucketed
+    (and sorted) on ``cluster`` and the read-back frame is returned — the
+    standing-artifact path. Otherwise the labeling is eagerly checkpointed
+    so multiple consumers share one computation.
+    """
+    from ..graph.components import connected_components
+    from .ngram import ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(
+        docs,
+        n=n,
+        threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+        id_col=id_col,
+        text_col=text_col,
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(
+        edges,
+        vertices=docs.select(F.col(id_col).alias("id")),
+        dedup_edges=False,
+    )
+    labels = cc.select(
+        F.col("id").alias("doc"), F.col("component").alias("cluster")
+    )
+    if table is not None:
+        from ..sources.io import write_bucketed_table
+
+        write_bucketed_table(
+            labels, table, ("cluster",), num_buckets=num_buckets,
+            sort_cols=("doc",),
+        )
+        return docs.sparkSession.table(table)
+    return labels.localCheckpoint(eager=True)

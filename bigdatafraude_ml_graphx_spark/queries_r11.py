@@ -136,25 +136,17 @@ _CAPPED_CLOSURE_SQL = f"""{_capped_shingles_cte()},
 
 
 def _capped_jaccard_components(docs: DataFrame) -> DataFrame:
-    """``(id, component)`` over the df-capped Jaccard dup graph — q233's
+    """``(doc, cluster)`` over the df-capped Jaccard dup graph — q233's
     exact capped pairs at the 0.04 threshold, connected-components labeled
-    (min doc id per cluster). Shared by q250 (histogram) and q254
-    (cluster-wise split)."""
-    from .dedup.ngram import ngram_jaccard_pairs
-    from .graph.components import connected_components
+    (min doc id per cluster). Since r12 this delegates to the
+    :func:`dedup.clusters.cluster_labels` operator (the standing-artifact
+    form a release pipeline materializes ONCE — VERDICT r11 #6); q250
+    (histogram), q254 (cluster-wise split), and q255 (the composed release
+    report) all consume the same labeling semantics."""
+    from .dedup.clusters import cluster_labels
 
     cap = _DF_FRAC * docs.count()
-    pairs = ngram_jaccard_pairs(
-        docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap
-    )
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    return connected_components(
-        edges,
-        vertices=docs.select(F.col("doc_id").alias("id")),
-        dedup_edges=False,
-    )
+    return cluster_labels(docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap)
 
 
 @query(
@@ -185,7 +177,7 @@ def q250_dup_cluster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     histogram is two tiny aggregates. The recursive-CTE oracle mirrors
     the same transitive closure (the q64 model)."""
     cc = _capped_jaccard_components(load_table(spark, sf_dir, "documents"))
-    csize = cc.groupBy("component").agg(
+    csize = cc.groupBy("cluster").agg(
         F.count("*").cast("long").alias("cluster_size")
     )
     return csize.groupBy("cluster_size").agg(
@@ -455,14 +447,10 @@ def q254_clusterwise_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     cc = _capped_jaccard_components(docs)
     split = F.when(
         F.pmod(
-            _hash64(F.col("component").cast("string"), _SPLIT_SALT),
+            _hash64(F.col("cluster").cast("string"), _SPLIT_SALT),
             F.lit(_HOLDOUT_MOD),
         )
         == 0,
         F.lit("holdout"),
     ).otherwise(F.lit("train"))
-    return cc.select(
-        F.col("id").alias("doc"),
-        F.col("component").alias("cluster"),
-        split.alias("split"),
-    )
+    return cc.select("doc", "cluster", split.alias("split"))

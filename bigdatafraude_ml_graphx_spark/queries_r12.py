@@ -1,0 +1,260 @@
+"""Round-12 batch: the shared-materialization release pipeline (VERDICT
+r11 next-round item #6) — every artifact a dedup release publishes,
+derived from ONE cluster labeling in ONE lineage.
+
+- q255: the composed release report — cluster-size histogram × split,
+  whose marginals are exactly q250's histogram (sum over split) and
+  q254's split balance (sum over cluster_size), computed from a single
+  ``cluster_labels`` materialization instead of two end-to-end
+  component runs.
+- q256: canonical-corpus statistics — per source, how many documents and
+  tokens survive keep-one-per-cluster canonicalization (the min-id doc
+  IS the cluster label, so election is a single equality predicate).
+- q257: the split-leakage audit — re-derives every certified near-dup
+  pair and counts pairs whose endpoints landed on different sides of the
+  q254 split. Cluster-wise splitting makes this zero BY CONSTRUCTION;
+  the audit proves it from first principles (the number a
+  decontamination report publishes, not assumes).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .catalog import load_table
+from .queries import query
+from .queries_r10 import _DF_FRAC
+from .queries_r11 import (
+    _CAPPED_CLOSURE_SQL,
+    _HOLDOUT_MOD,
+    _JACC_TAU,
+    _SPLIT_SALT,
+    _capped_jaccard_components,
+)
+from .queries_text import _TOKS
+
+# The q254 split predicate, rendered once for reuse in oracles.
+_SPLIT_CASE = (
+    f"CASE WHEN CAST('0x' || substr(md5('{_SPLIT_SALT}:'"
+    f" || CAST(cluster AS VARCHAR)), 1, 15) AS BIGINT)"
+    f" % {_HOLDOUT_MOD} = 0 THEN 'holdout' ELSE 'train' END"
+)
+
+
+def _split_col(cluster_col: str):
+    """The q254 split assignment for a cluster-label column."""
+    from .dedup.minhash import _hash64
+
+    return (
+        F.when(
+            F.pmod(
+                _hash64(F.col(cluster_col).cast("string"), _SPLIT_SALT),
+                F.lit(_HOLDOUT_MOD),
+            )
+            == 0,
+            F.lit("holdout"),
+        )
+        .otherwise(F.lit("train"))
+    )
+
+
+@query(
+    "q255_dedup_release_report",
+    oracle=f"""
+    WITH RECURSIVE {_CAPPED_CLOSURE_SQL},
+    csize AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
+              FROM comp GROUP BY cluster),
+    lab AS (SELECT cluster_size, {_SPLIT_CASE} AS split FROM csize)
+    SELECT cluster_size, split,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(COUNT(*) * cluster_size AS BIGINT) AS docs_total,
+           CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS docs_removable
+    FROM lab GROUP BY cluster_size, split
+    """,
+)
+def q255_dedup_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed dedup release report: cluster-size histogram broken
+    down by train/holdout side. Both of the round-11 artifacts are its
+    marginals — summing over ``split`` reproduces q250's histogram
+    exactly, summing over ``cluster_size`` gives q254's split balance
+    (cluster counts and doc counts per side) — but the labeling is
+    computed ONCE (``dedup.clusters.cluster_labels``, eagerly
+    checkpointed), not once per artifact. A deployment publishes this
+    table and derives both views for free (VERDICT r11 #6).
+
+    Scale shape: the only corpus-scale work is the certified capped pair
+    graph + min-label propagation inside ``cluster_labels``; everything
+    after operates on the (doc, cluster) labeling — one count per
+    cluster, a hash per cluster, one ≤|sizes|×2-group aggregate. The
+    replay budget pins that documents is scanned once for BOTH outputs
+    (tools/replay_budgets.json)."""
+    labels = _capped_jaccard_components(load_table(spark, sf_dir, "documents"))
+    csize = labels.groupBy("cluster").agg(
+        F.count("*").cast("long").alias("cluster_size")
+    )
+    lab = csize.select("cluster_size", _split_col("cluster").alias("split"))
+    return lab.groupBy("cluster_size", "split").agg(
+        F.count("*").cast("long").alias("n_clusters"),
+        (F.count("*") * F.col("cluster_size")).cast("long").alias("docs_total"),
+        (F.count("*") * (F.col("cluster_size") - 1))
+        .cast("long")
+        .alias("docs_removable"),
+    )
+
+
+@query(
+    "q256_canonical_corpus_stats",
+    oracle=f"""
+    WITH RECURSIVE {_CAPPED_CLOSURE_SQL},
+    meta AS (SELECT doc_id, source,
+                    CAST(len({_TOKS}) AS BIGINT) AS n_toks
+             FROM documents),
+    j AS (SELECT m.source, m.n_toks,
+                 (comp.doc = comp.cluster) AS kept
+          FROM comp JOIN meta m ON comp.doc = m.doc_id)
+    SELECT source,
+           CAST(COALESCE(SUM(CASE WHEN kept THEN 1 ELSE 0 END), 0) AS BIGINT)
+             AS docs_kept,
+           CAST(COALESCE(SUM(CASE WHEN kept THEN 0 ELSE 1 END), 0) AS BIGINT)
+             AS docs_dropped,
+           CAST(COALESCE(SUM(CASE WHEN kept THEN n_toks ELSE 0 END), 0)
+                AS BIGINT) AS tokens_kept,
+           CAST(COALESCE(SUM(CASE WHEN kept THEN 0 ELSE n_toks END), 0)
+                AS BIGINT) AS tokens_dropped
+    FROM j GROUP BY source
+    """,
+)
+def q256_canonical_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep-one-per-cluster canonicalization accounting: per source, the
+    documents and tokens that survive electing one canonical doc per
+    near-duplicate cluster. The cluster label IS the min doc id of the
+    component, so the election is the single predicate ``doc = cluster``
+    — no extra window, no second pass over the graph. The honest
+    counterpart to q250's "removable" column: what the deduped corpus
+    actually looks like per source.
+
+    Scale shape: one ``cluster_labels`` run + one slim (doc_id, source,
+    n_toks) metadata projection joined on doc id; the report is a
+    |sources|-group aggregate with map-side combine."""
+    from .functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _capped_jaccard_components(docs)
+    meta = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+    )
+    j = labels.join(meta, labels["doc"] == meta["doc_id"]).select(
+        "source", "n_toks", (F.col("doc") == F.col("cluster")).alias("kept")
+    )
+    zero = F.lit(0).cast("long")
+    return j.groupBy("source").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), 1).otherwise(0)), zero
+        ).cast("long").alias("docs_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), 0).otherwise(1)), zero
+        ).cast("long").alias("docs_dropped"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), F.col("n_toks")).otherwise(0)), zero
+        ).cast("long").alias("tokens_kept"),
+        F.coalesce(
+            F.sum(F.when(F.col("kept"), 0).otherwise(F.col("n_toks"))), zero
+        ).cast("long").alias("tokens_dropped"),
+    )
+
+
+@query(
+    "q257_split_leakage_audit",
+    oracle=f"""
+    WITH RECURSIVE {_CAPPED_CLOSURE_SQL},
+    sp AS (SELECT doc, {_SPLIT_CASE} AS split FROM comp),
+    lp AS (SELECT p.src, p.dst, sa.split AS split_a, sb.split AS split_b
+           FROM pairs p JOIN sp sa ON p.src = sa.doc
+                        JOIN sp sb ON p.dst = sb.doc)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN split_a != split_b THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_cross_split,
+           CAST(COALESCE(SUM(CASE WHEN split_a = 'holdout'
+                                   AND split_b = 'holdout' THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_within_holdout,
+           CAST(COALESCE(SUM(CASE WHEN split_a = 'train'
+                                   AND split_b = 'train' THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_within_train
+    FROM lp
+    """,
+)
+def q257_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontamination audit: re-derive every certified near-dup pair
+    and count how many CROSS the q254 train/holdout boundary. Cluster-wise
+    splitting guarantees zero by construction (a pair is an edge of the
+    component whose label the split hashes) — this query PROVES it from
+    first principles, which is the number a release's decontamination
+    section publishes. Contrast: under q135's doc-hash split, near-dup
+    pairs cross sides at ~2·p·(1−p) of the pair count.
+
+    Scale shape: the pair graph is computed ONCE
+    (``ngram_jaccard_pairs`` eagerly checkpoints its result) and feeds
+    both the component propagation and the endpoint-split join; the split
+    side is the (doc, split) labeling — two hash joins on doc id and a
+    global aggregate, no second corpus scan."""
+    from .dedup.ngram import ngram_jaccard_pairs
+    from .graph.components import connected_components
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = _DF_FRAC * docs.count()
+    pairs = ngram_jaccard_pairs(
+        docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap
+    )
+    edges = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    )
+    cc = connected_components(
+        edges,
+        vertices=docs.select(F.col("doc_id").alias("id")),
+        dedup_edges=False,
+    )
+    sp = cc.select(
+        F.col("id").alias("doc"),
+        _split_col("component").alias("split"),
+    )
+    lp = (
+        pairs.join(
+            sp.select(F.col("doc").alias("doc_a"), F.col("split").alias("split_a")),
+            "doc_a",
+        )
+        .join(
+            sp.select(F.col("doc").alias("doc_b"), F.col("split").alias("split_b")),
+            "doc_b",
+        )
+    )
+    zero = F.lit(0).cast("long")
+    return lp.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(
+            F.sum(F.when(F.col("split_a") != F.col("split_b"), 1).otherwise(0)),
+            zero,
+        ).cast("long").alias("n_cross_split"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("split_a") == "holdout")
+                    & (F.col("split_b") == "holdout"),
+                    1,
+                ).otherwise(0)
+            ),
+            zero,
+        ).cast("long").alias("n_within_holdout"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("split_a") == "train")
+                    & (F.col("split_b") == "train"),
+                    1,
+                ).otherwise(0)
+            ),
+            zero,
+        ).cast("long").alias("n_within_train"),
+    )

@@ -46,6 +46,7 @@ from . import queries_r10  # noqa: F401  (df-capped hot-content-safe dedup confi
 from . import queries_r10b  # noqa: F401  (source quota / duplicate spans / source overlap)
 from . import queries_r10c  # noqa: F401  (chunk dedup / dup-rate / kNN graph / curation pipeline)
 from . import queries_r11  # noqa: F401  (df-capped contamination + r11 additions)
+from . import queries_r12  # noqa: F401  (shared-labeling release pipeline)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a
@@ -204,6 +205,8 @@ _DRIVER_CERTIFIED = frozenset({
     "q49_ivf_topk",            # r12: IVF centroid cell ids now explicit row_number-1, not monotonically_increasing_id (ADVICE #1)
     "q140_ivf_recall_contract",  # r12: shares build_ivf_index's changed cell-id lineage
     "q252_ivf_cell_stats",     # r12: shares build_ivf_index's changed cell-id lineage
+    "q250_dup_cluster_stats",  # r12: labeling delegated to dedup.clusters.cluster_labels (VERDICT r11 #6)
+    "q254_clusterwise_split",  # r12: shares the delegated cluster_labels lineage
 })
 
 

@@ -94,3 +94,74 @@ def test_ivf_cell_ids_contiguous_and_hash_ordered(spark, n_cells):
     # every corpus vector lands in a valid cell
     cells = {r["cell"] for r in assigned.select("cell").distinct().collect()}
     assert cells <= set(range(n_cells))
+
+
+def test_cluster_labels_bucketed_roundtrip_aggregates_without_exchange(
+    spark, sf_dir
+):
+    """The standing-artifact path: cluster_labels(table=...) writes a
+    bucketed managed table keyed on cluster and reads it back; per-cluster
+    aggregation over the read-back frame needs NO Exchange (the bucketed
+    scan already satisfies the hash distribution), and the labeling is
+    identical to the in-memory path."""
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+    from bigdatafraude_ml_graphx_spark.dedup.clusters import cluster_labels
+    from bigdatafraude_ml_graphx_spark.plans import formatted_plan
+    from bigdatafraude_ml_graphx_spark.queries_r10 import _DF_FRAC
+    from bigdatafraude_ml_graphx_spark.queries_r11 import _JACC_TAU
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = _DF_FRAC * docs.count()
+    mem = cluster_labels(docs, threshold=_JACC_TAU, max_shingle_freq=cap)
+    try:
+        tbl = cluster_labels(
+            docs, threshold=_JACC_TAU, max_shingle_freq=cap,
+            table="t_cluster_labels", num_buckets=4,
+        )
+        assert sorted(map(tuple, tbl.collect())) == sorted(
+            map(tuple, mem.collect())
+        )
+        agg = tbl.groupBy("cluster").count()
+        assert "Exchange" not in formatted_plan(agg), formatted_plan(agg)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_cluster_labels")
+
+
+def test_q255_marginals_reproduce_q250_and_q254(spark, sf_dir):
+    """q255 is the joint (cluster_size × split) table; its marginals must
+    equal q250's histogram and q254's split balance exactly — the
+    shared-materialization contract."""
+    from collections import defaultdict
+
+    rows = q.QUERIES["q255_dedup_release_report"](spark, sf_dir).collect()
+    # marginal over split == q250's histogram
+    hist = defaultdict(lambda: [0, 0, 0])
+    for r in rows:
+        h = hist[r["cluster_size"]]
+        h[0] += r["n_clusters"]
+        h[1] += r["docs_total"]
+        h[2] += r["docs_removable"]
+    want = {
+        r["cluster_size"]: [r["n_clusters"], r["docs_total"], r["docs_removable"]]
+        for r in q.QUERIES["q250_dup_cluster_stats"](spark, sf_dir).collect()
+    }
+    assert {k: v for k, v in hist.items()} == want
+    # marginal over cluster_size == q254's per-side doc counts
+    docs_by_side = defaultdict(int)
+    for r in rows:
+        docs_by_side[r["split"]] += r["docs_total"]
+    q254 = q.QUERIES["q254_clusterwise_split"](spark, sf_dir).collect()
+    want_side = defaultdict(int)
+    for r in q254:
+        want_side[r["split"]] += 1
+    assert dict(docs_by_side) == dict(want_side)
+
+
+def test_q257_cluster_split_has_zero_cross_pairs(spark, sf_dir):
+    """Cluster-wise splitting guarantees no near-dup pair crosses the
+    train/holdout boundary; the audit must measure exactly zero, and the
+    within-side counts must account for every pair."""
+    [r] = q.QUERIES["q257_split_leakage_audit"](spark, sf_dir).collect()
+    assert r["n_cross_split"] == 0
+    assert r["n_within_holdout"] + r["n_within_train"] == r["n_pairs"]
+    assert r["n_pairs"] > 0, "fixture must produce near-dup pairs"
