@@ -15,6 +15,15 @@ derived from ONE cluster labeling in ONE lineage.
   q254 split. Cluster-wise splitting makes this zero BY CONSTRUCTION;
   the audit proves it from first principles (the number a
   decontamination report publishes, not assumes).
+- q258: the per-document curation MANIFEST (cluster, split, action,
+  tokens) — the rehydratable artifact downstream consumers filter
+  instead of re-running dedup.
+- q259: the corpus-saturation curve — new distinct shingles per doc-id
+  decile; first-occurrence is duplicate-invariant MIN, so the stream
+  skips the distinct shuffle entirely.
+- q260: IVF cell dispersion (mean/min member-to-centroid cosine) — the
+  cohesion companion to q252's load balance, on the same certified
+  assignment CTE.
 """
 
 from __future__ import annotations
@@ -32,7 +41,9 @@ from .queries_r11 import (
     _SPLIT_SALT,
     _capped_jaccard_components,
 )
-from .queries_text import _TOKS
+from .functions.deterministic import oracle_davg
+from .queries_ann import _ivf_assign_cte
+from .queries_text import _NORM, _SHINGLES_CTE, _TOKS
 
 # The q254 split predicate, rendered once for reuse in oracles.
 _SPLIT_CASE = (
@@ -257,4 +268,165 @@ def q257_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             zero,
         ).cast("long").alias("n_within_train"),
+    )
+
+
+@query(
+    "q258_curation_manifest",
+    oracle=f"""
+    WITH RECURSIVE {_CAPPED_CLOSURE_SQL},
+    fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+    fpc AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS fp_canon
+            FROM fp),
+    nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+    m AS (SELECT comp.doc, comp.cluster, fpc.fp_canon, nt.n_toks
+          FROM comp JOIN fpc ON comp.doc = fpc.doc_id
+                    JOIN nt ON comp.doc = nt.doc_id)
+    SELECT doc, cluster, {_SPLIT_CASE} AS split,
+           CASE WHEN doc != fp_canon THEN 'drop_exact_dup'
+                WHEN doc != cluster THEN 'drop_near_dup'
+                ELSE 'keep' END AS action,
+           n_toks
+    FROM m
+    """,
+)
+def q258_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document curation MANIFEST a release actually ships: for
+    every document, its dup-cluster label, its train/holdout side, the
+    action the pipeline takes (drop as exact duplicate — not the min-id
+    doc of its normalized-text fingerprint group; drop as near-duplicate
+    — not its cluster's canonical doc; or keep), and its token count.
+    This is the rehydratable artifact: downstream consumers filter
+    ``action = 'keep' AND split = 'train'`` instead of re-running dedup,
+    and audits join it back to raw text by doc id.
+
+    Scale shape: ONE cluster labeling (the shared ``cluster_labels``
+    operator), one fingerprint window over a slim (doc_id, md5, n_toks)
+    projection, and a doc-id join — no second corpus scan beyond the
+    certified labeling's; the manifest row count is exactly |documents|,
+    making it the cheapest possible full-corpus artifact to publish."""
+    from .functions.text import fingerprint, tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _capped_jaccard_components(docs)
+    meta = docs.select(
+        "doc_id",
+        fingerprint("text").alias("_f"),
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+    )
+    from pyspark.sql import Window
+
+    fpc = meta.withColumn(
+        "fp_canon", F.min("doc_id").over(Window.partitionBy("_f"))
+    )
+    m = labels.join(fpc, labels["doc"] == fpc["doc_id"])
+    action = (
+        F.when(F.col("doc_id") != F.col("fp_canon"), F.lit("drop_exact_dup"))
+        .when(F.col("doc") != F.col("cluster"), F.lit("drop_near_dup"))
+        .otherwise(F.lit("keep"))
+    )
+    return m.select(
+        "doc",
+        "cluster",
+        _split_col("cluster").alias("split"),
+        action.alias("action"),
+        "n_toks",
+    )
+
+
+@query(
+    "q259_shingle_novelty_curve",
+    oracle=f"""
+    WITH {_SHINGLES_CTE},
+    f AS (SELECT shingle, MIN(doc) AS fd FROM sh GROUP BY shingle),
+    mx AS (SELECT MAX(doc_id) + 1 AS m FROM documents),
+    b AS (SELECT CAST(fd * 10 // mx.m AS BIGINT) AS decile
+          FROM f CROSS JOIN mx),
+    g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS new_shingles
+          FROM b GROUP BY decile)
+    SELECT decile, new_shingles,
+           CAST(SUM(new_shingles) OVER (ORDER BY decile
+                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_new_shingles
+    FROM g
+    """,
+)
+def q259_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation / vocabulary-growth curve: how many NEW distinct
+    trigram shingles each doc-id decile introduces (first-occurrence doc
+    per shingle, bucketed into tenths of the id range) plus the running
+    total. A flattening curve means the corpus is saturating — additional
+    ingestion buys mostly duplicates — the diagnostic that sizes dedup ROI
+    and data-mixture refresh cadence before committing a crawl.
+
+    Scale shape: first-occurrence is MIN(doc) per shingle, which is
+    duplicate-INVARIANT, so the stream skips the distinct-(doc, shingle)
+    shuffle entirely (``_doc_shingles(distinct=False)``) — one map-side
+    combinable aggregate over the exploded stream; the curve is a 10-row
+    rollup with a 10-row window. The oracle's DISTINCT stream gives the
+    same MIN by construction."""
+    from .dedup.ngram import _doc_shingles
+
+    docs = load_table(spark, sf_dir, "documents")
+    m = docs.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded scalar fetch
+    sh = _doc_shingles(docs, "text", "doc_id", 3, distinct=False)
+    first = sh.groupBy("shingle").agg(F.min("doc").alias("fd"))
+    g = (
+        first.select(
+            F.expr(f"CAST(fd * 10 DIV {m} AS BIGINT)").alias("decile")
+        )
+        .groupBy("decile")
+        .agg(F.count("*").cast("long").alias("new_shingles"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return g.withColumn(
+        "cum_new_shingles", F.sum("new_shingles").over(w).cast("long")
+    )
+
+
+@query(
+    "q260_ivf_cell_dispersion",
+    oracle=f"""
+    WITH {_ivf_assign_cte()},
+    s AS (SELECT a.id, a.cell, s0.sim
+          FROM asg a JOIN asg0 s0 ON a.id = s0.id AND a.cell = s0.cell)
+    SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           {oracle_davg('sim')} AS mean_sim_to_centroid,
+           MIN(sim) AS min_sim_to_centroid
+    FROM s GROUP BY cell
+    """,
+)
+def q260_ivf_cell_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell DISPERSION diagnostics — the companion to q252's load
+    balance: per cell, the mean and worst cosine similarity of members to
+    their centroid. A cell with low mean/min cohesion is a catch-all whose
+    probes scan semantically-unrelated vectors (recall loss the q140
+    contract would pay); the remedy is re-training the coarse quantizer
+    with more cells. Mean uses the exact DECIMAL-sum discipline
+    (``functions/deterministic.py``) so both engines agree bit-for-bit;
+    MIN needs no such care (no accumulation).
+
+    Scale shape: member-to-centroid similarity is a broadcast join against
+    the ≤n_cells centroid table plus per-row quantized arithmetic — zero
+    shuffle of the corpus; the report is one 16-group map-side aggregate."""
+    from .functions.deterministic import davg
+    from .similarity.cosine import _pos_products, _qsum_array
+    from .similarity.ivf import _norm, build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, assigned = build_ivf_index(emb, n_cells=16)
+    c = F.broadcast(centroids.select("cell", "cvec"))
+    joined = assigned.join(c, "cell")
+    sim = _qsum_array(_pos_products(F.col("vec"), F.col("cvec"))) / (
+        _norm(F.col("vec")) * _norm(F.col("cvec"))
+    )
+    s = joined.select("cell", sim.alias("sim"))
+    return s.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        davg("sim", "mean_sim_to_centroid"),
+        F.min("sim").alias("min_sim_to_centroid"),
     )

@@ -165,3 +165,73 @@ def test_q257_cluster_split_has_zero_cross_pairs(spark, sf_dir):
     assert r["n_cross_split"] == 0
     assert r["n_within_holdout"] + r["n_within_train"] == r["n_pairs"]
     assert r["n_pairs"] > 0, "fixture must produce near-dup pairs"
+
+
+def test_q258_manifest_covers_every_doc_and_is_consistent(spark, sf_dir):
+    """One manifest row per document; actions partition the corpus;
+    keep-rows are exactly q256's per-source kept docs; split agrees with
+    q254 on every doc."""
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+
+    rows = q.QUERIES["q258_curation_manifest"](spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r["doc"] for r in rows}) == n_docs
+    assert {r["action"] for r in rows} <= {
+        "keep", "drop_exact_dup", "drop_near_dup"
+    }
+    # the cluster canonical is never dropped as a near-dup, and every
+    # cluster retains exactly one kept doc unless its canonical was an
+    # exact dup of an earlier doc (impossible: canonical IS the min id)
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    for cl, members in by_cluster.items():
+        kept = [r for r in members if r["action"] == "keep"]
+        assert len(kept) == 1, (cl, members)
+        assert kept[0]["doc"] == cl
+    # split agrees with q254 per doc
+    want_split = {
+        r["doc"]: r["split"]
+        for r in q.QUERIES["q254_clusterwise_split"](spark, sf_dir).collect()
+    }
+    assert {r["doc"]: r["split"] for r in rows} == want_split
+
+
+def test_q259_novelty_curve_accounts_for_all_shingles(spark, sf_dir):
+    """Deciles are in [0, 9]; the cumulative column is a prefix sum; the
+    final cumulative equals the corpus's distinct-shingle count."""
+    from bigdatafraude_ml_graphx_spark.catalog import load_table
+    from bigdatafraude_ml_graphx_spark.dedup.ngram import _doc_shingles
+
+    rows = sorted(
+        q.QUERIES["q259_shingle_novelty_curve"](spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert all(0 <= r["decile"] <= 9 for r in rows)
+    run = 0
+    for r in rows:
+        run += r["new_shingles"]
+        assert r["cum_new_shingles"] == run
+    docs = load_table(spark, sf_dir, "documents")
+    n_distinct = (
+        _doc_shingles(docs, "text", "doc_id", 3, distinct=False)
+        .select("shingle")
+        .distinct()
+        .count()
+    )
+    assert run == n_distinct
+
+
+def test_q260_dispersion_consistent_with_q252(spark, sf_dir):
+    """Same cells and populations as q252; similarity bounds hold
+    (min ≤ mean ≤ 1 + quantization slack)."""
+    rows = {r["cell"]: r for r in
+            q.QUERIES["q260_ivf_cell_dispersion"](spark, sf_dir).collect()}
+    counts = {r["cell"]: r["n_vectors"] for r in
+              q.QUERIES["q252_ivf_cell_stats"](spark, sf_dir).collect()}
+    assert {c: r["n_vectors"] for c, r in rows.items()} == counts
+    for r in rows.values():
+        assert r["min_sim_to_centroid"] <= r["mean_sim_to_centroid"] + 1e-9
+        assert r["mean_sim_to_centroid"] <= 1.0 + 1e-6
+        assert -1.0 - 1e-6 <= r["min_sim_to_centroid"]
