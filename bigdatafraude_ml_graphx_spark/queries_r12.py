@@ -430,3 +430,126 @@ def q260_ivf_cell_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("sim", "mean_sim_to_centroid"),
         F.min("sim").alias("min_sim_to_centroid"),
     )
+
+
+def _q261_oracle() -> str:
+    """Composed oracle: the capped-SRP pair statement (q235's, verbatim —
+    embedded as a derived CTE, its inner WITH scoped locally so its
+    ``keep`` does not collide with the closure's) joined to the q254
+    split labeling."""
+    from .queries_r10 import _oracle_srp_pairs_capped
+
+    return f"""
+    WITH RECURSIVE {_CAPPED_CLOSURE_SQL},
+    sp AS (SELECT doc, {_SPLIT_CASE} AS split FROM comp),
+    sem AS ({_oracle_srp_pairs_capped()}),
+    lp AS (SELECT sem.cosine_q, sa.split AS split_a, sb.split AS split_b
+           FROM sem JOIN sp sa ON sem.a_id = sa.doc
+                    JOIN sp sb ON sem.b_id = sb.doc)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(COALESCE(SUM(CASE WHEN split_a != split_b THEN 1 ELSE 0 END),
+                         0) AS BIGINT) AS n_cross_split,
+           CAST(COALESCE(SUM(CASE WHEN split_a != split_b THEN 1 ELSE 0 END),
+                         0) AS DOUBLE) / COUNT(*) AS cross_frac,
+           MAX(CASE WHEN split_a != split_b THEN cosine_q END)
+             AS max_cross_cosine
+    FROM lp
+    """
+
+
+@query("q261_semantic_split_leakage", oracle=_q261_oracle())
+def q261_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The leakage the TOKEN-level split cannot see: semantic (embedding)
+    near-duplicate pairs that cross the q254 train/holdout boundary.
+    q257 proves token-level cross-split pairs are zero by construction;
+    this audit measures the residual — pairs q235's certified SRP-banded
+    sweep finds between vectors whose DOCUMENTS landed on opposite sides
+    (vec_id ≡ doc_id in the corpus convention, the q46 model). A release
+    publishes both numbers: token leakage (0) and semantic leakage (the
+    honest remainder, with the worst offender's cosine).
+
+    Scale shape: the banded pair sweep is the certified capped join; the
+    split side is the (doc, split) labeling joined twice on doc id; the
+    report is one global aggregate. No corpus-scale cross product
+    anywhere."""
+    from .queries_corpus import _SRP32_BANDS, _SRP32_SIGNS, _SRP_TAU
+    from .similarity.srp import srp_banded_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cap = _DF_FRAC * e.count()
+    sem = srp_banded_pairs(
+        e, "vec_id", "embedding", _SRP32_SIGNS,
+        n_bands=_SRP32_BANDS, min_cosine=_SRP_TAU, bucket_cap=cap,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    sp = _capped_jaccard_components(docs).select(
+        "doc", _split_col("cluster").alias("split")
+    )
+    lp = (
+        sem.join(
+            sp.select(F.col("doc").alias("a_id"), F.col("split").alias("split_a")),
+            "a_id",
+        )
+        .join(
+            sp.select(F.col("doc").alias("b_id"), F.col("split").alias("split_b")),
+            "b_id",
+        )
+    )
+    cross = F.col("split_a") != F.col("split_b")
+    zero = F.lit(0).cast("long")
+    return lp.agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.coalesce(F.sum(F.when(cross, 1).otherwise(0)), zero)
+        .cast("long")
+        .alias("n_cross_split"),
+        (
+            F.coalesce(F.sum(F.when(cross, 1).otherwise(0)), zero).cast("double")
+            / F.count("*")
+        ).alias("cross_frac"),
+        F.max(F.when(cross, F.col("cosine_q"))).alias("max_cross_cosine"),
+    )
+
+
+@query(
+    "q262_cluster_source_overlap",
+    oracle=f"""
+    WITH RECURSIVE {_CAPPED_CLOSURE_SQL},
+    cs AS (SELECT DISTINCT comp.cluster, dd.source
+           FROM comp JOIN documents dd ON comp.doc = dd.doc_id),
+    sp2 AS (SELECT a.cluster, a.source AS source_a, b.source AS source_b
+            FROM cs a JOIN cs b
+              ON a.cluster = b.cluster AND a.source < b.source)
+    SELECT source_a, source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_clusters
+    FROM sp2 GROUP BY source_a, source_b
+    """,
+)
+def q262_cluster_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Which sources copy from each other at the NEAR-DUP level: for every
+    unordered source pair, the number of dup clusters containing documents
+    from both. The cluster-granularity complement to q241's span-level
+    source-overlap matrix — spans find verbatim substring flow, this finds
+    whole-document near-duplication across feeds (mirror sites, syndication)
+    — the input to a crawl-deprioritization decision.
+
+    Scale shape: one cluster labeling + a distinct (cluster, source)
+    projection (≤ clusters × sources rows); the self-join runs on that
+    slim frame keyed by cluster — never on documents."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _capped_jaccard_components(docs)
+    cs = (
+        labels.join(
+            docs.select("doc_id", "source"),
+            labels["doc"] == F.col("doc_id"),
+        )
+        .select("cluster", "source")
+        .distinct()
+    )
+    a = cs.select("cluster", F.col("source").alias("source_a"))
+    b = cs.select("cluster", F.col("source").alias("source_b"))
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").cast("long").alias("n_shared_clusters"))
+    )

@@ -235,3 +235,35 @@ def test_q260_dispersion_consistent_with_q252(spark, sf_dir):
         assert r["min_sim_to_centroid"] <= r["mean_sim_to_centroid"] + 1e-9
         assert r["mean_sim_to_centroid"] <= 1.0 + 1e-6
         assert -1.0 - 1e-6 <= r["min_sim_to_centroid"]
+
+
+def test_q261_semantic_leakage_counts_are_consistent(spark, sf_dir):
+    """Pair totals match q235's certified sweep; cross fraction in [0,1];
+    the worst cross cosine (when any) is within the certified threshold's
+    range."""
+    [r] = q.QUERIES["q261_semantic_split_leakage"](spark, sf_dir).collect()
+    n235 = q.QUERIES["q235_srp_pairs_bucket_capped"](spark, sf_dir).count()
+    assert r["n_pairs"] == n235
+    assert 0 <= r["n_cross_split"] <= r["n_pairs"]
+    if r["n_pairs"]:
+        assert abs(r["cross_frac"] - r["n_cross_split"] / r["n_pairs"]) < 1e-12
+    if r["n_cross_split"]:
+        assert 0.0 < r["max_cross_cosine"] <= 1.0 + 1e-6
+    else:
+        assert r["max_cross_cosine"] is None
+
+
+def test_q262_source_overlap_symmetric_bounded(spark, sf_dir):
+    """Unordered pairs only (a < b); shared-cluster counts bounded by the
+    total multi-source cluster count."""
+    rows = q.QUERIES["q262_cluster_source_overlap"](spark, sf_dir).collect()
+    assert rows
+    n_clusters = len(
+        {
+            r["cluster"]
+            for r in q.QUERIES["q254_clusterwise_split"](spark, sf_dir).collect()
+        }
+    )
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert 1 <= r["n_shared_clusters"] <= n_clusters
