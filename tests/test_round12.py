@@ -267,3 +267,59 @@ def test_q262_source_overlap_symmetric_bounded(spark, sf_dir):
     for r in rows:
         assert r["source_a"] < r["source_b"]
         assert 1 <= r["n_shared_clusters"] <= n_clusters
+
+
+def test_cluster_labels_recovers_known_partition(spark):
+    """End-to-end labeling check on a corpus with KNOWN duplicate families:
+    three families of near-identical texts with disjoint vocabularies plus
+    two unique singletons. The labeling must be exactly the family
+    partition with the min doc id as each cluster's label."""
+    from bigdatafraude_ml_graphx_spark.dedup.clusters import cluster_labels
+
+    fam_a = "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    fam_b = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    fam_c = "uniform victor whiskey xray yankee zulu one two three four"
+    rows = [
+        # family A: docs 0-2 (doc 1/2 append one token — high jaccard)
+        (0, fam_a), (1, fam_a + " extra1"), (2, fam_a + " extra2"),
+        # family B: docs 3-4
+        (3, fam_b), (4, fam_b + " extra3"),
+        # singletons: disjoint vocab entirely
+        (5, "solo5 only5 tokens5 here5 nothing5 shared5 at5 all5 ever5 once5"),
+        (6, "solo6 only6 tokens6 here6 nothing6 shared6 at6 all6 ever6 once6"),
+        # family C: docs 7-8
+        (7, fam_c), (8, fam_c + " extra4"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    labels = {
+        r["doc"]: r["cluster"]
+        for r in cluster_labels(docs, threshold=0.3).collect()
+    }
+    assert labels == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5, 6: 6, 7: 7, 8: 7}
+
+
+def test_cluster_labels_cap_disconnects_boilerplate(spark):
+    """With a df cap, a boilerplate block shared by EVERY doc must not glue
+    unrelated docs into one cluster; uncapped, it does — the exact
+    hot-content failure mode the capped config exists for."""
+    from bigdatafraude_ml_graphx_spark.dedup.clusters import cluster_labels
+
+    bp = " ".join(f"bp{i}" for i in range(12))  # shared boilerplate
+    rows = [
+        (i, f"unique{i}a unique{i}b unique{i}c unique{i}d unique{i}e "
+            f"unique{i}f unique{i}g unique{i}h " + bp)
+        for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    # uncapped: boilerplate trigrams connect everything
+    uncapped = {
+        r["cluster"]
+        for r in cluster_labels(docs, threshold=0.2).collect()
+    }
+    assert len(uncapped) == 1
+    # capped at < 10 docs/shingle: boilerplate shingles drop, all singletons
+    capped = {
+        r["doc"]: r["cluster"]
+        for r in cluster_labels(docs, threshold=0.2, max_shingle_freq=5).collect()
+    }
+    assert capped == {i: i for i in range(10)}
