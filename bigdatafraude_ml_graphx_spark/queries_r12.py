@@ -553,3 +553,136 @@ def q262_cluster_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").cast("long").alias("n_shared_clusters"))
     )
+
+
+_BATCH_MOD = 17  # doc_id % 17 == 0 stands in for "today's ingest batch"
+
+
+def _q263_oracle() -> str:
+    from .queries_r10 import _capped_shingles_cte
+
+    return f"""
+    WITH {_capped_shingles_cte()},
+    sizes AS (SELECT doc, COUNT(*) AS n_sh FROM shc GROUP BY doc),
+    shared AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS shared
+               FROM shc a JOIN shc b ON a.shingle = b.shingle AND a.doc < b.doc
+               GROUP BY 1, 2),
+    jp AS (SELECT s.doc_a, s.doc_b,
+                  CAST(s.shared AS DOUBLE)
+                    / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE) AS jaccard
+           FROM shared s
+           JOIN sizes sa ON s.doc_a = sa.doc
+           JOIN sizes sb ON s.doc_b = sb.doc
+           WHERE CAST(s.shared AS DOUBLE)
+                   / CAST(sa.n_sh + sb.n_sh - s.shared AS DOUBLE)
+                 >= {_JACC_TAU}),
+    fp AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+    ex AS (SELECT bf.doc_id,
+                  MIN(of.doc_id) AS exact_match
+           FROM fp bf JOIN fp of ON bf.f = of.f
+           WHERE bf.doc_id % {_BATCH_MOD} = 0
+             AND of.doc_id % {_BATCH_MOD} != 0
+           GROUP BY bf.doc_id),
+    np0 AS (SELECT CASE WHEN doc_a % {_BATCH_MOD} = 0 THEN doc_a
+                        ELSE doc_b END AS bdoc,
+                   CASE WHEN doc_a % {_BATCH_MOD} = 0 THEN doc_b
+                        ELSE doc_a END AS base_doc,
+                   jaccard
+            FROM jp
+            WHERE (doc_a % {_BATCH_MOD} = 0) != (doc_b % {_BATCH_MOD} = 0)),
+    np AS (SELECT bdoc, base_doc, jaccard FROM (
+             SELECT bdoc, base_doc, jaccard,
+                    ROW_NUMBER() OVER (PARTITION BY bdoc
+                                       ORDER BY jaccard DESC, base_doc)
+                      AS rn
+             FROM np0) WHERE rn = 1)
+    SELECT b.doc_id AS doc,
+           CASE WHEN ex.exact_match IS NOT NULL THEN 'drop_exact_dup'
+                WHEN np.base_doc IS NOT NULL THEN 'drop_near_dup'
+                ELSE 'keep' END AS action,
+           CASE WHEN ex.exact_match IS NOT NULL THEN ex.exact_match
+                ELSE np.base_doc END AS match_doc,
+           CASE WHEN ex.exact_match IS NOT NULL THEN NULL
+                ELSE np.jaccard END AS best_jaccard
+    FROM documents b
+    LEFT JOIN ex ON b.doc_id = ex.doc_id
+    LEFT JOIN np ON b.doc_id = np.bdoc
+    WHERE b.doc_id % {_BATCH_MOD} = 0
+    """
+
+
+@query("q263_incremental_dedup_decisions", oracle=_q263_oracle())
+def q263_incremental_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup DECISION table at exact+Jaccard granularity
+    (the q231/q236 incremental family's missing configuration): every doc
+    of today's batch (doc_id % 17 == 0 stands in for the new partition)
+    probed against the standing corpus — drop as exact duplicate when a
+    base doc shares its normalized-text fingerprint (match = min base
+    id), else drop as near-duplicate when any capped-Jaccard pair links
+    it to a base doc (match = the best base doc: max jaccard, min id),
+    else keep. Unlike q258's full-rebuild manifest, nothing here depends
+    on batch-batch structure — the decision for each new doc is a pure
+    probe, which is what a daily loop can compute without relabeling the
+    corpus.
+
+    Scale shape: fingerprint probe is a hash join on the slim (doc_id,
+    md5) projection; the near probe reuses the certified df-capped pair
+    join (posting lists bounded at 2%·N — df computed over base+batch,
+    matching what a real incremental run sees after appending the batch);
+    best-match is one WindowGroupLimit over the batch-side pairs. One
+    corpus scan feeds shingles; one slim scan feeds fingerprints."""
+    from pyspark.sql import Window
+
+    from .dedup.ngram import ngram_jaccard_pairs
+    from .functions.text import fingerprint
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = _DF_FRAC * docs.count()
+    is_batch = F.col("doc_id") % _BATCH_MOD == 0
+    fp = docs.select("doc_id", fingerprint("text").alias("_f"))
+    ex = (
+        fp.filter(is_batch)
+        .join(
+            fp.filter(~is_batch).select(
+                F.col("_f"), F.col("doc_id").alias("_base")
+            ),
+            "_f",
+        )
+        .groupBy("doc_id")
+        .agg(F.min("_base").alias("exact_match"))
+    )
+    jp = ngram_jaccard_pairs(docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap)
+    a_batch = F.col("doc_a") % _BATCH_MOD == 0
+    b_batch = F.col("doc_b") % _BATCH_MOD == 0
+    np0 = jp.filter(a_batch != b_batch).select(
+        F.when(a_batch, F.col("doc_a")).otherwise(F.col("doc_b")).alias("bdoc"),
+        F.when(a_batch, F.col("doc_b")).otherwise(F.col("doc_a")).alias("base_doc"),
+        "jaccard",
+    )
+    w = Window.partitionBy("bdoc").orderBy(
+        F.col("jaccard").desc(), F.col("base_doc").asc()
+    )
+    np = (
+        np0.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    batch = docs.filter(is_batch).select("doc_id")
+    out = (
+        batch.join(ex, "doc_id", "left")
+        .join(np, batch["doc_id"] == np["bdoc"], "left")
+    )
+    has_exact = F.col("exact_match").isNotNull()
+    return out.select(
+        F.col("doc_id").alias("doc"),
+        F.when(has_exact, F.lit("drop_exact_dup"))
+        .when(F.col("base_doc").isNotNull(), F.lit("drop_near_dup"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(has_exact, F.col("exact_match"))
+        .otherwise(F.col("base_doc"))
+        .alias("match_doc"),
+        F.when(has_exact, F.lit(None).cast("double"))
+        .otherwise(F.col("jaccard"))
+        .alias("best_jaccard"),
+    )

@@ -323,3 +323,38 @@ def test_cluster_labels_cap_disconnects_boilerplate(spark):
         for r in cluster_labels(docs, threshold=0.2, max_shingle_freq=5).collect()
     }
     assert capped == {i: i for i in range(10)}
+
+
+def test_q263_incremental_decisions_cover_batch_and_agree_with_pairs(
+    spark, sf_dir
+):
+    """One decision per batch doc; exact matches really share fingerprints;
+    near matches really are certified capped pairs; keeps have neither."""
+    from bigdatafraude_ml_graphx_spark.queries_r12 import _BATCH_MOD
+
+    rows = {
+        r["doc"]: r
+        for r in q.QUERIES["q263_incremental_dedup_decisions"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert rows and all(d % _BATCH_MOD == 0 for d in rows)
+    pairs = q.QUERIES["q233_jaccard_df_capped"](spark, sf_dir).collect()
+    cross = {}
+    for p in pairs:
+        a, b = p["doc_a"], p["doc_b"]
+        if (a % _BATCH_MOD == 0) != (b % _BATCH_MOD == 0):
+            bd, base = (a, b) if a % _BATCH_MOD == 0 else (b, a)
+            best = cross.get(bd)
+            if best is None or (-p["jaccard"], base) < (-best[1], best[0]):
+                cross[bd] = (base, p["jaccard"])
+    for d, r in rows.items():
+        if r["action"] == "drop_near_dup":
+            assert cross[d][0] == r["match_doc"]
+            assert abs(cross[d][1] - r["best_jaccard"]) < 1e-12
+        elif r["action"] == "keep":
+            assert d not in cross
+            assert r["match_doc"] is None and r["best_jaccard"] is None
+        else:
+            assert r["action"] == "drop_exact_dup"
+            assert r["match_doc"] is not None and r["best_jaccard"] is None
