@@ -306,9 +306,12 @@ def _bench_bucketed_layouts(spark, sf_dir: str, timings: dict) -> None:
     from bigdatafraude_ml_graphx_spark.queries_r11 import _JACC_TAU
     from bigdatafraude_ml_graphx_spark.queries_r12 import _split_col
 
+    # The corpus count is an input statistic, not labeling work — compute
+    # it before the timer so the row isolates the build cost (ADVICE r12 #5).
+    cap = _DF_FRAC * docs.count()
     start = time.perf_counter()
     cluster_labels(
-        docs, threshold=_JACC_TAU, max_shingle_freq=_DF_FRAC * docs.count(),
+        docs, threshold=_JACC_TAU, max_shingle_freq=cap,
         table="bench_cluster_labels", num_buckets=16,
     )
     timings["x_cluster_labels_standing_build"] = round(

@@ -27,17 +27,24 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# The certified near-dup Jaccard threshold (q233's oracle-pinned value).
+# Single source of truth: the query layer (queries_r11._JACC_TAU) aliases
+# THIS constant, so the operator default and the oracle-mirrored queries
+# cannot drift apart (ADVICE r12 #1).
+JACC_TAU = 0.04
+
 
 def cluster_labels(
     docs: DataFrame,
     n: int = 3,
-    threshold: float = 0.04,
+    threshold: float = JACC_TAU,
     max_shingle_freq: float | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
     table: str | None = None,
     num_buckets: int = 16,
-) -> DataFrame:
+    return_pairs: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """``(doc, cluster)`` labeling of the near-duplicate graph.
 
     Pairs come from :func:`dedup.ngram.ngram_jaccard_pairs` (posting lists
@@ -50,6 +57,12 @@ def cluster_labels(
     (and sorted) on ``cluster`` and the read-back frame is returned — the
     standing-artifact path. Otherwise the labeling is eagerly checkpointed
     so multiple consumers share one computation.
+
+    With ``return_pairs=True`` the return value is ``(labels, pairs)`` —
+    the eagerly-checkpointed ``(doc_a, doc_b, jaccard)`` frame the labeling
+    was built from — so audits that need the EDGES as well as the labels
+    (q257's split-leakage count) consume the single certified construction
+    instead of re-inlining the dup-graph build (ADVICE r12 #2).
     """
     from ..graph.components import connected_components
     from .ngram import ngram_jaccard_pairs
@@ -80,5 +93,7 @@ def cluster_labels(
             labels, table, ("cluster",), num_buckets=num_buckets,
             sort_cols=("doc",),
         )
-        return docs.sparkSession.table(table)
-    return labels.localCheckpoint(eager=True)
+        out = docs.sparkSession.table(table)
+        return (out, pairs) if return_pairs else out
+    out = labels.localCheckpoint(eager=True)
+    return (out, pairs) if return_pairs else out

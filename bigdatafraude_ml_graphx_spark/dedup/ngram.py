@@ -197,6 +197,106 @@ def ngram_jaccard_pairs(
     return pairs
 
 
+def ngram_jaccard_probe_pairs(
+    probe: DataFrame,
+    index: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | float | None = None,
+) -> DataFrame:
+    """Incremental-ingest n-gram Jaccard: pairs ``(doc_probe, doc_index,
+    jaccard)`` between a PROBE batch and a standing INDEX corpus — the
+    daily-crawl shape where a new batch is deduplicated against the corpus
+    WITHOUT re-pairing the corpus with itself (the ``lsh_probe_pairs`` /
+    ``srp_probe_pairs`` discipline, now at exact-Jaccard granularity).
+
+    Scale shape: the shingle join is probe-shingles × matching posting
+    lists — work ∝ batch size × collision rate, never index × index. The
+    self-join formulation (``ngram_jaccard_pairs`` over base+batch, then
+    filtering to cross pairs) computes ~(|index|/|corpus|)² of its join
+    work on index×index pairs that the filter discards, because the
+    cross-pair predicate references both sides and cannot push below the
+    join; at a 1/17th daily batch that is ~88% wasted work, growing with
+    the CORPUS instead of the batch (VERDICT r12 What's-wrong #1).
+
+    Cap semantics are IDENTICAL to the capped self-join over
+    probe ∪ index: the hot-shingle list is computed over the combined
+    (doc, shingle) universe — document frequency counts both sides, so a
+    shingle's hotness (and both Jaccard denominators) match the certified
+    ``ngram_jaccard_pairs(probe ∪ index, max_shingle_freq)`` answer
+    exactly; cross-subset equivalence is pinned in
+    ``tests/test_round13.py``. At 100 TB the index-side artifacts — the
+    shingle posting lists, per-doc set sizes over the capped universe, and
+    the df statistic the hot list derives from — are standing tables
+    maintained incrementally at ingest (the q159 IVM shape); recomputing
+    them here from the index corpus stands in for that read, and is LINEAR
+    in the corpus (one aggregate scan), not quadratic like the self-join.
+
+    Probe and index ids may overlap (a re-ingested batch): a doc meeting
+    ITSELF across the two sides is filtered out rather than reported as a
+    trivially-perfect match.
+
+    Same eager + non-recoverable cache-hygiene contract as
+    ``ngram_jaccard_pairs`` (result ``localCheckpoint``-ed, inputs
+    unpersisted before returning).
+    """
+    sh_p = _doc_shingles(probe, text_col, id_col, n).persist()
+    sh_i = _doc_shingles(index, text_col, id_col, n).persist()
+    if max_shingle_freq is not None:
+        # Hot list over the COMBINED universe (df counts probe and index
+        # docs alike) — exactly the self-join's drop_hot_buckets semantics
+        # over probe ∪ index. The list is tiny by construction
+        # (≤ |rows|/cap keys); eager checkpoint so the union aggregate runs
+        # once, then both anti joins broadcast it.
+        hot = (
+            sh_i.unionByName(sh_p)
+            .groupBy("shingle")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_shingle_freq)
+            .select("shingle")
+            .localCheckpoint(eager=True)
+        )
+        cap_p = sh_p.join(hot, ["shingle"], "left_anti")
+        cap_i = sh_i.join(hot, ["shingle"], "left_anti")
+    else:
+        cap_p, cap_i = sh_p, sh_i
+    sizes_p = cap_p.groupBy("doc").agg(F.count("*").alias("n_p"))
+    sizes_i = cap_i.groupBy("doc").agg(F.count("*").alias("n_i"))
+    shared = (
+        cap_p.alias("p")
+        .join(
+            cap_i.alias("i"),
+            (F.col("p.shingle") == F.col("i.shingle"))
+            & (F.col("p.doc") != F.col("i.doc")),
+        )
+        .groupBy(
+            F.col("p.doc").alias("doc_probe"), F.col("i.doc").alias("doc_index")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    pairs = (
+        shared.join(
+            sizes_p.select(F.col("doc").alias("doc_probe"), "n_p"), "doc_probe"
+        )
+        .join(
+            sizes_i.select(F.col("doc").alias("doc_index"), "n_i"), "doc_index"
+        )
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("n_p") + F.col("n_i") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_probe", "doc_index", "jaccard")
+        .localCheckpoint(eager=True)
+    )
+    sh_p.unpersist()
+    sh_i.unpersist()
+    return pairs
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -109,7 +109,10 @@ def q249_contamination_df_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_JACC_TAU = 0.04  # q233's certified threshold
+# q233's certified threshold — aliased from the operator layer so the
+# cluster_labels default and the oracle SQL share ONE source of truth
+# (ADVICE r12 #1).
+from .dedup.clusters import JACC_TAU as _JACC_TAU  # noqa: E402
 
 # Shared closure over the df-capped Jaccard graph: capped pairs (q233's
 # exact semantics) + recursive-CTE transitive closure (the q64 model) down

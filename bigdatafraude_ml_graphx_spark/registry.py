@@ -193,20 +193,32 @@ _DRIVER_CERTIFIED = frozenset({
     "q249_contamination_df_capped", "q250_dup_cluster_stats",
     "q251_span_savings_by_source", "q252_ivf_cell_stats",
     "q253_token_budget_fill", "q254_clusterwise_split",
+    # ... round-12 driver rows (CORRECTNESS_r12.json — 50/50 green: the 7
+    # lineage-changed names of the r12 subtract-set all re-certified
+    # (q49/q140/q249/q250/q252/q253/q254 folded back in above), plus these 9
+    # new names):
+    "q255_dedup_release_report", "q256_canonical_corpus_stats",
+    "q257_split_leakage_audit", "q258_curation_manifest",
+    "q259_shingle_novelty_curve", "q260_ivf_cell_dispersion",
+    "q261_semantic_split_leakage", "q262_cluster_source_overlap",
+    "q263_incremental_dedup_decisions",
 }) - frozenset({
     # ... MINUS queries whose lineage changed since their last driver row —
-    # these must re-enter the 50-entry prefix so round 12 certifies the code
+    # these must re-enter the 50-entry prefix so round 13 certifies the code
     # that actually ships (the round-close rotation discipline,
     # .claude/skills/verify/SKILL.md):
-    # (r11 subtract-set fully re-certified in CORRECTNESS_r11.json and folded
-    # back in above; r12 changes accumulate here as they land.)
-    "q249_contamination_df_capped",  # r12: forced broadcast of the corpus-proportional eval slice → broadcast_if_small (VERDICT r11 #1 / ADVICE #3)
-    "q253_token_budget_fill",  # r12: budget threshold now exact integer DIV, not double division (VERDICT r11 #2 / ADVICE #2)
-    "q49_ivf_topk",            # r12: IVF centroid cell ids now explicit row_number-1, not monotonically_increasing_id (ADVICE #1)
-    "q140_ivf_recall_contract",  # r12: shares build_ivf_index's changed cell-id lineage
-    "q252_ivf_cell_stats",     # r12: shares build_ivf_index's changed cell-id lineage
-    "q250_dup_cluster_stats",  # r12: labeling delegated to dedup.clusters.cluster_labels (VERDICT r11 #6)
-    "q254_clusterwise_split",  # r12: shares the delegated cluster_labels lineage
+    # (r12 subtract-set fully re-certified in CORRECTNESS_r12.json and folded
+    # back in above; r13 changes accumulate here as they land.)
+    "q263_incremental_dedup_decisions",  # r13: probe-vs-index join replaces the full-corpus ngram self-join (VERDICT r12 What's-wrong #1)
+    "q257_split_leakage_audit",  # r13: consumes cluster_labels' exposed pair frame instead of re-inlining the dup-graph build (ADVICE #2)
+    "q259_shingle_novelty_curve",  # r13: empty-corpus guard on max(doc_id)+1 (ADVICE #4)
+    "q261_semantic_split_leakage",  # r13: cross_frac guarded for the empty-pair-set edge in BOTH engines (ADVICE #3)
+    "q250_dup_cluster_stats",  # r13: cluster_labels default threshold now the shared _JACC_TAU (ADVICE #1)
+    "q254_clusterwise_split",  # r13: shares the cluster_labels default-threshold lineage
+    "q255_dedup_release_report",  # r13: shares the cluster_labels lineage
+    "q256_canonical_corpus_stats",  # r13: shares the cluster_labels lineage
+    "q258_curation_manifest",  # r13: shares the cluster_labels lineage
+    "q262_cluster_source_overlap",  # r13: shares the cluster_labels lineage
 })
 
 

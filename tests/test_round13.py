@@ -1,0 +1,267 @@
+"""Round-13 regression tests — the VERDICT r12 / ADVICE closures.
+
+1. q263's de-weak: ``ngram_jaccard_probe_pairs`` (batch shingles vs base
+   posting lists, df/cap over the combined universe) is EXACTLY equivalent
+   to the certified self-join over batch ∪ base filtered to cross pairs —
+   the q231/q237 cross-subset contract at exact-Jaccard granularity
+   (VERDICT r12 What's-wrong #1 / next-round #2).
+2. The multi-batch loop is lossless at q263's decision granularity:
+   sequential daily probes over 3 batch partitions produce the same
+   keep/drop decision table as the one-shot run (VERDICT r12 #3).
+3. ``cluster_labels(return_pairs=True)`` exposes the SAME pair frame the
+   labeling is built from (ADVICE r12 #2), labels unchanged.
+4. The operator default threshold IS the certified constant — one source
+   of truth (ADVICE r12 #1).
+5. Empty-corpus edges: q259 returns an empty curve instead of raising,
+   and q261's cross_frac is NULL (not NaN / divide-by-zero) on an empty
+   pair set, matching the oracle's CASE guard (ADVICE r12 #3/#4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from bigdatafraude_ml_graphx_spark import registry as q
+from bigdatafraude_ml_graphx_spark.catalog import load_table
+from bigdatafraude_ml_graphx_spark.dedup.ngram import (
+    ngram_jaccard_pairs,
+    ngram_jaccard_probe_pairs,
+)
+from bigdatafraude_ml_graphx_spark.queries_r10 import _DF_FRAC
+from bigdatafraude_ml_graphx_spark.queries_r11 import _JACC_TAU
+
+_MOD = 17  # q263's batch predicate
+
+
+def test_probe_pairs_equal_self_join_cross_pairs(spark, sf_dir):
+    """Cross-subset equivalence: probe-vs-index finds EXACTLY the cross
+    pairs of the capped self-join over the union — same pair set, same
+    jaccard values bit-for-bit (identical capped universe: df counts both
+    sides, so denominators match)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cap = _DF_FRAC * docs.count()
+    is_batch = F.col("doc_id") % _MOD == 0
+
+    probe = ngram_jaccard_probe_pairs(
+        docs.filter(is_batch),
+        docs.filter(~is_batch),
+        n=3,
+        threshold=_JACC_TAU,
+        max_shingle_freq=cap,
+    )
+    got = {
+        (r["doc_probe"], r["doc_index"]): r["jaccard"]
+        for r in probe.collect()
+    }
+
+    full = ngram_jaccard_pairs(
+        docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap
+    )
+    want = {}
+    for r in full.collect():
+        a_in = r["doc_a"] % _MOD == 0
+        b_in = r["doc_b"] % _MOD == 0
+        if a_in != b_in:
+            key = (
+                (r["doc_a"], r["doc_b"]) if a_in else (r["doc_b"], r["doc_a"])
+            )
+            want[key] = r["jaccard"]
+    assert want, "fixture must contain cross near-dup pairs"
+    assert got == want
+
+
+def test_probe_pairs_uncapped_equivalence(spark, sf_dir):
+    """Same contract without the df cap (no hot list in play) on a
+    different batch predicate — pins the core join shape, not just the
+    capped configuration."""
+    docs = load_table(spark, sf_dir, "documents")
+    is_batch = F.col("doc_id") % 3 == 0
+    probe = ngram_jaccard_probe_pairs(
+        docs.filter(is_batch), docs.filter(~is_batch),
+        n=3, threshold=_JACC_TAU,
+    )
+    got = {
+        (r["doc_probe"], r["doc_index"]): r["jaccard"]
+        for r in probe.collect()
+    }
+    full = ngram_jaccard_pairs(docs, n=3, threshold=_JACC_TAU)
+    want = {}
+    for r in full.collect():
+        a_in = r["doc_a"] % 3 == 0
+        b_in = r["doc_b"] % 3 == 0
+        if a_in != b_in:
+            key = (
+                (r["doc_a"], r["doc_b"]) if a_in else (r["doc_b"], r["doc_a"])
+            )
+            want[key] = r["jaccard"]
+    assert want and got == want
+
+
+def _decisions(spark, batch_docs, base_docs, cap):
+    """q263's decision logic over an explicit (batch, base) split — the
+    exact+capped-Jaccard probe a daily loop runs per ingested partition."""
+    from pyspark.sql import Window
+
+    from bigdatafraude_ml_graphx_spark.functions.text import fingerprint
+
+    bfp = batch_docs.select("doc_id", fingerprint("text").alias("_f"))
+    ofp = base_docs.select(
+        F.col("doc_id").alias("_base"), fingerprint("text").alias("_f")
+    )
+    ex = bfp.join(ofp, "_f").groupBy("doc_id").agg(
+        F.min("_base").alias("exact_match")
+    )
+    np0 = ngram_jaccard_probe_pairs(
+        batch_docs, base_docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap
+    )
+    w = Window.partitionBy("doc_probe").orderBy(
+        F.col("jaccard").desc(), F.col("doc_index").asc()
+    )
+    np = (
+        np0.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            F.col("doc_probe").alias("bdoc"),
+            F.col("doc_index").alias("base_doc"),
+            "jaccard",
+        )
+    )
+    out = (
+        batch_docs.select("doc_id")
+        .join(ex, "doc_id", "left")
+        .join(np, F.col("doc_id") == np["bdoc"], "left")
+    )
+    has_exact = F.col("exact_match").isNotNull()
+    return out.select(
+        F.col("doc_id").alias("doc"),
+        F.when(has_exact, F.lit("drop_exact_dup"))
+        .when(F.col("base_doc").isNotNull(), F.lit("drop_near_dup"))
+        .otherwise(F.lit("keep"))
+        .alias("action"),
+        F.when(has_exact, F.col("exact_match"))
+        .otherwise(F.col("base_doc"))
+        .alias("match_doc"),
+        F.when(has_exact, F.lit(None).cast("double"))
+        .otherwise(F.col("jaccard"))
+        .alias("best_jaccard"),
+    )
+
+
+def test_q263_multi_batch_loop_lossless(spark, sf_dir):
+    """Sequential daily probes over 3 partitions of the batch produce the
+    SAME decision table as the one-shot q263 run. Each day probes the same
+    standing base with the day's own df statistic (hot list over
+    base ∪ day-batch, cap at the same 2% fraction of that universe) —
+    exactly what a daily loop computes after appending its batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % _MOD != 0)
+    n_base = base.count()
+
+    got = {}
+    for k in range(3):
+        sub = docs.filter(
+            (F.col("doc_id") % _MOD == 0)
+            & (F.col("doc_id") % (3 * _MOD) == k * _MOD)
+        )
+        cap_k = _DF_FRAC * (n_base + sub.count())
+        for r in _decisions(spark, sub, base, cap_k).collect():
+            got[r["doc"]] = (r["action"], r["match_doc"], r["best_jaccard"])
+
+    want = {
+        r["doc"]: (r["action"], r["match_doc"], r["best_jaccard"])
+        for r in q.QUERIES["q263_incremental_dedup_decisions"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert want and set(want.values()) != {("keep", None, None)}
+    assert got == want
+
+
+def test_cluster_labels_return_pairs(spark, sf_dir):
+    """return_pairs exposes the construction's own pair frame: labels are
+    identical to the labels-only call, and the pairs equal
+    ngram_jaccard_pairs under the same config (ADVICE r12 #2)."""
+    from bigdatafraude_ml_graphx_spark.dedup.clusters import cluster_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    cap = _DF_FRAC * docs.count()
+    labels, pairs = cluster_labels(
+        docs, n=3, max_shingle_freq=cap, return_pairs=True
+    )
+    labels_only = cluster_labels(docs, n=3, max_shingle_freq=cap)
+    assert sorted(map(tuple, labels.collect())) == sorted(
+        map(tuple, labels_only.collect())
+    )
+    want = ngram_jaccard_pairs(
+        docs, n=3, threshold=_JACC_TAU, max_shingle_freq=cap
+    )
+    assert sorted(map(tuple, pairs.collect())) == sorted(
+        map(tuple, want.collect())
+    )
+    # the endpoints of every pair share a cluster label — the edges really
+    # are the labeling's own graph
+    lab = {r["doc"]: r["cluster"] for r in labels.collect()}
+    for r in pairs.collect():
+        assert lab[r["doc_a"]] == lab[r["doc_b"]]
+
+
+def test_threshold_single_source_of_truth():
+    """The operator default and the query-layer certified constant are the
+    same object (ADVICE r12 #1)."""
+    import inspect
+
+    from bigdatafraude_ml_graphx_spark.dedup.clusters import (
+        JACC_TAU,
+        cluster_labels,
+    )
+
+    assert _JACC_TAU is JACC_TAU
+    sig = inspect.signature(cluster_labels)
+    assert sig.parameters["threshold"].default == JACC_TAU
+
+
+def _empty_sf_dir(spark, sf_dir, tmp_path):
+    """A schema-correct, zero-row copy of the testdata tables q259/q261
+    touch."""
+    d = str(tmp_path / "sf_empty")
+    os.makedirs(d)
+    for name in ("documents", "embeddings"):
+        load_table(spark, sf_dir, name).limit(0).write.parquet(
+            os.path.join(d, f"{name}.parquet")
+        )
+    return d
+
+
+def test_q259_empty_corpus(spark, sf_dir, tmp_path):
+    """MAX(doc_id) over zero rows is NULL — the guard yields an empty
+    curve instead of TypeError (ADVICE r12 #4)."""
+    d = _empty_sf_dir(spark, sf_dir, tmp_path)
+    out = q.QUERIES["q259_shingle_novelty_curve"](spark, d)
+    assert out.count() == 0
+
+
+def test_q261_empty_corpus_cross_frac_null(spark, sf_dir, tmp_path):
+    """On an empty pair set cross_frac is NULL in BOTH engines — never NaN
+    (ADVICE r12 #3)."""
+    import duckdb
+
+    d = _empty_sf_dir(spark, sf_dir, tmp_path)
+    row = q.QUERIES["q261_semantic_split_leakage"](spark, d).collect()[0]
+    assert row["n_pairs"] == 0
+    assert row["cross_frac"] is None
+    assert row["max_cross_cosine"] is None
+
+    con = duckdb.connect()
+    for name in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{d}/{name}.parquet/*.parquet')"
+        )
+    orow = con.execute(q.ORACLE["q261_semantic_split_leakage"]).fetchone()
+    cols = [c[0] for c in con.description]
+    od = dict(zip(cols, orow))
+    assert od["n_pairs"] == 0
+    assert od["cross_frac"] is None
+    assert od["max_cross_cosine"] is None
