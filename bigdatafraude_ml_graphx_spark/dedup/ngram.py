@@ -205,6 +205,7 @@ def ngram_jaccard_probe_pairs(
     n: int = 3,
     threshold: float = 0.5,
     max_shingle_freq: int | float | None = None,
+    within_probe: bool = False,
 ) -> DataFrame:
     """Incremental-ingest n-gram Jaccard: pairs ``(doc_probe, doc_index,
     jaccard)`` between a PROBE batch and a standing INDEX corpus — the
@@ -237,6 +238,13 @@ def ngram_jaccard_probe_pairs(
     Probe and index ids may overlap (a re-ingested batch): a doc meeting
     ITSELF across the two sides is filtered out rather than reported as a
     trivially-perfect match.
+
+    ``within_probe=True`` additionally emits probe-probe pairs
+    (``doc_probe < doc_index``, both ids from the probe side) under the
+    SAME combined-universe cap — the complete "new edges of today's
+    ingest" set (batch↔base ∪ batch↔batch) that incremental cluster-label
+    maintenance unions into the standing dup graph (q265). The extra
+    self-join runs on the BATCH-sized shingle frame only.
 
     Same eager + non-recoverable cache-hygiene contract as
     ``ngram_jaccard_pairs`` (result ``localCheckpoint``-ed, inputs
@@ -276,7 +284,7 @@ def ngram_jaccard_probe_pairs(
         )
         .agg(F.count("*").alias("shared"))
     )
-    pairs = (
+    cross = (
         shared.join(
             sizes_p.select(F.col("doc").alias("doc_probe"), "n_p"), "doc_probe"
         )
@@ -290,8 +298,45 @@ def ngram_jaccard_probe_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_probe", "doc_index", "jaccard")
-        .localCheckpoint(eager=True)
     )
+    if within_probe:
+        wshared = (
+            cap_p.alias("x")
+            .join(
+                cap_p.alias("y"),
+                (F.col("x.shingle") == F.col("y.shingle"))
+                & (F.col("x.doc") < F.col("y.doc")),
+            )
+            .groupBy(
+                F.col("x.doc").alias("doc_probe"),
+                F.col("y.doc").alias("doc_index"),
+            )
+            .agg(F.count("*").alias("shared"))
+        )
+        within = (
+            wshared.join(
+                sizes_p.select(F.col("doc").alias("doc_probe"), "n_p"),
+                "doc_probe",
+            )
+            .join(
+                sizes_p.select(
+                    F.col("doc").alias("doc_index"),
+                    F.col("n_p").alias("n_i"),
+                ),
+                "doc_index",
+            )
+            .withColumn(
+                "jaccard",
+                F.col("shared").cast("double")
+                / (F.col("n_p") + F.col("n_i") - F.col("shared")).cast(
+                    "double"
+                ),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("doc_probe", "doc_index", "jaccard")
+        )
+        cross = cross.unionByName(within)
+    pairs = cross.localCheckpoint(eager=True)
     sh_p.unpersist()
     sh_i.unpersist()
     return pairs

@@ -70,9 +70,9 @@ def _split_col(cluster_col: str):
     )
 
 
-@query(
-    "q255_dedup_release_report",
-    oracle=f"""
+# q255's oracle — shared verbatim by q264, which derives the SAME report
+# through the standing bucketed-table path (same answer by contract).
+_Q255_ORACLE = f"""
     WITH RECURSIVE {_CAPPED_CLOSURE_SQL},
     csize AS (SELECT cluster, CAST(COUNT(*) AS BIGINT) AS cluster_size
               FROM comp GROUP BY cluster),
@@ -82,8 +82,10 @@ def _split_col(cluster_col: str):
            CAST(COUNT(*) * cluster_size AS BIGINT) AS docs_total,
            CAST(COUNT(*) * (cluster_size - 1) AS BIGINT) AS docs_removable
     FROM lab GROUP BY cluster_size, split
-    """,
-)
+    """
+
+
+@query("q255_dedup_release_report", oracle=_Q255_ORACLE)
 def q255_dedup_release_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed dedup release report: cluster-size histogram broken
     down by train/holdout side. Both of the round-11 artifacts are its
@@ -619,32 +621,9 @@ def _q263_oracle() -> str:
     """
 
 
-@query("q263_incremental_dedup_decisions", oracle=_q263_oracle())
-def q263_incremental_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The daily-ingest dedup DECISION table at exact+Jaccard granularity
-    (the q231/q236 incremental family's missing configuration): every doc
-    of today's batch (doc_id % 17 == 0 stands in for the new partition)
-    probed against the standing corpus — drop as exact duplicate when a
-    base doc shares its normalized-text fingerprint (match = min base
-    id), else drop as near-duplicate when any capped-Jaccard pair links
-    it to a base doc (match = the best base doc: max jaccard, min id),
-    else keep. Unlike q258's full-rebuild manifest, nothing here depends
-    on batch-batch structure — the decision for each new doc is a pure
-    probe, which is what a daily loop can compute without relabeling the
-    corpus.
-
-    Scale shape: fingerprint probe is a hash join on the slim (doc_id,
-    md5) projection; the near probe is the TRUE probe-vs-index join
-    (``ngram_jaccard_probe_pairs`` — batch shingles against base posting
-    lists, df/cap computed over base+batch so the capped universe matches
-    the certified self-join over the whole corpus exactly; cross-subset
-    equivalence pinned in tests/test_round13.py): join work scales with
-    the BATCH, never base×base — the r12 self-join formulation paid
-    ~(16/17)² of its posting-list join on base-base pairs the cross
-    filter then discarded (VERDICT r12 What's-wrong #1). Best-match is
-    one WindowGroupLimit over the batch-side pairs. One corpus scan feeds
-    the df statistic + base posting lists; one slim scan feeds
-    fingerprints."""
+def _ingest_decision_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q263's decision frame, factored so q266's per-source ingest summary
+    composes the SAME certified probe instead of re-deriving it."""
     from pyspark.sql import Window
 
     from .dedup.ngram import ngram_jaccard_probe_pairs
@@ -703,3 +682,32 @@ def q263_incremental_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFr
         .otherwise(F.col("jaccard"))
         .alias("best_jaccard"),
     )
+
+
+@query("q263_incremental_dedup_decisions", oracle=_q263_oracle())
+def q263_incremental_dedup_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The daily-ingest dedup DECISION table at exact+Jaccard granularity
+    (the q231/q236 incremental family's missing configuration): every doc
+    of today's batch (doc_id % 17 == 0 stands in for the new partition)
+    probed against the standing corpus — drop as exact duplicate when a
+    base doc shares its normalized-text fingerprint (match = min base
+    id), else drop as near-duplicate when any capped-Jaccard pair links
+    it to a base doc (match = the best base doc: max jaccard, min id),
+    else keep. Unlike q258's full-rebuild manifest, nothing here depends
+    on batch-batch structure — the decision for each new doc is a pure
+    probe, which is what a daily loop can compute without relabeling the
+    corpus.
+
+    Scale shape: fingerprint probe is a hash join on the slim (doc_id,
+    md5) projection; the near probe is the TRUE probe-vs-index join
+    (``ngram_jaccard_probe_pairs`` — batch shingles against base posting
+    lists, df/cap computed over base+batch so the capped universe matches
+    the certified self-join over the whole corpus exactly; cross-subset
+    equivalence pinned in tests/test_round13.py): join work scales with
+    the BATCH, never base×base — the r12 self-join formulation paid
+    ~(16/17)² of its posting-list join on base-base pairs the cross
+    filter then discarded (VERDICT r12 What's-wrong #1). Best-match is
+    one WindowGroupLimit over the batch-side pairs. One corpus scan feeds
+    the df statistic + base posting lists; one slim scan feeds
+    fingerprints."""
+    return _ingest_decision_table(spark, sf_dir)

@@ -47,6 +47,7 @@ from . import queries_r10b  # noqa: F401  (source quota / duplicate spans / sour
 from . import queries_r10c  # noqa: F401  (chunk dedup / dup-rate / kNN graph / curation pipeline)
 from . import queries_r11  # noqa: F401  (df-capped contamination + r11 additions)
 from . import queries_r12  # noqa: F401  (shared-labeling release pipeline)
+from . import queries_r13  # noqa: F401  (standing-table + incremental-maintenance consumers)
 
 # ---------------------------------------------------------------------------
 # Driver-certification ordering. The per-round correctness gate samples a

@@ -222,6 +222,91 @@ def test_threshold_single_source_of_truth():
     assert sig.parameters["threshold"].default == JACC_TAU
 
 
+def test_q264_reads_back_standing_table_and_matches_q255(spark, sf_dir):
+    """The standing-table path must not change the answer (same oracle as
+    q255), and the per-cluster aggregation over the READ-BACK bucketed
+    table must plan with zero Exchange — the amortized derive the
+    x_cluster_labels_standing_* bench rows measure."""
+    from bigdatafraude_ml_graphx_spark.plans import formatted_plan
+    from bigdatafraude_ml_graphx_spark.queries_r13 import (
+        _labels_report,
+        q264_standing_labels_report,
+    )
+
+    name = None
+    try:
+        got = sorted(
+            map(
+                tuple,
+                q.QUERIES["q264_standing_labels_report"](
+                    spark, sf_dir
+                ).collect(),
+            )
+        )
+        name = q264_standing_labels_report.last_table
+        want = sorted(
+            map(
+                tuple,
+                q.QUERIES["q255_dedup_release_report"](spark, sf_dir).collect(),
+            )
+        )
+        assert got == want
+        # derive-only plan off the read-back: the corpus-scale stage (the
+        # per-cluster count) must not exchange; the only exchanges allowed
+        # are on the ≤|clusters| histogram regroup.
+        tbl = spark.table(name)
+        csize = tbl.groupBy("cluster").count()
+        assert "Exchange" not in formatted_plan(csize), formatted_plan(csize)
+        full = formatted_plan(_labels_report(tbl))
+        first_agg = full.index("HashAggregate")
+        assert "Exchange" not in full[:first_agg], full
+    finally:
+        if name:
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_q265_equals_full_relabel_on_fixture(spark, sf_dir):
+    """Incremental maintenance == full relabel over base+batch whenever no
+    cap flip alters connectivity — pinned on the fixture (the docstring's
+    documented equivalence condition)."""
+    from bigdatafraude_ml_graphx_spark.dedup.clusters import cluster_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    got = sorted(
+        map(
+            tuple,
+            q.QUERIES["q265_incremental_cluster_maintenance"](
+                spark, sf_dir
+            ).collect(),
+        )
+    )
+    full = cluster_labels(
+        docs, n=3, max_shingle_freq=_DF_FRAC * docs.count()
+    )
+    assert got == sorted(map(tuple, full.collect()))
+    # and the merge is real on this fixture: some batch doc joins a base
+    # cluster (otherwise the test pins nothing about edge merging)
+    lab = dict(got)
+    merged = [
+        d for d, c in lab.items() if d % _MOD == 0 and c % _MOD != 0
+    ]
+    assert merged, "fixture must merge at least one batch doc into a base cluster"
+
+
+def test_q266_consistent_with_q263(spark, sf_dir):
+    """The per-source report's totals must reproduce q263's decision
+    counts exactly — same lineage, aggregated."""
+    from collections import Counter
+
+    dec = q.QUERIES["q263_incremental_dedup_decisions"](spark, sf_dir).collect()
+    rep = q.QUERIES["q266_ingest_report_by_source"](spark, sf_dir).collect()
+    by_action = Counter()
+    for r in rep:
+        by_action[r["action"]] += r["n_docs"]
+    assert by_action == Counter(r["action"] for r in dec)
+    assert sum(r["n_docs"] for r in rep) == len(dec)
+
+
 def _empty_sf_dir(spark, sf_dir, tmp_path):
     """A schema-correct, zero-row copy of the testdata tables q259/q261
     touch."""

@@ -16,6 +16,20 @@ band's collisions when the bucket is dropped; if the pair collides on no
 other band it disappears. The per-query `lost`/`gained` counts make that
 visible — 0/0 is the clean result.
 
+q246 (kNN graph) additionally GAINS pairs under the hot fixture, and that
+is semantically expected for a TOP-K operator, not a recall defect
+(adjudicated VERDICT r12 "not wrong, watch" (a)): a node's k slots are a
+budget. On the natural corpus some slots go to neighbors that the hot
+fixture's cap then displaces (their buckets go over the cap and their
+candidate pairs vanish); the freed slots REFILL with the next-best
+candidates — real neighbors that passed the banded join and the cosine
+threshold but previously ranked below k. The gained edges are therefore
+promotions of valid kNN candidates, not fabrications. This tool VERIFIES
+that, beyond counting: every gained q246 edge must (1) be between
+untouched docs (guaranteed by the restriction filter) and (2) carry
+cosine_q >= the q246 threshold — i.e. be a valid kNN edge on its own
+terms. A gained edge failing (2) would be a real bug and fails the run.
+
 Usage: python tools/hotcontent_recall.py [base_dir hot_dir] > out.json
        (defaults /tmp/sf1.0 /tmp/sf1.0-hotcontent)
 """
@@ -89,13 +103,29 @@ def main() -> int:
         base = untouched_pairs(spark, name, BASE, a_col, b_col, cols)
         hot = untouched_pairs(spark, name, HOT, a_col, b_col, cols)
         lost, gained = base - hot, hot - base
-        out["queries"][name] = {
+        row = {
             "base_nonhot_pairs": len(base),
             "hot_nonhot_pairs": len(hot),
             "lost": len(lost),
             "gained": len(gained),
             "identical": not lost and not gained,
         }
+        if name == "q246_knn_graph" and gained:
+            # Top-k refill adjudication (see module docstring): every
+            # gained edge must be a VALID kNN edge — cosine at or above
+            # the q246 threshold. (Both endpoints are untouched docs by
+            # the restriction filter.) cosine_q is the 3rd compare col.
+            from bigdatafraude_ml_graphx_spark.queries_corpus import _SRP_TAU
+
+            bad = [t for t in gained if float(t[2]) < _SRP_TAU]
+            row["gained_valid_knn_edges"] = len(gained) - len(bad)
+            row["gained_below_threshold"] = len(bad)
+            assert not bad, (
+                f"q246 gained {len(bad)} edges below cosine threshold "
+                f"{_SRP_TAU} — refills must be valid kNN edges: "
+                f"{sorted(bad)[:5]}"
+            )
+        out["queries"][name] = row
         clean = clean and not lost and not gained
         print(f"{name}: base={len(base)} hot={len(hot)} "
               f"lost={len(lost)} gained={len(gained)}", file=sys.stderr)
