@@ -31,7 +31,7 @@ from .queries_r12 import (
     _q263_oracle,
     _split_col,
 )
-from .queries_text import _SHINGLES_CTE, _TOKS
+from .queries_text import _NORM, _SHINGLES_CTE, _TOKS
 
 
 @query("q264_standing_labels_report", oracle=_Q255_ORACLE)
@@ -90,20 +90,13 @@ def _labels_report(labels: DataFrame) -> DataFrame:
     )
 
 
-def _q265_oracle() -> str:
-    """Declarative statement of the maintenance semantics: yesterday's
-    certified dup graph (base-base pairs, df capped over the BASE corpus —
-    the universe the standing labeling was built from) unioned with
-    today's new edges (any pair touching a batch doc, df capped over the
-    base+batch corpus — what today's run sees after appending the batch),
-    transitively closed over all documents. NOTE this is exactly the
-    incremental answer, not a full relabel: base-base pairs whose hotness
-    flipped when the batch arrived keep yesterday's adjudication (a daily
-    loop does not re-pair the corpus to chase cap drift); on corpora where
-    no cap flip alters connectivity — including this fixture, pinned in
-    tests/test_round13.py — the result equals the full relabel."""
-    return f"""
-    WITH RECURSIVE {_SHINGLES_CTE},
+# The maintenance-semantics CTE chain, shared by q265 (the labeling), q267
+# (the manifest delta), and q268 (the split churn): yesterday's certified
+# dup graph (pb — base-base pairs, df capped over the BASE corpus) unioned
+# with today's new edges (pt — any pair touching a batch doc, df capped
+# over the base+batch corpus), closed into `comp`; `compb` is yesterday's
+# standalone closure (the standing labeling the deltas diff against).
+_Q265_CTES = f"""{_SHINGLES_CTE},
     shb AS (SELECT doc, shingle FROM sh WHERE doc % {_BATCH_MOD} != 0),
     keepb AS (SELECT shingle FROM shb GROUP BY shingle
               HAVING COUNT(*) <= {_DF_FRAC} * (SELECT COUNT(*) FROM documents
@@ -139,8 +132,29 @@ def _q265_oracle() -> str:
     reach(a, bnode) AS (
         SELECT doc_id, doc_id FROM documents
         UNION
-        SELECT r.a, s.v FROM reach r JOIN sym s ON r.bnode = s.u)
-    SELECT a AS doc, MIN(bnode) AS cluster FROM reach GROUP BY a
+        SELECT r.a, s.v FROM reach r JOIN sym s ON r.bnode = s.u),
+    comp AS (SELECT a AS doc, MIN(bnode) AS cluster FROM reach GROUP BY a)"""
+
+# Yesterday's standalone closure (base docs, base edges only).
+_Q265_BASE_CTES = f"""symb AS (SELECT da AS u, db AS v FROM pb
+          UNION SELECT db, da FROM pb),
+    reachb(a, bnode) AS (
+        SELECT doc_id, doc_id FROM documents WHERE doc_id % {_BATCH_MOD} != 0
+        UNION
+        SELECT r.a, s.v FROM reachb r JOIN symb s ON r.bnode = s.u),
+    compb AS (SELECT a AS doc, MIN(bnode) AS cluster FROM reachb GROUP BY a)"""
+
+
+def _q265_oracle() -> str:
+    """The maintenance labeling. NOTE this is exactly the incremental
+    answer, not a full relabel: base-base pairs whose hotness flipped when
+    the batch arrived keep yesterday's adjudication (a daily loop does not
+    re-pair the corpus to chase cap drift); on corpora where no cap flip
+    alters connectivity — including this fixture, pinned in
+    tests/test_round13.py — the result equals the full relabel."""
+    return f"""
+    WITH RECURSIVE {_Q265_CTES}
+    SELECT doc, cluster FROM comp
     """
 
 
@@ -171,6 +185,13 @@ def q265_incremental_cluster_maintenance(
     untouched majority moves through ONE anti join on the slim labeling.
     The standing labeling is rebuilt in-query per the driver contract;
     production reads it from q264's bucketed table."""
+    return _maintained_labels(spark, sf_dir)
+
+
+def _maintained_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q265's affected-component maintenance, factored so the delta
+    artifacts (q267 manifest delta, q268 split churn) diff the SAME
+    maintained labeling against the same standing one."""
     from .dedup.clusters import cluster_labels
     from .dedup.ngram import ngram_jaccard_probe_pairs
     from .graph.components import connected_components
@@ -219,6 +240,171 @@ def q265_incremental_cluster_maintenance(
     )
 
 
+def _standing_base_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Yesterday's standing labeling: the certified cluster labeling over
+    the BASE corpus alone (df capped over base — the universe it saw when
+    built). Shared by q265 (internally), q267, and q268."""
+    from .dedup.clusters import cluster_labels
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % _BATCH_MOD != 0)
+    return cluster_labels(
+        base, n=3, threshold=_JACC_TAU,
+        max_shingle_freq=_DF_FRAC * base.count(),
+    )
+
+
+def _manifest(docs: DataFrame, labels: DataFrame) -> DataFrame:
+    """q258's per-document curation manifest over an EXPLICIT (docs,
+    labels) pair — fingerprint canonicals and token counts computed over
+    exactly the given corpus slice, actions and split derived from the
+    given labeling."""
+    from pyspark.sql import Window
+
+    from .functions.text import fingerprint, tokens
+
+    meta = docs.select(
+        "doc_id",
+        fingerprint("text").alias("_f"),
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+    )
+    fpc = meta.withColumn(
+        "fp_canon", F.min("doc_id").over(Window.partitionBy("_f"))
+    )
+    m = labels.join(fpc, labels["doc"] == fpc["doc_id"])
+    action = (
+        F.when(F.col("doc_id") != F.col("fp_canon"), F.lit("drop_exact_dup"))
+        .when(F.col("doc") != F.col("cluster"), F.lit("drop_near_dup"))
+        .otherwise(F.lit("keep"))
+    )
+    return m.select(
+        "doc",
+        "cluster",
+        _split_col("cluster").alias("split"),
+        action.alias("action"),
+        "n_toks",
+    )
+
+
+def _q267_oracle() -> str:
+    return f"""
+    WITH RECURSIVE {_Q265_CTES},
+    {_Q265_BASE_CTES},
+    fpa AS (SELECT doc_id, md5({_NORM}) AS f FROM documents),
+    fpca AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS fp_canon
+             FROM fpa),
+    nt AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_toks FROM d),
+    newm AS (SELECT comp.doc, comp.cluster, {_SPLIT_CASE} AS split,
+                    CASE WHEN comp.doc != fpca.fp_canon THEN 'drop_exact_dup'
+                         WHEN comp.doc != comp.cluster THEN 'drop_near_dup'
+                         ELSE 'keep' END AS action,
+                    nt.n_toks
+             FROM comp JOIN fpca ON comp.doc = fpca.doc_id
+                       JOIN nt ON comp.doc = nt.doc_id),
+    fpo AS (SELECT doc_id, f FROM fpa WHERE doc_id % {_BATCH_MOD} != 0),
+    fpco AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY f) AS fp_canon
+             FROM fpo),
+    oldm AS (SELECT compb.doc, compb.cluster, {_SPLIT_CASE} AS split,
+                    CASE WHEN compb.doc != fpco.fp_canon THEN 'drop_exact_dup'
+                         WHEN compb.doc != compb.cluster THEN 'drop_near_dup'
+                         ELSE 'keep' END AS action
+             FROM compb JOIN fpco ON compb.doc = fpco.doc_id)
+    SELECT n.doc,
+           CASE WHEN o.doc IS NULL THEN 'added' ELSE 'updated' END AS change,
+           n.cluster, n.split, n.action, n.n_toks
+    FROM newm n LEFT JOIN oldm o ON n.doc = o.doc
+    WHERE o.doc IS NULL OR n.cluster != o.cluster
+       OR n.split != o.split OR n.action != o.action
+    """
+
+
+@query("q267_manifest_delta", oracle=_q267_oracle())
+def q267_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CHANGE SET today's ingest applies to the standing curation
+    manifest (q258): one row per batch doc (``added``) and per base doc
+    whose (cluster, split, action) the merge altered (``updated``). A
+    batch doc with a small id can displace a base cluster's canonical or
+    drag a merged cluster to the other split side — base docs then flip
+    keep→drop_near_dup or train↔holdout, and THIS table is what a
+    downstream consumer applies instead of re-reading a full manifest.
+
+    Scale shape: both manifests are projections over slim (doc_id, md5,
+    n_toks) frames joined to labelings; the NEW labeling is q265's
+    affected-component maintenance (batch-proportional propagation), the
+    OLD one is the standing artifact (rebuilt in-query per the driver
+    contract; production reads q264's table). The delta itself is one
+    doc-keyed left join on the manifest frames — and since untouched
+    components keep identical labels by construction, the emitted change
+    set is ingest-proportional, never corpus-proportional."""
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % _BATCH_MOD != 0)
+    new_m = _manifest(docs, _maintained_labels(spark, sf_dir))
+    old_m = _manifest(base, _standing_base_labels(spark, sf_dir))
+    old_t = old_m.select(
+        F.col("doc").alias("_odoc"),
+        F.col("cluster").alias("_ocluster"),
+        F.col("split").alias("_osplit"),
+        F.col("action").alias("_oaction"),
+    )
+    j = new_m.join(old_t, new_m["doc"] == old_t["_odoc"], "left")
+    changed = (
+        F.col("_odoc").isNull()
+        | (F.col("cluster") != F.col("_ocluster"))
+        | (F.col("split") != F.col("_osplit"))
+        | (F.col("action") != F.col("_oaction"))
+    )
+    return j.filter(changed).select(
+        "doc",
+        F.when(F.col("_odoc").isNull(), F.lit("added"))
+        .otherwise(F.lit("updated"))
+        .alias("change"),
+        "cluster",
+        "split",
+        "action",
+        "n_toks",
+    )
+
+
+@query(
+    "q268_split_churn",
+    oracle=f"""
+    WITH RECURSIVE {_Q265_CTES},
+    {_Q265_BASE_CTES},
+    o AS (SELECT doc, {_SPLIT_CASE} AS split FROM compb),
+    n AS (SELECT doc, {_SPLIT_CASE} AS split FROM comp)
+    SELECT o.split AS from_split, n.split AS to_split,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM o JOIN n USING (doc) GROUP BY 1, 2
+    """,
+)
+def q268_split_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split STABILITY under ingest: for every base doc, its train/holdout
+    side before and after today's merge, rolled up into the (from, to)
+    transition matrix. Cluster-wise splitting hashes the cluster LABEL,
+    and a merge can lower a cluster's min-id label — so ingest can move
+    previously-assigned docs across the boundary. A release pipeline
+    monitors the off-diagonal mass: train→holdout churn silently shrinks
+    usable training data, holdout→train churn CONTAMINATES the holdout
+    (those docs may already have been trained on) — the operational
+    number that decides whether to pin split assignments in a standing
+    table (q264's shape) rather than recompute them.
+
+    Scale shape: two slim (doc, split) projections of labelings already
+    computed by the maintenance lineage, one doc-keyed join, a ≤4-group
+    aggregate."""
+    new_sp = _maintained_labels(spark, sf_dir).select(
+        "doc", _split_col("cluster").alias("to_split")
+    )
+    old_sp = _standing_base_labels(spark, sf_dir).select(
+        "doc", _split_col("cluster").alias("from_split")
+    )
+    return (
+        old_sp.join(new_sp, "doc")
+        .groupBy("from_split", "to_split")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+    )
+
+
 def _q266_oracle() -> str:
     """q263's decision statement (embedded with its WITH scoped locally)
     joined to the slim per-doc metadata and rolled up per source."""
@@ -264,3 +450,49 @@ def q266_ingest_report_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("tokens"),
     )
+
+
+@query(
+    "q269_scd2_incremental_merge",
+    oracle="""
+    SELECT user_id AS key, event_id AS row_id, event_type AS attr_value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE user_id % 97 = 0
+    """,
+)
+def q269_scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SCD2 dimension maintenance: the standing dimension is
+    built from the historical change stream (event_id % 5 != 0 stands in
+    for yesterday's ingested history), then today's batch (event_id % 5
+    == 0 — which includes LATE-ARRIVING changes landing mid-timeline) is
+    merged via :func:`operators.cdc.scd2_apply_batch` — affected keys
+    rebuilt from dimension rows + batch, untouched keys carried over by
+    anti join. The oracle is the FULL-HISTORY rebuild: the merge is
+    row-identical to replaying everything, which is the associativity a
+    daily warehouse loop relies on (the q265 affected-partition discipline
+    applied to the warehouse family: q74 compacts the head, q105 builds
+    the timeline, this MAINTAINS it).
+
+    Scale shape: the standing dim rebuild here is the driver-contract
+    stand-in for reading a stored table; the merge itself costs one slim
+    anti join over the dimension plus a window over only the touched
+    keys' rows — batch-proportional, never history-proportional."""
+    from .operators.cdc import scd2_apply_batch, scd2_intervals
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id") % 97 == 0
+    )
+    hist = e.filter(F.col("event_id") % 5 != 0)
+    batch = e.filter(F.col("event_id") % 5 == 0)
+    dim = scd2_intervals(
+        hist, "user_id", "event_type", "ts", "event_id"
+    ).localCheckpoint(eager=True)  # the standing artifact, materialized
+    merged = scd2_apply_batch(
+        dim, batch, "user_id", "event_type", "ts", "event_id"
+    )
+    return merged

@@ -307,6 +307,122 @@ def test_q266_consistent_with_q263(spark, sf_dir):
     assert sum(r["n_docs"] for r in rep) == len(dec)
 
 
+def test_q267_delta_rehydrates_new_manifest(spark, sf_dir):
+    """The delta's CONTRACT: applying it to the standing manifest must
+    reproduce the post-ingest manifest exactly — (old rows not superseded)
+    ∪ (delta rows) == new manifest."""
+    from bigdatafraude_ml_graphx_spark.queries_r13 import (
+        _maintained_labels,
+        _manifest,
+        _standing_base_labels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.filter(F.col("doc_id") % _MOD != 0)
+    new_m = {
+        r["doc"]: (r["cluster"], r["split"], r["action"], r["n_toks"])
+        for r in _manifest(docs, _maintained_labels(spark, sf_dir)).collect()
+    }
+    old_m = {
+        r["doc"]: (r["cluster"], r["split"], r["action"], r["n_toks"])
+        for r in _manifest(
+            base, _standing_base_labels(spark, sf_dir)
+        ).collect()
+    }
+    delta = q.QUERIES["q267_manifest_delta"](spark, sf_dir).collect()
+    assert delta, "fixture must produce a non-empty change set"
+    assert any(r["change"] == "added" for r in delta)
+    rehydrated = dict(old_m)
+    for r in delta:
+        if r["change"] == "updated":
+            assert r["doc"] in old_m
+        else:
+            assert r["doc"] not in old_m
+        rehydrated[r["doc"]] = (
+            r["cluster"], r["split"], r["action"], r["n_toks"],
+        )
+    assert rehydrated == new_m
+
+
+def test_q268_covers_every_base_doc(spark, sf_dir):
+    """The churn matrix partitions the base corpus: its doc counts sum to
+    |base|, and each transition matches a direct labeling comparison."""
+    from collections import Counter
+
+    from bigdatafraude_ml_graphx_spark.queries_r12 import _split_col
+    from bigdatafraude_ml_graphx_spark.queries_r13 import (
+        _maintained_labels,
+        _standing_base_labels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_base = docs.filter(F.col("doc_id") % _MOD != 0).count()
+    rows = q.QUERIES["q268_split_churn"](spark, sf_dir).collect()
+    assert sum(r["n_docs"] for r in rows) == n_base
+    old = {
+        r["doc"]: r["s"]
+        for r in _standing_base_labels(spark, sf_dir)
+        .select("doc", _split_col("cluster").alias("s"))
+        .collect()
+    }
+    new = {
+        r["doc"]: r["s"]
+        for r in _maintained_labels(spark, sf_dir)
+        .select("doc", _split_col("cluster").alias("s"))
+        .collect()
+    }
+    want = Counter((old[d], new[d]) for d in old)
+    got = Counter(
+        {(r["from_split"], r["to_split"]): r["n_docs"] for r in rows}
+    )
+    assert got == want
+
+
+def test_scd2_apply_batch_equals_full_rebuild_any_split(spark):
+    """scd2_apply_batch is row-identical to the full-history rebuild for
+    ARBITRARY batches — including late-arriving changes that land in the
+    middle of a key's timeline and brand-new keys."""
+    from bigdatafraude_ml_graphx_spark.operators.cdc import (
+        scd2_apply_batch,
+        scd2_intervals,
+    )
+
+    rows = []
+    # key 1: interleaved history; key 2: single row; key 3: batch-only key;
+    # ties on ts broken by id.
+    for key, rid, ts, attr in [
+        (1, 10, 100, "a"), (1, 11, 200, "b"), (1, 12, 150, "c"),
+        (1, 13, 150, "d"), (2, 20, 50, "x"), (3, 30, 75, "y"),
+        (1, 14, 300, "e"), (2, 21, 60, "z"),
+    ]:
+        rows.append((key, rid, attr, ts))
+    ev = spark.createDataFrame(
+        rows, "k long, eid long, attr string, ts long"
+    )
+    full = sorted(
+        map(
+            tuple,
+            scd2_intervals(ev, "k", "attr", "ts", "eid").collect(),
+        )
+    )
+    for pred in (
+        F.col("eid") % 2 == 0,          # scattered, late-arriving
+        F.col("eid").isin(12, 13, 30),  # mid-timeline ties + whole new key
+        F.lit(False),                   # empty batch
+        F.lit(True),                    # everything is the batch
+    ):
+        dim = scd2_intervals(ev.filter(~pred), "k", "attr", "ts", "eid")
+        got = sorted(
+            map(
+                tuple,
+                scd2_apply_batch(
+                    dim, ev.filter(pred), "k", "attr", "ts", "eid"
+                ).collect(),
+            )
+        )
+        assert got == full, pred
+
+
 def _empty_sf_dir(spark, sf_dir, tmp_path):
     """A schema-correct, zero-row copy of the testdata tables q259/q261
     touch."""
