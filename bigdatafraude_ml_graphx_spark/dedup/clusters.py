@@ -97,3 +97,80 @@ def cluster_labels(
         return (out, pairs) if return_pairs else out
     out = labels.localCheckpoint(eager=True)
     return (out, pairs) if return_pairs else out
+
+
+def update_cluster_labels(
+    labels: DataFrame,
+    base: DataFrame,
+    batch: DataFrame,
+    n: int = 3,
+    threshold: float = JACC_TAU,
+    max_shingle_freq: float | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental maintenance of a standing ``(doc, cluster)`` labeling:
+    merge a newly-ingested ``batch`` into the labeling built over ``base``
+    WITHOUT relabeling the corpus (the daily-loop counterpart of
+    :func:`cluster_labels` — q265).
+
+    New edges are today's probe set — batch↔base ∪ batch↔batch under the
+    base+batch capped universe (``ngram_jaccard_probe_pairs`` with
+    ``within_probe=True``; pass ``max_shingle_freq`` relative to
+    |base|+|batch|). Component propagation runs ONLY over the affected
+    subgraph: the clusters containing a base endpoint of a new edge
+    (their labels re-expressed as star edges doc→cluster) plus the batch
+    docs; every untouched label is carried over through one anti join.
+    Correctness: star edges preserve the old components' connectivity
+    exactly, so closing (stars ∪ new edges) over (touched ∪ batch)
+    vertices yields the same min-label components a closure over (old
+    pair graph ∪ new edges) would — applying the merge day after day
+    composes losslessly (pinned across a 3-day split in
+    tests/test_round13.py).
+
+    Scale shape: work ∝ |batch| × collision rate (the probe join) +
+    |touched clusters| (the subgraph CC) + one slim anti join over the
+    labeling; the corpus-sized document table is scanned only to shingle
+    the base posting lists — at 100 TB those are a standing artifact
+    maintained at ingest (see ``ngram_jaccard_probe_pairs``), and the
+    bench's ``x_ngram_probe_standing_b*`` rows measure exactly that
+    amortized shape.
+    """
+    from ..graph.components import connected_components
+    from .ngram import ngram_jaccard_probe_pairs
+
+    new_pairs = ngram_jaccard_probe_pairs(
+        batch, base, n=n, threshold=threshold,
+        max_shingle_freq=max_shingle_freq,
+        id_col=id_col, text_col=text_col,
+        within_probe=True,
+    )
+    # Affected = clusters containing a base endpoint of any new edge. Tiny
+    # by construction (≤ |new pairs|); eager so the aggregate runs once
+    # for the semi and anti joins.
+    affected = (
+        new_pairs.select(F.col("doc_probe").alias("doc"))
+        .unionByName(new_pairs.select(F.col("doc_index").alias("doc")))
+        .distinct()
+        .join(labels, "doc")
+        .select("cluster")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    touched = labels.join(affected, ["cluster"], "left_semi")
+    untouched = labels.join(affected, ["cluster"], "left_anti")
+    star = touched.filter(F.col("doc") != F.col("cluster")).select(
+        F.col("doc").alias("src"), F.col("cluster").alias("dst")
+    )
+    edges = star.unionByName(
+        new_pairs.select(
+            F.col("doc_probe").alias("src"), F.col("doc_index").alias("dst")
+        )
+    )
+    verts = touched.select(F.col("doc").alias("id")).unionByName(
+        batch.select(F.col(id_col).alias("id"))
+    )
+    cc = connected_components(edges, vertices=verts, dedup_edges=False)
+    return untouched.select("doc", "cluster").unionByName(
+        cc.select(F.col("id").alias("doc"), F.col("component").alias("cluster"))
+    )

@@ -191,52 +191,20 @@ def q265_incremental_cluster_maintenance(
 def _maintained_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q265's affected-component maintenance, factored so the delta
     artifacts (q267 manifest delta, q268 split churn) diff the SAME
-    maintained labeling against the same standing one."""
-    from .dedup.clusters import cluster_labels
-    from .dedup.ngram import ngram_jaccard_probe_pairs
-    from .graph.components import connected_components
+    maintained labeling against the same standing one. The merge itself is
+    the :func:`dedup.clusters.update_cluster_labels` operator; this
+    wrapper only binds the driver-contract corpus split (doc_id %
+    ``_BATCH_MOD``) and rebuilds the standing labeling in-query."""
+    from .dedup.clusters import update_cluster_labels
 
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % _BATCH_MOD == 0
     base = docs.filter(~is_batch)
     batch = docs.filter(is_batch)
-    standing = cluster_labels(
-        base, n=3, threshold=_JACC_TAU,
-        max_shingle_freq=_DF_FRAC * base.count(),
-    )
-    new_pairs = ngram_jaccard_probe_pairs(
-        batch, base, n=3, threshold=_JACC_TAU,
+    standing = _standing_base_labels(spark, sf_dir)
+    return update_cluster_labels(
+        standing, base, batch, n=3, threshold=_JACC_TAU,
         max_shingle_freq=_DF_FRAC * docs.count(),
-        within_probe=True,
-    )
-    # Affected = clusters containing a base endpoint of any new edge. Tiny
-    # by construction (≤ |new pairs|); eager so the aggregate runs once
-    # for the semi and anti joins.
-    affected = (
-        new_pairs.select(F.col("doc_probe").alias("doc"))
-        .unionByName(new_pairs.select(F.col("doc_index").alias("doc")))
-        .distinct()
-        .join(standing, "doc")
-        .select("cluster")
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
-    touched = standing.join(affected, "cluster", "left_semi")
-    untouched = standing.join(affected, "cluster", "left_anti")
-    star = touched.filter(F.col("doc") != F.col("cluster")).select(
-        F.col("doc").alias("src"), F.col("cluster").alias("dst")
-    )
-    edges = star.unionByName(
-        new_pairs.select(
-            F.col("doc_probe").alias("src"), F.col("doc_index").alias("dst")
-        )
-    )
-    verts = touched.select(F.col("doc").alias("id")).unionByName(
-        batch.select(F.col("doc_id").alias("id"))
-    )
-    cc = connected_components(edges, vertices=verts, dedup_edges=False)
-    return untouched.select("doc", "cluster").unionByName(
-        cc.select(F.col("id").alias("doc"), F.col("component").alias("cluster"))
     )
 
 

@@ -307,6 +307,37 @@ def test_q266_consistent_with_q263(spark, sf_dir):
     assert sum(r["n_docs"] for r in rep) == len(dec)
 
 
+def test_update_cluster_labels_daily_loop_composes(spark, sf_dir):
+    """Applying the label-maintenance merge day after day (3 sequential
+    batch partitions, each merged into the previous day's labeling over
+    the grown corpus) lands on the same labeling as the one-shot merge of
+    the whole batch — the composition a production daily loop relies on."""
+    from bigdatafraude_ml_graphx_spark.dedup.clusters import (
+        update_cluster_labels,
+    )
+    from bigdatafraude_ml_graphx_spark.queries_r13 import (
+        _maintained_labels,
+        _standing_base_labels,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % _MOD != 0)
+    labels = _standing_base_labels(spark, sf_dir)
+    for k in range(3):
+        day = docs.filter(
+            (F.col("doc_id") % _MOD == 0)
+            & (F.col("doc_id") % (3 * _MOD) == k * _MOD)
+        )
+        cap = _DF_FRAC * (corpus.count() + day.count())
+        labels = update_cluster_labels(
+            labels, corpus, day, max_shingle_freq=cap
+        ).localCheckpoint(eager=True)
+        corpus = corpus.unionByName(day)
+    got = sorted(map(tuple, labels.collect()))
+    want = sorted(map(tuple, _maintained_labels(spark, sf_dir).collect()))
+    assert got == want
+
+
 def test_q267_delta_rehydrates_new_manifest(spark, sf_dir):
     """The delta's CONTRACT: applying it to the standing manifest must
     reproduce the post-ingest manifest exactly — (old rows not superseded)
