@@ -29,11 +29,18 @@ def _qdot_sql(va: str, vb: str, dim: int = 64) -> str:
     return f"(CAST(CAST(list_sum({prods}) AS BIGINT) AS DOUBLE) / 1e12)"
 
 
-def _ivf_assign_cte(n_cells: int = 16, dim: int = 64, seed: int = 42) -> str:
+def _ivf_assign_cte(
+    n_cells: int = 16, dim: int = 64, seed: int = 42, where: str = ""
+) -> str:
     """CTE body (``ord``/``cent``/``asg0``/``asg``) mirroring the IVF index
     build: seeded-sample centroids keyed on md5(seed||vec_id) and
     nearest-cell assignment as argmin over (−sim, cell) — shared by the
-    q49 oracle and the q252 cell-diagnostics oracle."""
+    q49 oracle and the q252 cell-diagnostics oracle. ``where`` restricts
+    the SOURCE corpus (centroid sample AND assignment) — the q271
+    incremental-ingest oracle trains on the base slice only; the default
+    renders byte-identical SQL to the pre-parameterized form, so the
+    certified q49/q252/q260 oracle strings are unchanged."""
+    src = f"(SELECT * FROM embeddings WHERE {where})" if where else "embeddings"
     sim_vc = (
         f"{_qdot_sql('e.embedding', 'c.cvec', dim)}"
         f" / (sqrt({_qdot_sql('e.embedding', 'e.embedding', dim)})"
@@ -43,12 +50,12 @@ def _ivf_assign_cte(n_cells: int = 16, dim: int = 64, seed: int = 42) -> str:
       SELECT vec_id, embedding,
              ROW_NUMBER() OVER (
                ORDER BY md5('{seed}' || CAST(vec_id AS VARCHAR)), vec_id) AS rn
-      FROM embeddings),
+      FROM {src}),
     cent AS (SELECT CAST(rn - 1 AS BIGINT) AS cell, embedding AS cvec
              FROM ord WHERE rn <= {n_cells}),
     asg0 AS (SELECT e.vec_id AS id, e.embedding AS vec, c.cell,
                     {sim_vc} AS sim
-             FROM embeddings e CROSS JOIN cent c),
+             FROM {src} e CROSS JOIN cent c),
     asg AS (SELECT id, vec, cell FROM (
               SELECT id, vec, cell,
                      ROW_NUMBER() OVER (PARTITION BY id

@@ -464,3 +464,206 @@ def q269_scd2_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim, batch, "user_id", "event_type", "ts", "event_id"
     )
     return merged
+
+
+_EV_SCHEMA = "user_id long, event_id long, event_type string, ts timestamp_ntz"
+
+
+def _staged_scd2_dir(spark: SparkSession, sf_dir: str) -> str:
+    """File-stream staging for the SCD2 change history: the q105 event
+    subset split into 5 single-file batches (event_id % 5), so an
+    availableNow stream with maxFilesPerTrigger=1 replays history as five
+    micro-batch 'days'. Staged once per sf_dir (atomic rename — concurrent
+    sessions race safely); read-only testdata is never touched."""
+    import hashlib
+    import os
+    import shutil
+    import uuid as _uuid
+
+    key = hashlib.md5(f"scd2|{os.path.abspath(sf_dir)}".encode()).hexdigest()[:8]
+    root = f"/tmp/spark_graft_stream_scd2_{key}"
+    src = os.path.join(root, "src")
+    if os.path.isdir(src):
+        return src
+    tmp = f"{root}.tmp.{_uuid.uuid4().hex[:8]}"
+    e = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 97 == 0)
+        .select("user_id", "event_id", "event_type", "ts")
+    )
+    for i in range(5):
+        e.filter(F.col("event_id") % 5 == i).coalesce(1).write.parquet(
+            os.path.join(tmp, f"batch_{i}")
+        )
+    stage = os.path.join(tmp, "src")
+    os.makedirs(stage)
+    files = sorted(
+        os.path.join(r, f)
+        for r, _, fs in os.walk(tmp)
+        for f in fs
+        if f.endswith(".parquet") and "/src" not in r
+    )
+    for i, f in enumerate(files):
+        # RELATIVE links — the whole tree is renamed into place below, and
+        # absolute targets into the pre-rename path would dangle.
+        os.symlink(
+            os.path.relpath(f, stage), os.path.join(stage, f"b{i}.parquet")
+        )
+    try:
+        os.rename(tmp, root)
+    except OSError:
+        shutil.rmtree(tmp, ignore_errors=True)  # another session won the race
+    return src
+
+
+@query(
+    "q270_stream_scd2_maintenance",
+    oracle="""
+    SELECT user_id AS key, event_id AS row_id, event_type AS attr_value,
+           ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             AS valid_to,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_current
+    FROM events
+    WHERE user_id % 97 = 0
+    """,
+)
+def q270_stream_scd2_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCD2 dimension maintained by a REAL Structured Streaming loop:
+    the change history arrives as five single-file micro-batches
+    (``maxFilesPerTrigger=1``, availableNow) and ``foreachBatch`` merges
+    each into the standing dimension via
+    :func:`operators.cdc.scd2_apply_batch`, starting from an EMPTY
+    dimension — no bootstrap rebuild anywhere. The final dimension is
+    row-identical to the full-history rebuild (the oracle is exactly
+    q269's), which is the merge's associativity doing real work: batches
+    arrive in whatever order the file listing yields, each carrying
+    changes that land mid-timeline relative to the others, and the
+    affected-key rebuild absorbs them all.
+
+    Scale shape: per micro-batch, one anti join over the standing
+    dimension + a window over only the touched keys' rows; the dimension
+    is re-materialized per batch (versioned parquet dirs — in production,
+    a table format's atomic commit). The q236/q237 stream-ingest
+    discipline applied to the warehouse family."""
+    import os
+    import tempfile
+
+    from .operators.cdc import scd2_apply_batch, scd2_intervals
+    from .streaming.sinks import run_available_now
+
+    src = _staged_scd2_dir(spark, sf_dir)
+    out_root = tempfile.mkdtemp(prefix="q270_dim_")
+    state: dict[str, str | None] = {"dim": None}
+
+    def _step(batch_df, batch_id):
+        sp = batch_df.sparkSession
+        if state["dim"] is None:
+            new = scd2_intervals(
+                batch_df, "user_id", "event_type", "ts", "event_id"
+            )
+        else:
+            new = scd2_apply_batch(
+                sp.read.parquet(state["dim"]),
+                batch_df,
+                "user_id", "event_type", "ts", "event_id",
+            )
+        path = os.path.join(out_root, f"dim_v{batch_id}")
+        new.write.parquet(path)
+        state["dim"] = path
+
+    q = (
+        spark.readStream.schema(_EV_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .writeStream.foreachBatch(_step)
+        .option("checkpointLocation", os.path.join(out_root, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    run_available_now(q, timeout_s=300)
+    assert state["dim"] is not None, "stream drained no batches"
+    return spark.read.parquet(state["dim"])
+
+
+def _q271_oracle() -> str:
+    from .queries_ann import _ivf_assign_cte, _qdot_sql
+
+    sim = (
+        f"{_qdot_sql('e.embedding', 'c.cvec')}"
+        f" / (sqrt({_qdot_sql('e.embedding', 'e.embedding')})"
+        f" * sqrt({_qdot_sql('c.cvec', 'c.cvec')}))"
+    )
+    return f"""
+    WITH {_ivf_assign_cte(where="vec_id % 10 != 0")},
+    nb AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_base
+           FROM asg GROUP BY cell),
+    ba0 AS (SELECT e.vec_id AS id, c.cell, {sim} AS sim
+            FROM (SELECT * FROM embeddings WHERE vec_id % 10 = 0) e
+            CROSS JOIN cent c),
+    ba AS (SELECT id, cell FROM (
+             SELECT id, cell,
+                    ROW_NUMBER() OVER (PARTITION BY id
+                                       ORDER BY sim DESC, cell ASC) AS arn
+             FROM ba0) WHERE arn = 1),
+    nn AS (SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_new
+           FROM ba GROUP BY cell)
+    SELECT cent.cell,
+           CAST(COALESCE(nb.n_base, 0) AS BIGINT) AS n_base,
+           CAST(COALESCE(nn.n_new, 0) AS BIGINT) AS n_new,
+           CASE WHEN COALESCE(nb.n_base, 0) + COALESCE(nn.n_new, 0) = 0
+                THEN NULL
+                ELSE CAST(COALESCE(nn.n_new, 0) AS DOUBLE)
+                     / (COALESCE(nb.n_base, 0) + COALESCE(nn.n_new, 0)) END
+             AS new_share
+    FROM cent
+    LEFT JOIN nb ON cent.cell = nb.cell
+    LEFT JOIN nn ON cent.cell = nn.cell
+    """
+
+
+@query("q271_ivf_ingest_stats", oracle=_q271_oracle())
+def q271_ivf_ingest_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ANN ingest at the INDEX level (the q237 probe family's
+    maintenance companion): today's batch of vectors (vec_id % 10 == 0 —
+    the q237 split) is routed into the STANDING coarse quantizer trained
+    on the base corpus (``similarity.ivf.assign_to_index`` — centroids are
+    index metadata; zero corpus work), and the report is per cell: standing
+    population, newly-ingested count, and the new-vector share. A cell
+    whose new_share runs hot is where the data distribution is drifting
+    away from the quantizer — the signal that triggers a centroid refresh
+    (q260's dispersion is the cohesion view; this is the growth view).
+
+    Scale shape: the batch×n_cells assignment is inlined/broadcast
+    arithmetic; both counts aggregate map-side; the report is ≤n_cells
+    rows joined on cell. The standing assignment is rebuilt in-query per
+    the driver contract — production reads its stored (id, cell) table."""
+    from .similarity.ivf import assign_to_index, build_ivf_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    is_batch = F.col("vec_id") % 10 == 0
+    base = emb.filter(~is_batch)
+    batch = emb.filter(is_batch)
+    centroids, base_assigned = build_ivf_index(base, n_cells=16)
+    nb = base_assigned.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_base")
+    )
+    nn = assign_to_index(batch, centroids).groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_new")
+    )
+    cells = centroids.select("cell")
+    j = (
+        cells.join(nb, "cell", "left")
+        .join(nn, "cell", "left")
+        .select(
+            "cell",
+            F.coalesce(F.col("n_base"), F.lit(0)).cast("long").alias("n_base"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias("n_new"),
+        )
+    )
+    total = F.col("n_base") + F.col("n_new")
+    return j.withColumn(
+        "new_share",
+        F.when(total > 0, F.col("n_new").cast("double") / total),
+    )

@@ -250,3 +250,30 @@ def ivf_topk(
     return scored.withColumn("rank", F.row_number().over(wk)).filter(
         F.col("rank") <= k
     )
+
+
+def assign_to_index(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign NEW vectors to an EXISTING coarse quantizer — the ingest
+    path of a standing IVF index (q271): today's batch is routed to cells
+    without touching the corpus or retraining centroids. Returns ``(id,
+    vec, cell)`` with the exact tie-break of the build-time assignment
+    (min over struct(−sim, cell)), so a vector ingested today lands in
+    the same cell a full rebuild over the grown corpus would give it —
+    as long as the centroids themselves are unchanged, which is the
+    point of a standing index.
+
+    Cost: |batch| × n_cells similarity evaluations, centroids inlined or
+    broadcast (index METADATA) — zero corpus work, zero shuffle beyond
+    one row per batch id in the broadcast path."""
+    corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    n_cells = centroids.count()  # metadata-sized frame
+    if n_cells <= _INLINE_MAX_CELLS:
+        return corpus.withColumn(
+            "cell", _nearest_cell_expr(F.col("vec"), centroids)
+        )
+    return _assign_cells_broadcast(corpus, centroids)

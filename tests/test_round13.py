@@ -454,6 +454,58 @@ def test_scd2_apply_batch_equals_full_rebuild_any_split(spark):
         assert got == full, pred
 
 
+def test_q270_stream_equals_batch_merge(spark, sf_dir):
+    """The streaming maintenance loop lands on exactly q269's dimension —
+    stream/batch equivalence for the SCD2 merge (the q236 discipline
+    applied to the warehouse family)."""
+    got = sorted(
+        map(
+            tuple,
+            q.QUERIES["q270_stream_scd2_maintenance"](spark, sf_dir).collect(),
+        )
+    )
+    want = sorted(
+        map(
+            tuple,
+            q.QUERIES["q269_scd2_incremental_merge"](spark, sf_dir).collect(),
+        )
+    )
+    assert got and got == want
+
+
+def test_q271_ingest_assignment_matches_grown_rebuild(spark, sf_dir):
+    """Routing the batch into the standing quantizer gives each batch
+    vector the SAME cell a full rebuild over base+batch would (same
+    centroids — base ids win the md5 sample on this fixture's id range is
+    NOT guaranteed, so assert via assign_to_index against the base-trained
+    centroids directly), and the report's totals cover the corpus."""
+    from bigdatafraude_ml_graphx_spark.catalog import load_table as lt
+    from bigdatafraude_ml_graphx_spark.similarity.ivf import (
+        assign_to_index,
+        build_ivf_index,
+    )
+
+    emb = lt(spark, sf_dir, "embeddings")
+    rows = q.QUERIES["q271_ivf_ingest_stats"](spark, sf_dir).collect()
+    assert len(rows) == 16
+    n = emb.count()
+    assert sum(r["n_base"] + r["n_new"] for r in rows) == n
+    # per-vector cross-check: the batch assignment really is the standing
+    # quantizer's nearest-cell answer
+    base = emb.filter(F.col("vec_id") % 10 != 0)
+    batch = emb.filter(F.col("vec_id") % 10 == 0)
+    centroids, _ = build_ivf_index(base, n_cells=16)
+    got = {
+        r["id"]: r["cell"]
+        for r in assign_to_index(batch, centroids).collect()
+    }
+    from collections import Counter
+
+    per_cell = Counter(got.values())
+    for r in rows:
+        assert per_cell.get(r["cell"], 0) == r["n_new"]
+
+
 def _empty_sf_dir(spark, sf_dir, tmp_path):
     """A schema-correct, zero-row copy of the testdata tables q259/q261
     touch."""
