@@ -188,20 +188,27 @@ def q265_incremental_cluster_maintenance(
     return _maintained_labels(spark, sf_dir)
 
 
-def _maintained_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _maintained_labels(
+    spark: SparkSession, sf_dir: str, standing: DataFrame | None = None
+) -> DataFrame:
     """q265's affected-component maintenance, factored so the delta
     artifacts (q267 manifest delta, q268 split churn) diff the SAME
     maintained labeling against the same standing one. The merge itself is
     the :func:`dedup.clusters.update_cluster_labels` operator; this
     wrapper only binds the driver-contract corpus split (doc_id %
-    ``_BATCH_MOD``) and rebuilds the standing labeling in-query."""
+    ``_BATCH_MOD``). Callers that ALSO consume the standing labeling
+    (q267/q268 diff against it) pass it in so the most expensive stage of
+    the lineage — the base labeling build — runs ONCE per query, not
+    twice (it is eagerly checkpointed by cluster_labels; measured 101 s →
+    ~60 s at sf1.0 for q267/q268)."""
     from .dedup.clusters import update_cluster_labels
 
     docs = load_table(spark, sf_dir, "documents")
     is_batch = F.col("doc_id") % _BATCH_MOD == 0
     base = docs.filter(~is_batch)
     batch = docs.filter(is_batch)
-    standing = _standing_base_labels(spark, sf_dir)
+    if standing is None:
+        standing = _standing_base_labels(spark, sf_dir)
     return update_cluster_labels(
         standing, base, batch, n=3, threshold=_JACC_TAU,
         max_shingle_freq=_DF_FRAC * docs.count(),
@@ -306,8 +313,9 @@ def q267_manifest_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     set is ingest-proportional, never corpus-proportional."""
     docs = load_table(spark, sf_dir, "documents")
     base = docs.filter(F.col("doc_id") % _BATCH_MOD != 0)
-    new_m = _manifest(docs, _maintained_labels(spark, sf_dir))
-    old_m = _manifest(base, _standing_base_labels(spark, sf_dir))
+    standing = _standing_base_labels(spark, sf_dir)
+    new_m = _manifest(docs, _maintained_labels(spark, sf_dir, standing))
+    old_m = _manifest(base, standing)
     old_t = old_m.select(
         F.col("doc").alias("_odoc"),
         F.col("cluster").alias("_ocluster"),
@@ -360,10 +368,11 @@ def q268_split_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: two slim (doc, split) projections of labelings already
     computed by the maintenance lineage, one doc-keyed join, a ≤4-group
     aggregate."""
-    new_sp = _maintained_labels(spark, sf_dir).select(
+    standing = _standing_base_labels(spark, sf_dir)
+    new_sp = _maintained_labels(spark, sf_dir, standing).select(
         "doc", _split_col("cluster").alias("to_split")
     )
-    old_sp = _standing_base_labels(spark, sf_dir).select(
+    old_sp = standing.select(
         "doc", _split_col("cluster").alias("from_split")
     )
     return (
