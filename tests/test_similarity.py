@@ -174,3 +174,43 @@ def test_pq_encode_picks_nearest_anchor_and_recall_on_clusters(spark):
     a = {tuple(r) for r in rer.collect()}
     b = {tuple(r) for r in exact.collect()}
     assert a == b  # clustered data: compressed pipeline == exact
+
+
+def test_nearest_cell_sql_equals_column(emb):
+    """The one-shot SQL construction of the inline nearest-centroid
+    expression (optimization r13) is bit-for-bit the Column-API loop it
+    replaced: same quantized dot, same repr-roundtripped double literals,
+    same struct-min tie-break."""
+    from bigdatafraude_ml_graphx_spark.similarity.ivf import (
+        _nearest_cell_expr,
+        build_ivf_index,
+    )
+
+    cents, _ = build_ivf_index(emb, n_cells=16)
+    corpus = emb.select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    rows = corpus.select(
+        "id",
+        _nearest_cell_expr(F.col("vec"), cents).alias("o"),  # Column path
+        _nearest_cell_expr("vec", cents).alias("n"),  # SQL fast path
+    ).collect()
+    assert rows and all(r["o"] == r["n"] for r in rows)
+
+
+def test_srp_signature_sql_equals_column(emb):
+    """The one-shot SQL construction of srp_signature (optimization r13)
+    produces the identical integer signature as the Column-API loop for
+    every corpus vector (both 16- and 32-bit matrices)."""
+    from bigdatafraude_ml_graphx_spark.similarity.srp import (
+        srp_signature,
+        srp_signs,
+    )
+
+    for bits in (16, 32):
+        signs = srp_signs(bits, 64)
+        rows = emb.select(
+            srp_signature("embedding", signs).alias("n"),  # SQL fast path
+            srp_signature(F.col("embedding"), signs).alias("o"),  # Column
+        ).collect()
+        assert rows and all(r["o"] == r["n"] for r in rows)
