@@ -40,9 +40,12 @@ def minhash_signatures(
     """
     # Staged-token shingling (see ngram.word_ngrams note: inlining the
     # tokenizer into the explode lambda costs O(tokens²) regex work).
-    # distinct=False: MIN is duplicate-invariant, so skipping the shingle
-    # dedup removes a full (doc, shingle) shuffle — the only exchange left
-    # carries k longs per doc after map-side partial MIN.
+    # distinct=False: MIN is duplicate-invariant, so the shingle dedup is
+    # unnecessary — and a map-side array_distinct is a net LOSS here, not
+    # a win (measured r13: within-doc duplicate shingles are 0.12% of the
+    # stream, so the extra hash-set pass costs more than the duplicate
+    # hash evaluations it saves). The only exchange carries k longs per
+    # doc after map-side partial MIN.
     shingled = _doc_shingles(df, text_col, id_col, n, distinct=False)
     aggs = [
         F.min(_hash64(F.col("shingle"), i)).alias(f"mh_{i:02d}")

@@ -50,17 +50,43 @@ def _doc_shingles(
     df: DataFrame, text_col: str, id_col: str, n: int, distinct: bool = True
 ) -> DataFrame:
     """(doc, shingle) stream. ``distinct=True`` gives SET semantics (required
-    by Jaccard sizes and contamination overlap counts — and it is a full
-    (doc, shingle) shuffle). Pass ``distinct=False`` for consumers invariant
-    under duplicates (MinHash: MIN over a multiset equals MIN over its set),
-    which removes that shuffle entirely — the downstream per-doc aggregate
-    then runs straight off the exploded map-side stream."""
+    by Jaccard sizes and contamination overlap counts). Pass
+    ``distinct=False`` for consumers that need MULTISET semantics (tf counts)
+    or are invariant under duplicates and cheaper without the dedup pass.
+
+    Set semantics are computed MAP-SIDE via ``array_distinct`` on the n-gram
+    array before the explode (optimization r13, guide §2.4): a document's
+    duplicate shingles dedup inside the row, so the global ``.distinct()``
+    Exchange of the full (doc, shingle) stream — one corpus-wide shuffle of
+    shingle STRINGS — disappears while the output multiset is identical.
+    PRECONDITION (holds for every caller: ``id_col`` is a primary key of
+    ``df``): rows have unique ids — with duplicate id rows the old global
+    distinct would also have deduped ACROSS rows. Equivalence to the
+    post-explode distinct is pinned in tests/test_dedup.py."""
+    if distinct:
+        # Scan-parallelism floor (r13, guide §2.5 "input skew"): the bench
+        # corpora are ONE parquet file → a 1-split scan, so the regex
+        # tokenize pipeline ran as a single ~3 s task at the head of every
+        # labeling/pair query. Spread the (tiny) document rows across the
+        # cluster by id hash before tokenizing — deterministic, and gated
+        # on the scan actually being narrower than the cluster, so at
+        # 100 TB (thousands of splits) no corpus-text shuffle ever fires.
+        sc = df.sparkSession.sparkContext
+        if df.rdd.getNumPartitions() < sc.defaultParallelism:
+            df = df.repartition(sc.defaultParallelism, F.col(id_col))
     sh = df.select(
         F.col(id_col).alias("doc"), tokens(text_col).alias("_toks")
-    ).select(
+    )
+    if distinct:
+        return sh.select(
+            "doc",
+            F.explode(
+                F.array_distinct(ngrams_from_tokens(F.col("_toks"), n))
+            ).alias("shingle"),
+        )
+    return sh.select(
         "doc", F.explode(ngrams_from_tokens(F.col("_toks"), n)).alias("shingle")
     )
-    return sh.distinct() if distinct else sh
 
 
 def candidate_pair_shingle_stats(
@@ -133,6 +159,57 @@ def candidate_pair_shingle_stats(
     )
 
 
+def _keyed_capped_shingles(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int,
+    max_shingle_freq: int | float | None,
+) -> DataFrame:
+    """The staged, df-capped (doc, shingle) frame the pair finders self-join:
+    tokenize once, key-partition on ``shingle``, hot-cap, persist.
+
+    Shape (r13 optimization, guide §2.4 — measured on q250/q233):
+
+    * Set semantics come from ``array_distinct`` inside
+      :func:`_doc_shingles` (map-side), so the old global ``.distinct()``
+      Exchange — a corpus-wide shuffle of shingle STRINGS keyed on
+      (doc, shingle), useless to every downstream consumer — is gone.
+    * In its place, ONE ``repartition(shingle)`` Exchange does double duty:
+      it is the lineage's sharing point (its map side — the whole
+      tokenize→ngram→explode pipeline — runs once per query no matter how
+      many consumer stages race the persist cache; the old plan re-ran the
+      regex pipeline per join side) and it establishes the hash
+      partitioning every consumer needs: the df/hot aggregation, the
+      self-join (both sides), and the per-shingle grouping all fuse on it
+      with NO further Exchange. Partition count comes from
+      ``spark.sql.shuffle.partitions`` — the session-owned scale knob
+      (AQE cannot coalesce under persist, which is exactly what keeps the
+      pair-generating join ``parts``-way parallel on an idle 32-core host).
+    * The hot list (df > cap) aggregates straight off that Exchange
+      (fused, no second shuffle) into a tiny eager checkpoint whose
+      measured size makes the cap an AQE broadcast anti join — which
+      preserves the hash partitioning.
+
+    CALLER CONTRACT: ``unpersist()`` the returned frame after eagerly
+    materializing the derived pairs (the lsh_candidate_pairs cache-hygiene
+    rule).
+    """
+    sh = _doc_shingles(df, text_col, id_col, n).repartition(
+        F.col("shingle")
+    )
+    if max_shingle_freq is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("_bn"))
+            .filter(F.col("_bn") > max_shingle_freq)
+            .select("shingle")
+            .localCheckpoint(eager=True)
+        )
+        sh = sh.join(hot, ["shingle"], "left_anti")
+    return sh.persist()
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -144,29 +221,25 @@ def ngram_jaccard_pairs(
     """Candidate near-duplicate pairs ``(doc_a, doc_b, jaccard)`` with
     ``doc_a < doc_b`` and n-gram Jaccard ≥ ``threshold``.
 
-    EAGER + NON-RECOVERABLE: the result is ``localCheckpoint``-ed at call
-    time so the shared shingle frame can be unpersisted before returning
-    (cache-hygiene contract — see ``lsh_candidate_pairs``); executor loss
-    invalidates the returned frame, and callers composing larger pipelines
-    should treat this call as a materialization barrier.
+    EAGER + NON-RECOVERABLE: the result (and the intermediate shingle
+    frame) is ``localCheckpoint``-ed at call time — no CacheManager entry
+    is ever created (cache-hygiene contract — see ``lsh_candidate_pairs``);
+    executor loss invalidates the returned frame, and callers composing
+    larger pipelines should treat this call as a materialization barrier.
     """
-    shingles = _doc_shingles(df, text_col, id_col, n)
-    if max_shingle_freq is not None:
-        # Anti join against the HOT shingles only (df > cap) — the hot list
-        # is tiny by construction (≤ |rows|/cap keys; Zipf makes it a
-        # handful), so AQE broadcasts it: NEVER a corpus × corpus-sized
-        # freq-frame shuffle join (the keep-side formulation joined every
-        # (doc, shingle) row against the full df frame).
-        from ..operators.skew import drop_hot_buckets
-
-        shingles = drop_hot_buckets(shingles, ["shingle"], max_shingle_freq)
-    # The shingle frame feeds three consumers (sizes + both join sides);
-    # persist so the tokenize/explode/distinct lineage runs once.
-    shingles = shingles.persist()
+    shingles = _keyed_capped_shingles(
+        df, text_col, id_col, n, max_shingle_freq
+    )
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_shingles"))
 
+    # merge hint: both sides are the SAME persisted frame hash-partitioned
+    # on the join key, so sort-merge runs with ZERO Exchange and no driver
+    # involvement. Unhinted, the planner broadcast the ~8 MB (at sf0.1)
+    # InMemoryRelation — a per-run driver collect+broadcast of a
+    # CORPUS-proportional frame (measured 5.5 s first-run spike), which is
+    # exactly the wrong side to broadcast at 100 TB (guide §3.1).
     a = shingles.alias("a")
-    b = shingles.alias("b")
+    b = shingles.hint("merge").alias("b")
     shared = (
         a.join(
             b,
@@ -178,8 +251,8 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_shingles").alias("na"))
     sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_shingles").alias("nb"))
-    # Eagerly materialize the (small) pair result so the shingle frame can be
-    # unpersisted before returning — a leaked persist() lives in the
+    # Eagerly materialize the (small) pair result so the keyed shingle frame
+    # can be unpersisted before returning — a leaked persist() lives in the
     # CacheManager forever and pollutes later jobs (see lsh_candidate_pairs).
     pairs = (
         shared.join(sa, "doc_a")
@@ -247,11 +320,22 @@ def ngram_jaccard_probe_pairs(
     self-join runs on the BATCH-sized shingle frame only.
 
     Same eager + non-recoverable cache-hygiene contract as
-    ``ngram_jaccard_pairs`` (result ``localCheckpoint``-ed, inputs
-    unpersisted before returning).
+    ``ngram_jaccard_pairs`` (result and shingle inputs
+    ``localCheckpoint``-ed — no CacheManager entries).
     """
-    sh_p = _doc_shingles(probe, text_col, id_col, n).persist()
-    sh_i = _doc_shingles(index, text_col, id_col, n).persist()
+    # Key-partitioned + persisted sides (the _keyed_capped_shingles shape):
+    # each side's repartition(shingle) Exchange is the sharing point — its
+    # map side (the tokenize pipeline) runs once per query even when
+    # consumer stages race the persist cache — and the established hash
+    # partitioning lets the probe⋈index shingle join, the within-probe
+    # self-join, and the per-shingle df aggregate all fuse with no further
+    # Exchange, parts-way parallel.
+    sh_p = _doc_shingles(probe, text_col, id_col, n).repartition(
+        F.col("shingle")
+    ).persist()
+    sh_i = _doc_shingles(index, text_col, id_col, n).repartition(
+        F.col("shingle")
+    ).persist()
     if max_shingle_freq is not None:
         # Hot list over the COMBINED universe (df counts probe and index
         # docs alike) — exactly the self-join's drop_hot_buckets semantics
@@ -372,19 +456,17 @@ def containment_pairs(
     the uncapped ANSWER itself goes quadratic on boilerplate-heavy
     corpora; capping is a semantic choice (boilerplate carries no
     subset-duplicate signal), not just a plan optimization."""
-    shingles = _doc_shingles(df, text_col, id_col, n)
-    if max_shingle_freq is not None:
-        # Hot-list anti join, not a keep-side freq join — see
-        # ngram_jaccard_pairs (the hot set is broadcast-tiny; the keep
-        # set is the whole corpus).
-        from ..operators.skew import drop_hot_buckets
-
-        shingles = drop_hot_buckets(shingles, ["shingle"], max_shingle_freq)
-    shingles = shingles.persist()
+    # Staged tokenize-once + keyed-persist frame — see _keyed_capped_shingles
+    # (the q250 finding: racy lazy persist re-ran the tokenize pipeline ~3×).
+    shingles = _keyed_capped_shingles(
+        df, text_col, id_col, n, max_shingle_freq
+    )
     sizes = shingles.groupBy("doc").agg(F.count("*").alias("n_shingles"))
 
+    # merge hint — see ngram_jaccard_pairs: zero-Exchange co-partitioned
+    # SMJ instead of a corpus-side broadcast.
     a = shingles.alias("a")
-    b = shingles.alias("b")
+    b = shingles.hint("merge").alias("b")
     shared = (
         a.join(
             b,

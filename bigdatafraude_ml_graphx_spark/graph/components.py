@@ -73,7 +73,9 @@ def connected_components(
     if vertices is not None:
         ids = ids.unionByName(vertices.select("id"))
     labels = ids.distinct().withColumn("component", F.col("id"))
-    labels = labels.localCheckpoint(eager=True)
+    # Lazy checkpoint: the count() is the materializing action (one job,
+    # not two — same fusion as the iteration body below).
+    labels = labels.localCheckpoint(eager=False)
     n_verts = labels.count()
     labels = _coalesced(labels, n_verts)
 
@@ -105,7 +107,14 @@ def connected_components(
             )
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
+            # LAZY checkpoint (optimization r13): the fingerprint aggregate
+            # below is the job that materializes it — one job per iteration
+            # instead of two (the eager checkpoint job + the collect job),
+            # halving the per-iteration scheduling overhead that dominates
+            # small-diameter rounds. Lineage truncation is unchanged: the
+            # blocks are saved by that first action, and every later
+            # consumer (the next iteration, the caller) reads them.
+            new_labels = new_labels.localCheckpoint(eager=False)
         # Convergence test without a join: labels only ever DECREASE
         # (numerically for numeric ids, lexicographically for string ids), so
         # the fixpoint is reached exactly when the label multiset stops

@@ -553,7 +553,15 @@ def q151_minhash_error_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from .dedup.ngram import _doc_shingles, candidate_pair_shingle_stats
 
-    sh = _doc_shingles(docs, "text", "doc_id", 3, distinct=True)
+    # Key-partition the shingle stream before the stats builder (r13): the
+    # map-side array_distinct removed the old global-distinct Exchange, so
+    # without this the builder's eager checkpoint inherits the scan's ONE
+    # partition and every downstream join runs serial (measured +12 s at
+    # sf0.1); the repartition also shares the tokenize map side between the
+    # builder's df-cap aggregate and its join inputs.
+    sh = _doc_shingles(docs, "text", "doc_id", 3, distinct=True).repartition(
+        F.col("shingle")
+    )
     stats = candidate_pair_shingle_stats(sh, pairs, max_df=_MHJ_DF_CAP)
     est = F.col("n_agree").cast("double") / _K_MINHASH
     exact = F.col("sh_n").cast("double") / (

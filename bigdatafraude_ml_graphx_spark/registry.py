@@ -237,6 +237,23 @@ _DRIVER_CERTIFIED = frozenset({
     "q246_knn_graph",
     "q252_ivf_cell_stats",
     "q260_ivf_cell_dispersion",
+    # r13 OPTIMIZATION round — ngram shingle pipeline restructure (map-side
+    # array_distinct + one keyed sharing Exchange + merge-hinted self-join;
+    # multiset equality pinned in tests/test_dedup.py) and the
+    # connected-components lazy-checkpoint job fusion. Values unchanged by
+    # construction; lineage changed, so the rotation discipline applies:
+    "q22_connected_components",
+    "q27_ngram_jaccard_pairs",
+    "q64_near_dup_groups",
+    "q70_contamination_overlap",
+    "q76_simhash_dup_groups",
+    "q141_canonical_dedup",
+    "q151_minhash_error_contract",
+    "q232_containment_pairs",
+    "q233_jaccard_df_capped",
+    "q234_containment_df_capped",
+    "q238_duplicate_shingle_fraction",
+    "q249_contamination_df_capped",
 })
 
 

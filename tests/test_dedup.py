@@ -86,3 +86,29 @@ def test_dedup_preserves_non_duplicates(spark):
     distinct_rows = [(i, f"unique document number {i} with words {i * 7}") for i in range(20)]
     df = spark.createDataFrame(distinct_rows, "doc_id long, text string")
     assert dedup_exact(df).count() == 20
+
+
+def test_doc_shingles_map_side_distinct_equals_global_distinct(docs):
+    """The r13 map-side set semantics (array_distinct before explode) yield
+    exactly the multiset the old post-explode global .distinct() produced —
+    valid because doc ids are unique per row (the documented precondition)."""
+    from pyspark.sql import functions as F
+
+    from bigdatafraude_ml_graphx_spark.dedup.ngram import (
+        _doc_shingles,
+        ngrams_from_tokens,
+    )
+    from bigdatafraude_ml_graphx_spark.functions.text import tokens
+
+    new = _doc_shingles(docs, "text", "doc_id", 3, distinct=True)
+    old = (
+        docs.select(F.col("doc_id").alias("doc"), tokens("text").alias("_toks"))
+        .select(
+            "doc",
+            F.explode(ngrams_from_tokens(F.col("_toks"), 3)).alias("shingle"),
+        )
+        .distinct()
+    )
+    a = sorted(map(tuple, new.collect()))
+    b = sorted(map(tuple, old.collect()))
+    assert a == b
