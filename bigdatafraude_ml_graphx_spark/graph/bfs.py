@@ -47,7 +47,7 @@ def shortest_paths(
     """
     if on_nonconverged not in ("raise", "return"):
         raise ValueError(f"on_nonconverged must be raise|return, got {on_nonconverged!r}")
-    from .pagerank import _sized_keyed_persist
+    from .pagerank import _maybe_broadcast, _sized_keyed_persist
 
     # Materialize + key-persist the symmetrized edges once: every BFS round
     # joins against them, and without the persist each round re-executes the
@@ -55,10 +55,14 @@ def shortest_paths(
     # measured 7.5 s → ~3 s at sf0.1. Keying on src co-locates the
     # frontier-join build side across rounds.
     sym = _sized_keyed_persist(symmetrize(edges).select("src", "dst"), key="src")
+    # LAZY checkpoint (r14 job fusion — the components.py r13 pattern):
+    # the first round's fingerprint aggregate is the action that
+    # materializes it, so the init costs no job of its own.
     dist = landmarks.select(
         F.col("id"), F.col("id").alias("landmark"), F.lit(0).alias("distance")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=False)
     prev_fp = None
+    n_rows = 0  # distance-table row count, known after each round's agg
     converged = False
     # ``max_iterations`` budgets EFFECTIVE rounds (rounds that change the
     # table — the hop diameter); the final no-change round that CONFIRMS
@@ -66,7 +70,13 @@ def shortest_paths(
     # succeeds rather than spuriously raising.
     changes = 0
     while True:
-        cand = dist.join(sym, dist.id == sym.src).select(
+        # Broadcast the (checkpoint-hidden — AQE sees no statistics) distance
+        # table into the keyed-persisted edge list while it is measurably
+        # small: the |E|-side never re-shuffles per round (the q23
+        # _maybe_broadcast discipline). Round 1 has no measured count yet
+        # and stays unhinted; every later round knows n from the fingerprint.
+        db = _maybe_broadcast(dist, n_rows, 2_000_000)
+        cand = db.join(sym, db.id == sym.src).select(
             F.col("dst").alias("id"),
             "landmark",
             (F.col("distance") + 1).alias("distance"),
@@ -75,12 +85,16 @@ def shortest_paths(
             dist.unionByName(cand)
             .groupBy("id", "landmark")
             .agg(F.min("distance").alias("distance"))
-            .localCheckpoint(eager=True)  # truncate per-round lineage
+            # LAZY: the fingerprint aggregate below materializes the
+            # checkpoint — one job per round instead of two (r14, the
+            # components.py r13 fusion; lineage truncation unchanged).
+            .localCheckpoint(eager=False)
         )
         row = new.agg(
             F.count("*").alias("n"), F.sum("distance").alias("s")
         ).collect()[0]
         fp = (row["n"], row["s"])
+        n_rows = row["n"]
         if fp == prev_fp:
             converged = True
             dist = new

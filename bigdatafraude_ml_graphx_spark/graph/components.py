@@ -170,11 +170,15 @@ def connected_components_star(
     """
     from pyspark.sql import Window
 
+    # LAZY checkpoints (r14 job fusion, same pattern as
+    # connected_components above): the per-round fingerprint aggregate is
+    # the action that materializes each checkpoint — one job per round
+    # instead of two; truncation unchanged.
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
 
     fingerprint = F.bit_xor(F.xxhash64("u", "v"))
@@ -219,7 +223,7 @@ def connected_components_star(
             .select(F.col("s.x").alias("u"), F.col("s.y").alias("v"))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         new_fp = new_e.agg(fingerprint).collect()[0][0]
         if prev_fp is None:

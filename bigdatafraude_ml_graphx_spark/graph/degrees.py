@@ -56,7 +56,9 @@ def k_core(edges, k: int, max_rounds: int = 50):
 
     from .builders import symmetrize
 
-    sym = symmetrize(edges).select("src", "dst").localCheckpoint(eager=True)
+    # Lazy too: round 1's fingerprint aggregate materializes it (no
+    # dedicated init job).
+    sym = symmetrize(edges).select("src", "dst").localCheckpoint(eager=False)
     prev = None
     changes = 0
     while True:
@@ -67,7 +69,10 @@ def k_core(edges, k: int, max_rounds: int = 50):
             .join(
                 keep.select(F.col("src").alias("dst")), "dst", "left_semi"
             )
-            .localCheckpoint(eager=True)
+            # LAZY: the fingerprint aggregate below materializes the
+            # checkpoint — one job per peel round instead of two (r14,
+            # the components.py r13 fusion; truncation unchanged).
+            .localCheckpoint(eager=False)
         )
         row = new.agg(
             F.count("*").alias("n"), F.sum(F.col("src") + F.col("dst")).alias("s")

@@ -150,26 +150,32 @@ def personalized_pagerank(
     # q162 that was a full events scan per consumer (replay audit: 4 opens
     # where 2 are legitimate). It is bounded by the distinct seed count,
     # so checkpoint once.
+    # Lazy checkpoints with the counts/first-consumer as materializing
+    # actions (r14 job fusion, the components.py r13 pattern): the seed
+    # set, vertex union, and teleport frame each cost one job, not two.
     s = (
         sources.select(F.col(sources.columns[0]).alias("id"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
-    verts = ids.unionByName(s).distinct().localCheckpoint(eager=True)
+    verts = ids.unionByName(s).distinct().localCheckpoint(eager=False)
     n = verts.count()
     ns = s.count()
     if ns == 0:
         raise ValueError("personalized_pagerank: empty source set")
-    verts = _coalesced(
+    tele = (
         verts.join(s.withColumn("_tele", F.lit(1.0 / ns)), "id", "left_outer")
         .select("id", F.coalesce("_tele", F.lit(0.0)).alias("tele"))
-        .localCheckpoint(eager=True),
-        n,
+        .localCheckpoint(eager=False)
     )
+    # Materialize the teleport frame NOW (count, one fused job): it is the
+    # per-iteration left side, and _coalesced needs its partition count.
+    tele.count()
+    verts = _coalesced(tele, n)
     ranks = verts.select("id", F.col("tele").alias("pagerank")).localCheckpoint(
-        eager=True
+        eager=False
     )
-    for _ in range(max_iter):
+    for it in range(max_iter):
         rk = _maybe_broadcast(ranks, n, broadcast_rows)
         contribs = (
             e.join(rk, e.src == rk.id)
@@ -193,7 +199,10 @@ def personalized_pagerank(
                     + alpha * F.col("tele")
                 ).alias("pagerank"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY interior / EAGER last — see pagerank(): one job per
+            # iteration; the final materialization must precede
+            # e.unpersist().
+            .localCheckpoint(eager=(it == max_iter - 1))
         )
     e.unpersist()
     return ranks
@@ -233,14 +242,16 @@ def pagerank(
     )
     if vertices is not None:
         ids = ids.unionByName(vertices.select("id"))
-    verts = ids.distinct().localCheckpoint(eager=True)
+    # Lazy checkpoint + count() as the materializing action: one init job,
+    # not two (r14 job fusion, the components.py r13 pattern).
+    verts = ids.distinct().localCheckpoint(eager=False)
     n = verts.count()
     verts = _coalesced(verts, n)
 
     ranks = verts.withColumn("pagerank", F.lit(1.0 / n))
-    ranks = ranks.localCheckpoint(eager=True)
+    ranks = ranks.localCheckpoint(eager=False)
 
-    for _ in range(max_iter):
+    for it in range(max_iter):
         rk = _maybe_broadcast(ranks, n, broadcast_rows)
         contribs = (
             e.join(rk, e.src == rk.id)
@@ -273,7 +284,13 @@ def pagerank(
                     + alpha / n
                 ).alias("pagerank"),
             )
-            .localCheckpoint(eager=True)
+            # LAZY for interior iterations (r14 job fusion): the next
+            # iteration's broadcast-build (or join) job is the action that
+            # materializes this checkpoint — one job per iteration instead
+            # of two. The LAST iteration stays eager: its blocks must exist
+            # before e.unpersist() below, or the caller's first action
+            # would recompute the final join against an evicted edge cache.
+            .localCheckpoint(eager=(it == max_iter - 1))
         )
     e.unpersist()
     return ranks

@@ -34,30 +34,47 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def _min_label_fixpoint(edges: DataFrame, labels: DataFrame, max_rounds: int) -> DataFrame:
+def _min_label_fixpoint(
+    edges: DataFrame, labels: DataFrame, max_rounds: int, n_labels: int = 0
+) -> DataFrame:
     """Propagate MIN ``label`` along directed ``edges`` (src → dst) to
     fixpoint: returns (id, label) with label = min over {label(u): u
-    reaches id} ∪ {label(id)}."""
+    reaches id} ∪ {label(id)}. ``n_labels``, when the caller knows it,
+    is the label-table row count (it is invariant across rounds — the
+    groupBy keys on the same vertex set) and enables the state broadcast
+    from round 1."""
+    from .pagerank import _maybe_broadcast
+
     # ``max_rounds`` budgets EFFECTIVE rounds (rounds that change the
     # labeling); the no-change round confirming the fixpoint is free, so
     # a budget equal to the exact propagation depth succeeds.
     prev = None
     changes = 0
+    n_rows = n_labels
     while True:
+        # Broadcast the (checkpoint-hidden) label state into the edge list
+        # while it is measurably small — the per-round |E|-side Exchange
+        # disappears (q23/_maybe_broadcast discipline; the fingerprint
+        # aggregate supplies the row count from round 1 onward).
+        lb = _maybe_broadcast(labels, n_rows, 2_000_000)
         cand = (
-            labels.join(edges, labels.id == edges.src)
+            lb.join(edges, lb.id == edges.src)
             .select(F.col("dst").alias("id"), "label")
         )
         labels = (
             labels.unionByName(cand)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            # LAZY: the fingerprint aggregate below is the materializing
+            # action — one job per round instead of two (r14 fusion, the
+            # components.py r13 pattern; lineage truncation unchanged).
+            .localCheckpoint(eager=False)
         )
         row = labels.agg(
             F.count("*").alias("n"), F.sum("label").alias("s")
         ).collect()[0]
         fp = (row["n"], row["s"])
+        n_rows = row["n"]
         if fp == prev:
             return labels
         changes += 1
@@ -80,39 +97,53 @@ def strongly_connected_components(
     outer phases don't assign every vertex (the bfs non-convergence
     contract — a truncated answer would silently diverge from the
     mutual-reachability oracle)."""
-    remaining_edges = edges.select("src", "dst").distinct().localCheckpoint(eager=True)
+    # Job-fusion discipline throughout the phase loop (r14, the
+    # components.py r13 pattern): every per-phase localCheckpoint is LAZY
+    # and the next scalar action (a count(), or the fixpoint's first
+    # fingerprint aggregate) is what materializes it — the eager-checkpoint
+    # job + isEmpty job pairs collapse into single count jobs. Lineage
+    # truncation is unchanged: blocks are saved by the materializing
+    # action, and every later consumer reads them.
+    remaining_edges = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     remaining = (
         remaining_edges.select(F.col("src").alias("id"))
         .unionByName(remaining_edges.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    n_remaining = remaining.count()
     # Per-phase increments are collected and unioned ONCE at return —
     # re-checkpointing the accumulated frame every phase would
     # re-materialize all previously assigned vertices O(phases) times.
     increments = []
     for _ in range(max_phases):
-        if remaining.isEmpty():
+        if n_remaining == 0:
             break
         # 1. trim singletons: no in-edge or no out-edge ⇒ own SCC.
         srcs = remaining_edges.select(F.col("src").alias("id")).distinct()
         dsts = remaining_edges.select(F.col("dst").alias("id")).distinct()
         core = remaining.join(srcs, "id", "left_semi").join(dsts, "id", "left_semi")
+        # Lazy: consumed only by the final increments union — the return
+        # action materializes it off the already-saved parent blocks.
         trimmed = remaining.join(core, "id", "left_anti").select(
             "id", F.col("id").alias("scc")
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         increments.append(trimmed)
-        remaining = core.localCheckpoint(eager=True)
-        if remaining.isEmpty():
+        remaining = core.localCheckpoint(eager=False)
+        n_remaining = remaining.count()
+        if n_remaining == 0:
             break
         remaining_edges = (
             remaining_edges.join(remaining, remaining_edges.src == remaining.id, "left_semi")
             .join(remaining, remaining_edges.dst == remaining.id, "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-        # 2. forward MIN coloring to fixpoint.
+        # 2. forward MIN coloring to fixpoint (one label row per remaining
+        # vertex — n_remaining arms the state broadcast from round 1).
         init = remaining.select("id", F.col("id").alias("label"))
-        colors = _min_label_fixpoint(remaining_edges, init, max_rounds)
+        colors = _min_label_fixpoint(
+            remaining_edges, init, max_rounds, n_labels=n_remaining
+        )
         # 3. backward walk from roots inside same-color edges.
         ec = (
             remaining_edges.join(
@@ -125,7 +156,7 @@ def strongly_connected_components(
             )
             .filter(F.col("c_src") == F.col("c_dst"))
             .select(F.col("dst").alias("src"), F.col("src").alias("dst"))  # reversed
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
         roots = colors.filter(F.col("id") == F.col("label")).select("id")
         member = roots.select("id", F.col("id").alias("label"))
         # backward min-label propagation restricted to same-color edges:
@@ -133,21 +164,22 @@ def strongly_connected_components(
         # within one color class only its root propagates).
         reached = _min_label_fixpoint(ec, member, max_rounds)
         scc_now = reached.select("id", F.col("label").alias("scc")).localCheckpoint(
-            eager=True
+            eager=False
         )
         increments.append(scc_now)
         # 4. remove assigned, iterate.
         remaining = remaining.join(scc_now, "id", "left_anti").localCheckpoint(
-            eager=True
+            eager=False
         )
+        n_remaining = remaining.count()
         remaining_edges = (
             remaining_edges.join(remaining, remaining_edges.src == remaining.id, "left_semi")
             .join(remaining, remaining_edges.dst == remaining.id, "left_semi")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    if not remaining.isEmpty():
+    if n_remaining != 0:
         raise RuntimeError(
-            f"strongly_connected_components: {remaining.count()} vertices "
+            f"strongly_connected_components: {n_remaining} vertices "
             f"unassigned after max_phases={max_phases} — raise the budget."
         )
     if not increments:

@@ -51,13 +51,17 @@ def k_truss(
     final-truss support. ``k >= 3``; raises on round-budget exhaustion."""
     if k < 3:
         raise ValueError("k-truss requires k >= 3")
+    # LAZY checkpoints throughout the peel (r14 job fusion, the
+    # components.py r13 pattern): each round's ec.count() is the action
+    # that materializes the previous round's checkpoint — one job per
+    # round instead of two. Lineage truncation is unchanged.
     ec = (
         edges.select(
             F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
         )
         .filter(F.col("u") != F.col("v"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     prev = None
     for _ in range(max_rounds):
@@ -72,7 +76,7 @@ def k_truss(
             ec.join(supp, ["u", "v"], "left_outer")
             .filter(F.coalesce("support", F.lit(0)) >= k - 2)
             .select("u", "v")
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
     else:
         raise RuntimeError(

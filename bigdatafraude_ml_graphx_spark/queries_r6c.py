@@ -69,14 +69,15 @@ def q175_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct(),
         key="src",
     )
+    # Lazy + count() as the materializer (r14 job fusion): one init job.
     nodes = (
         e.select(F.col("src").alias("id"))
         .unionByName(e.select(F.col("dst").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     nv = nodes.count()
-    levels = nodes.withColumn("level", F.lit(0)).localCheckpoint(eager=True)
+    levels = nodes.withColumn("level", F.lit(0)).localCheckpoint(eager=False)
     # FRONTIER relaxation: only vertices whose level rose last round can
     # raise a successor, so each round joins the (shrinking) frontier —
     # not the full level table — against the persisted edges.
@@ -89,8 +90,14 @@ def q175_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("id")
             .agg(F.max("lv").alias("lv"))
         )
+        # LAZY checkpoint + count() as the materializing action (r14 job
+        # fusion, the components.py r13 pattern): the frontier count both
+        # materializes the round's checkpoint AND answers the convergence
+        # test — one job per round instead of an eager-checkpoint job plus
+        # an isEmpty job (count == 0 ⇔ the old isEmpty, and unlike take(1)
+        # it computes every partition, so the checkpoint is complete).
         joined = levels.join(cand, "id", "left_outer").localCheckpoint(
-            eager=True
+            eager=False
         )
         frontier = joined.filter(F.col("lv") > F.col("level")).select(
             "id", F.col("lv").alias("level")
@@ -99,7 +106,7 @@ def q175_dag_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id",
             F.greatest("level", F.coalesce("lv", F.lit(0))).alias("level"),
         )
-        if frontier.isEmpty():
+        if frontier.count() == 0:
             break
     else:
         raise RuntimeError(
